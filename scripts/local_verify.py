@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Dev-only harness approximating the driver's correctness gate.
+
+Runs each oracle SQL from oracle_sql.json in DuckDB against the same
+parquet tables, loads the Spark result parquet written by graft.Verify,
+sorts columns by name and rows by all columns, then compares values.
+
+Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir>
+(Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.)
+
+This script is tooling for the build loop only — the shipped library has
+no DuckDB dependency.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def frame(con, rel):
+    df = rel.fetchdf()
+    df = df[sorted(df.columns)]
+    rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    rows.sort()
+    return list(df.columns), [str(t) for t in df.dtypes], rows
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got_cols, got_dt, got = frame(
+                con, con.sql(f"SELECT * FROM read_parquet({files!r})"))
+            exp_cols, exp_dt, exp = frame(con, con.sql(oracle[name]))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: cols {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif got_dt != exp_dt:
+            print(f"FAIL {name}: dtypes {list(zip(got_cols, got_dt, exp_dt))}")
+            n_fail += 1
+        elif got != exp:
+            bad = [(a, b) for a, b in zip(got, exp) if a != b][:3]
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}; first diffs: {bad}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

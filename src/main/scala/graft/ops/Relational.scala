@@ -1,0 +1,389 @@
+package graft.ops
+
+import graft.{GraftSession, OpDef}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import parity._
+
+/** SURVEY §2.2 — the analytic query surface a user of the reference sink
+  * runs against the synced store, re-expressed Spark-first.
+  *
+  * Scale notes are inline per query: every dim join is broadcast, every agg
+  * is partial-aggregated map-side by Catalyst, and every output is
+  * deterministically ordered (unique tie-break) for oracle hash parity.
+  */
+object Relational {
+
+  private def tbl(s: SparkSession, dir: String, n: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables(s, dir, n)
+  }
+
+  private val ts19980902 = lit("1998-09-02 00:00:00").cast(TimestampType)
+  private val ts19980101 = lit("1998-01-01 00:00:00").cast(TimestampType)
+
+  val defs: Map[String, OpDef] = Map(
+    // ---- #12 scan → filter → groupBy agg (TPC-H Q1 shape) ----------------
+    "q1_agg" -> OpDef(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts19980902) // pushed to parquet scan
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumDec2(col("l_quantity")).as("sum_qty"),
+          sumDec2(col("l_extendedprice")).as("sum_base_price"),
+          sumDec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          (sumDec2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- #13 fact⋈fact⋈dim + top-k (TPC-H Q3 shape) ----------------------
+    // customer is a dim → broadcast; orderBy().limit() plans as
+    // TakeOrderedAndProject (no global sort at scale).
+    "q3_join_topk" -> OpDef(
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord  = tbl(s, dir, "orders").filter(col("o_orderdate") < ts19980101)
+      val li   = tbl(s, dir, "lineitem").filter(col("l_shipdate") > ts19980101)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sumDec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- #14 5-way star join (TPC-H Q5 shape) ----------------------------
+    // region/nation/supplier/customer all broadcast; the only shuffle left
+    // is lineitem⋈orders on orderkey.
+    "q5_multi_join" -> OpDef(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+    ) { (s, dir) =>
+      val region = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = tbl(s, dir, "nation")
+      val cust   = tbl(s, dir, "customer")
+      val supp   = tbl(s, dir, "supplier")
+      val ord    = tbl(s, dir, "orders")
+      val li     = tbl(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sumDec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // ---- #15 running window aggregate ------------------------------------
+    // Single shuffle on user_id; decimal running sum for parity.
+    "window_running" -> OpDef(
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      tbl(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType).as("running_value"))
+        .orderBy("event_id")
+    },
+
+    // ---- #16 top-k per group (window + filter, no global sort) -----------
+    "topk_per_group" -> OpDef(
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) q
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    },
+
+    // ---- #17 exact distinct aggregation ----------------------------------
+    "agg_distinct" -> OpDef(
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- #18 semi + anti join ---------------------------------------------
+    "semi_anti_join" -> OpDef(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      val cust = tbl(s, dir, "customer")
+      val ord  = tbl(s, dir, "orders")
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .join(ord.filter(col("o_orderstatus") === "F"),
+          cust("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- #19 ROLLUP grouping sets -----------------------------------------
+    "rollup_agg" -> OpDef(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sumDec2(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_status"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"), col("g_flag"), col("g_status"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // ---- #20 pivot ----------------------------------------------------------
+    // Pivot values are fixed → no extra distinct pass over the data.
+    "pivot_events" -> OpDef(
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")
+    },
+
+    // ---- #21 as-of join -----------------------------------------------------
+    // "Most recent strictly-earlier order of the same customer." Spark has no
+    // ASOF JOIN: we dedup to one row per (custkey, orderdate), take lag() over
+    // the date-ordered window (one shuffle on custkey), and join back — the
+    // sort-merge pattern that scales linearly. Oracle uses DuckDB ASOF JOIN.
+    "asof_join" -> OpDef(
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS okey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate, p.okey AS prev_orderkey
+        |FROM orders o
+        |ASOF LEFT JOIN ord p
+        |  ON o.o_custkey = p.o_custkey AND o.o_orderdate > p.o_orderdate
+        |ORDER BY o.o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val ord = tbl(s, dir, "orders")
+      val byDate = ord.groupBy("o_custkey", "o_orderdate").agg(max("o_orderkey").as("okey"))
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+      val withPrev = byDate.withColumn("prev_orderkey", lag("okey", 1).over(w))
+      ord
+        .join(withPrev.select(col("o_custkey").as("p_custkey"),
+            col("o_orderdate").as("p_orderdate"), col("prev_orderkey")),
+          col("o_custkey") === col("p_custkey") && col("o_orderdate") === col("p_orderdate"))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("orderdate"), col("prev_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- #22 time-bucketed range aggregation --------------------------------
+    "range_group" -> OpDef(
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+        .orderBy("day", "event_type")
+    },
+
+    // ---- #23 exact percentiles ----------------------------------------------
+    "percentiles" -> OpDef(
+      """SELECT event_type,
+        |  round(CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value) AS DOUBLE), 4) AS p50,
+        |  round(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS DOUBLE), 4) AS p95
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95D)"), 4).as("p95"))
+        .orderBy("event_type")
+    },
+
+    // ---- #24 JSON extraction --------------------------------------------------
+    "json_extract" -> OpDef(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+        |       THEN 'even' ELSE 'odd' END AS k_parity
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      tbl(s, dir, "events")
+        .select(
+          col("event_id"), k.as("k"),
+          when(k % 2 === 0, "even").otherwise("odd").as("k_parity"))
+        .orderBy("event_id")
+    },
+
+    // ---- #25 string functions ---------------------------------------------------
+    "string_ops" -> OpDef(
+      """SELECT p_brand,
+        |  COUNT(*) AS n_parts,
+        |  COUNT(*) FILTER (WHERE p_type IN ('PROMO', 'ECONOMY')) AS n_promo_eco,
+        |  MIN(upper(substr(p_name, 1, 8))) AS min_name8,
+        |  CAST(SUM(length(p_name)) AS BIGINT) AS total_name_len
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          count(when(col("p_type").isin("PROMO", "ECONOMY"), 1)).as("n_promo_eco"),
+          min(upper(substring(col("p_name"), 1, 8))).as("min_name8"),
+          sum(length(col("p_name"))).cast(LongType).as("total_name_len"))
+        .orderBy("p_brand")
+    },
+
+    // ---- #26 set operations --------------------------------------------------
+    "set_ops" -> OpDef(
+      """WITH pos AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0),
+        |     ord AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+        |     only_pos AS (SELECT c_custkey FROM pos EXCEPT SELECT c_custkey FROM ord),
+        |     both_ AS (SELECT c_custkey FROM pos INTERSECT SELECT c_custkey FROM ord)
+        |SELECT c_custkey, src FROM (
+        |  SELECT c_custkey, 'no_orders' AS src FROM only_pos
+        |  UNION ALL
+        |  SELECT c_custkey, 'has_orders' AS src FROM both_) q
+        |ORDER BY src, c_custkey""".stripMargin
+    ) { (s, dir) =>
+      val pos = tbl(s, dir, "customer").filter(col("c_acctbal") > 0).select("c_custkey")
+      val ord = tbl(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+      val onlyPos = pos.except(ord).withColumn("src", lit("no_orders"))
+      val both    = pos.intersect(ord).withColumn("src", lit("has_orders"))
+      onlyPos.unionAll(both).select("c_custkey", "src").orderBy("src", "c_custkey")
+    },
+
+    // ---- #27 skew-safe salted join ---------------------------------------------
+    // Same answer as a plain join; the implementation demonstrates the
+    // deterministic salting pattern for a skewed fact key: fact side gets a
+    // salt from a row-unique column, dim side is replicated SALT times, and
+    // the join key becomes (key, salt) — splitting a hot key across SALT
+    // reducers. AQE skew-join handles this automatically; this is the
+    // explicit form for engines/plans where it can't.
+    "skew_join_salted" -> OpDef(
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      val salts = 8
+      val ev = tbl(s, dir, "events").withColumn("salt", pmod(col("event_id"), lit(salts)))
+      val cust = tbl(s, dir, "customer")
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      ev.join(cust, ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), sumDec2(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- #28 approximate distinct (HLL) — rows-only (approx is engine-specific)
+    "approx_distinct" -> OpDef.rowsOnly { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }
+  )
+}
