@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic CDC change feed derived from the driver's `events` table.
+  *
+  * Models the reference's input (a per-block stream of table changes —
+  * `/root/reference/pb/.../database.pb.go` TableChange): `block` is the
+  * monotonically increasing block number, `pk` the changed row's key, `op`
+  * one of INSERT/UPDATE/DELETE, and the field columns are nullable "field
+  * present in this change?" values (`ops.go mergeData` merges them).
+  *
+  * Derivation rule (mirrored 1:1 in the oracle SQL CTE `changesSql`):
+  *   - op: error→DELETE, signup→INSERT, else UPDATE
+  *   - amount: always set (events.value)
+  *   - kval:   set only on purchase/click (props JSON "k")
+  *   - note:   always set (the event type)
+  */
+object Changes {
+
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    Tables(spark, dir, "events").select(
+      col("event_id").as("block"),
+      col("user_id").as("pk"),
+      when(col("event_type") === "error", "DELETE")
+        .when(col("event_type") === "signup", "INSERT")
+        .otherwise("UPDATE")
+        .as("op"),
+      col("value").as("amount"),
+      when(col("event_type").isin("purchase", "click"), k).as("kval"),
+      col("event_type").as("note")
+    )
+  }
+
+  /** The same derivation as a DuckDB CTE body (prepend `WITH ch AS (...)`). */
+  val changesSql: String =
+    """SELECT event_id AS block, user_id AS pk,
+      |  CASE WHEN event_type = 'error' THEN 'DELETE'
+      |       WHEN event_type = 'signup' THEN 'INSERT'
+      |       ELSE 'UPDATE' END AS op,
+      |  value AS amount,
+      |  CASE WHEN event_type IN ('purchase', 'click')
+      |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS kval,
+      |  event_type AS note
+      |FROM events""".stripMargin
+}
