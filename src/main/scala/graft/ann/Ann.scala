@@ -1,0 +1,210 @@
+package graft.ann
+
+import graft.{GraftSession, OpDef}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import scala.collection.mutable
+
+/** One embedding row (parquet: vec_id BIGINT, embedding FLOAT[], label INT). */
+final case class EmbRow(vec_id: Long, embedding: Seq[Float], label: Int)
+
+/** A scored (probe, neighbor) candidate. */
+final case class Scored(probe_id: Long, neighbor_id: Long, cos: Double)
+
+/** A vector's LSH bucket in one hash table. */
+final case class Bucket(vec_id: Long, t: Int, bucket: Long)
+
+/** SURVEY §2.3 #34-35 — approximate-nearest-neighbor search over the
+  * `embeddings` table.
+  *
+  * Brute force is the exactness baseline and uses the pattern that holds at
+  * 100 TB: probes are broadcast (closure), each partition emits only its
+  * LOCAL top-k per probe (a k-bounded heap — constant memory, no shuffle of
+  * scores), and the global top-k merge runs over numPartitions × k rows.
+  *
+  * The LSH variant buckets vectors by random-hyperplane sign bits
+  * (deterministic md5-seeded hyperplanes) so the candidate set shrinks from
+  * N to the probe's bucket population — the classic sub-linear ANN
+  * trade-off, verified by a recall spec against brute force.
+  */
+// Serializable: the bucketing closures reference object members (geometry
+// constants, hyperplanes), so the module is captured into task closures.
+object Ann extends Serializable {
+
+  val K = 5
+  val NumProbes = 10
+
+  // LSH geometry: L hash tables × B sign bits. For ~random 64-dim data the
+  // top-5 neighbors sit near cosine 0.3-0.5 (θ≈70°), so per-bit collision
+  // p≈0.6: 4 bits/table keeps p⁴≈0.13 per table and 8 tables lift recall to
+  // ~2/3 while still pruning most of the corpus per probe.
+  val Tables_ = 8
+  val Bits = 4
+  val Dim = 64
+
+  /** Deterministic hyperplane weights in [-1, 1], seeded by md5 — no RNG,
+    * reproducible across runs/executors.
+    */
+  lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(Tables_, Bits, Dim) { (t, h, d) =>
+      val hex = md.digest(s"$t:$h:$d".getBytes(StandardCharsets.UTF_8))
+        .take(8).map("%02x".format(_)).mkString
+      val v = java.lang.Long.parseLong(hex.take(15), 16)
+      (v % 2001 - 1000) / 1000.0
+    }
+  }
+
+  /** Sequential left-to-right double dot/norm — the same fold order as the
+    * DuckDB oracle's list_sum, so scores are bit-identical.
+    */
+  def dot(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = dot(a, b) / (norm(a) * norm(b))
+
+  private def embDs(s: SparkSession, dir: String) = {
+    GraftSession.tune(s)
+    import s.implicits._
+    Tables(s, dir, "embeddings").as[EmbRow]
+  }
+
+  /** The probe set: the NumProbes lowest vec_ids (tiny → driver-collected
+    * and shipped in the task closure, i.e. broadcast).
+    */
+  def probes(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    embDs(s, dir).filter(col("vec_id") < NumProbes).collect()
+      .sortBy(_.vec_id).map(e => e.vec_id -> e.embedding.toArray)
+
+  /** Partition-local top-k per probe: k-bounded min-heaps, one pass. */
+  private def localTopK(probeArr: Array[(Long, Array[Float])], k: Int)(
+      it: Iterator[EmbRow]): Iterator[Scored] = {
+    // min-heap on (cos asc, neighbor_id desc) so the weakest entry is on top
+    val ord = Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }
+    val heaps = probeArr.map(_ => mutable.PriorityQueue.empty[(Double, Long)](ord))
+    it.foreach { e =>
+      var p = 0
+      while (p < probeArr.length) {
+        val (pid, pv) = probeArr(p)
+        if (e.vec_id != pid) {
+          val c = cosine(pv, e.embedding)
+          val h = heaps(p)
+          if (h.size < k) h.enqueue((c, e.vec_id))
+          else {
+            val (wc, wid) = h.head
+            if (c > wc || (c == wc && e.vec_id < wid)) { h.dequeue(); h.enqueue((c, e.vec_id)) }
+          }
+        }
+        p += 1
+      }
+    }
+    probeArr.iterator.zip(heaps.iterator).flatMap { case ((pid, _), h) =>
+      h.iterator.map { case (c, id) => Scored(pid, id, c) }
+    }
+  }
+
+  val defs: Map[String, OpDef] = Map(
+    // ---- #34 brute-force exact top-k cosine ------------------------------
+    "ann_bruteforce" -> OpDef(
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < $NumProbes),
+         |s AS (
+         |  SELECT probe_id, vec_id,
+         |    list_sum(list_transform(generate_series(1, $Dim), i -> pe[i] * e[i]))
+         |      / (sqrt(list_sum(list_transform(pe, x -> x * x)))
+         |         * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+         |  FROM p, v WHERE vec_id <> probe_id),
+         |r AS (
+         |  SELECT probe_id, vec_id AS neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rn, round(cos, 4) AS cosine
+         |FROM r WHERE rn <= $K
+         |ORDER BY probe_id, rn""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val probeArr = probes(s, dir)
+      val local = embDs(s, dir).mapPartitions(localTopK(probeArr, K))
+      // Global merge over ≤ numPartitions·numProbes·k rows — trivially small.
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+      local.toDF()
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= K)
+        .select(col("probe_id"), col("neighbor_id"), col("rn"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("probe_id", "rn")
+    },
+
+    // ---- #35 LSH-bucketed ANN (rows-only + recall spec) ------------------
+    "ann_lsh" -> OpDef.rowsOnly { (s, dir) => lshTopK(s, dir) }
+  )
+
+  /** LSH candidate generation + exact re-rank.
+    *
+    * vectors → (t, bucket) sign-bit keys (narrow map, L rows per vector);
+    * probe buckets are broadcast; bucket-join → candidate ids → exact cosine
+    * → top-k. The full N×P score matrix is never materialized.
+    */
+  def lshTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import s.implicits._
+    val probeArr = probes(s, dir)
+    val planes = hyperplanes
+
+    def bucketsOf(e: Seq[Float]): Seq[(Int, Long)] =
+      (0 until Tables_).map { t =>
+        var b = 0L
+        var h = 0
+        while (h < Bits) {
+          var d = 0; var acc = 0.0
+          while (d < Dim) { acc += planes(t)(h)(d) * e(d); d += 1 }
+          if (acc > 0) b |= (1L << h)
+          h += 1
+        }
+        (t, b)
+      }
+
+    val vecBuckets = embDs(s, dir)
+      .flatMap(e => bucketsOf(e.embedding).map { case (t, b) => Bucket(e.vec_id, t, b) })
+      .toDF("vec_id", "t", "bucket")
+    val probeBuckets = probeArr.toSeq
+      .flatMap { case (pid, pv) => bucketsOf(pv.toSeq).map { case (t, b) => (pid, t, b) } }
+      .toDF("probe_id", "t", "bucket")
+
+    val cand = vecBuckets
+      .join(broadcast(probeBuckets), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+
+    val scored = cand
+      .join(embDs(s, dir).toDF("vec_id", "embedding", "label"), "vec_id")
+      .as[(Long, Long, Seq[Float], Int)]
+      .map { case (vecId, probeId, emb, _) =>
+        val pv = probeArr.find(_._1 == probeId).get._2
+        Scored(probeId, vecId, cosine(pv, emb))
+      }
+
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.toDF()
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rn"), round(col("cos"), 4).as("cosine"))
+      .orderBy("probe_id", "rn")
+  }
+}

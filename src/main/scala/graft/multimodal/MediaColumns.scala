@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import graft.{GraftSession, OpDef}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A media asset: opaque binary payload + typed envelope. */
+final case class MediaAsset(doc_id: Long, payload: Array[Byte])
+
+/** Stub-decoded media metadata (the envelope a real codec would fill). */
+final case class MediaMeta(
+    doc_id: Long,
+    fmt: String,
+    width: Int,
+    height: Int,
+    n_frames: Int
+)
+
+/** SURVEY §2.3 #40-41 — multimodal column plumbing.
+  *
+  * Image/audio/video content is carried as an opaque `binary` column with a
+  * typed metadata envelope; decode / feature-extract run as a typed
+  * `mapPartitions` over batches of assets (the exact shape a real
+  * JNI/Pandas-UDF codec pass needs: per-partition init, streaming iterator,
+  * no driver involvement, narrow → zero shuffle).
+  *
+  * STUB CODEC: the container has no image/audio libraries, so
+  * [[MediaCodec.decode]] derives metadata deterministically from the
+  * payload's leading bytes. The payload itself is synthesized as the md5
+  * digest of the document text, which is why a DuckDB oracle can reproduce
+  * the stub's output from the hex string — the Spark side genuinely reads
+  * binary bytes through the full plumbing path.
+  */
+object MediaCodec {
+
+  val Formats = Vector("jpeg", "png", "webp")
+
+  /** STUB: a real implementation would parse the container header here. */
+  def decode(a: MediaAsset): MediaMeta = {
+    def b(i: Int): Int = a.payload(i) & 0xFF
+    MediaMeta(
+      doc_id = a.doc_id,
+      fmt = Formats(b(0) % 3),
+      width = 64 + (b(1) % 64) * 16,
+      height = 64 + (b(2) % 64) * 16,
+      n_frames = (b(3) % 16) + 1
+    )
+  }
+}
+
+object MediaColumns {
+
+  private def assets(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    // Synthesize the opaque payload column (md5 bytes of the text). In a
+    // real pipeline this is the stored blob; everything downstream treats
+    // it as opaque binary.
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+  }
+
+  /** doc → stub-decoded metadata, via the typed mapPartitions codec path. */
+  def decodeMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).as[MediaAsset]
+      .mapPartitions(_.map(MediaCodec.decode))
+      .toDF()
+  }
+
+  /** DuckDB byte-k-of-md5 helper: payload byte k as 0-255 int. */
+  private def byteSql(k: Int): String =
+    s"('0x' || substr(md5(text), ${2 * k + 1}, 2))::INT"
+
+  val defs: Map[String, OpDef] = Map(
+    // ---- #40 decode → metadata envelope ----------------------------------
+    "mm_decode_meta" -> OpDef(
+      s"""SELECT doc_id,
+         |  ['jpeg', 'png', 'webp'][${byteSql(0)} % 3 + 1] AS fmt,
+         |  CAST(64 + (${byteSql(1)} % 64) * 16 AS INT) AS width,
+         |  CAST(64 + (${byteSql(2)} % 64) * 16 AS INT) AS height,
+         |  CAST(${byteSql(3)} % 16 + 1 AS INT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      decodeMeta(s, dir)
+        .select("doc_id", "fmt", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    },
+
+    // ---- #41 frame sampling -----------------------------------------------
+    // Video assets (fmt = webp) explode into frame rows; every 4th frame is
+    // sampled. posexplode keeps it a narrow op — no shuffle, and the frame
+    // index plan is exactly what a real frame-extract UDF pass consumes.
+    "mm_frame_sample" -> OpDef(
+      s"""WITH meta AS (
+         |  SELECT doc_id,
+         |    ['jpeg', 'png', 'webp'][${byteSql(0)} % 3 + 1] AS fmt,
+         |    ${byteSql(3)} % 16 + 1 AS n_frames
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+         |  FROM meta WHERE fmt = 'webp')
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(frame_idx * 40 AS BIGINT) AS frame_ts_ms,
+         |  md5(doc_id::VARCHAR || ':' || frame_idx::VARCHAR) AS frame_key
+         |FROM fr WHERE frame_idx % 4 = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    ) { (s, dir) =>
+      decodeMeta(s, dir)
+        .filter(col("fmt") === "webp")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        .filter(col("frame_idx") % 4 === 0)
+        .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          (col("frame_idx") * 40).cast(LongType).as("frame_ts_ms"),
+          md5(concat(col("doc_id").cast(StringType), lit(":"),
+            col("frame_idx").cast(StringType))).as("frame_key"))
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+}

@@ -1,0 +1,168 @@
+package graft.text
+
+import graft.{GraftSession, OpDef}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.3 #36-39 — text analysis for a training-data pipeline.
+  *
+  * Every operator here is a pure narrow column expression (split /
+  * higher-order array functions / md5), so at 100 TB these run with ZERO
+  * shuffle and stay inside whole-stage codegen: throughput is parquet-scan
+  * bound. No UDFs.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables(s, dir, "documents")
+  }
+
+  /** Per-language stopword lexicons (tiny, inlined as literals on both
+    * engines — broadcast-free).
+    */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "es" -> Seq("el", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est")
+  )
+
+  private def sqlList(ws: Seq[String]): String = ws.mkString("['", "', '", "']")
+
+  private val words: Column = split(col("text"), " ")
+
+  val defs: Map[String, OpDef] = Map(
+    // ---- #36 language ID: stopword-hit argmax ----------------------------
+    // hits(lang) = |distinct(words) ∩ lexicon(lang)|; argmax with a fixed
+    // en>de>fr>es ≥-chain tie-break; 0 hits → 'und'.
+    "text_langid" -> OpDef(
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    len(list_intersect(ws, ${sqlList(lexicons(1)._2)})) AS h_en,
+         |    len(list_intersect(ws, ${sqlList(lexicons(0)._2)})) AS h_de,
+         |    len(list_intersect(ws, ${sqlList(lexicons(3)._2)})) AS h_fr,
+         |    len(list_intersect(ws, ${sqlList(lexicons(2)._2)})) AS h_es
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
+         |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+         |       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+         |       WHEN h_fr >= h_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang,
+         |  CAST(greatest(h_en, h_de, h_fr, h_es) AS BIGINT) AS n_hits
+         |FROM h ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ws = array_distinct(words)
+      def hits(lex: Seq[String]): Column =
+        size(array_intersect(ws, array(lex.map(lit): _*)))
+      val hEn = hits(lexicons(1)._2); val hDe = hits(lexicons(0)._2)
+      val hFr = hits(lexicons(3)._2); val hEs = hits(lexicons(2)._2)
+      docs(s, dir).select(
+        col("doc_id"),
+        when(hEn === 0 && hDe === 0 && hFr === 0 && hEs === 0, "und")
+          .when(hEn >= hDe && hEn >= hFr && hEn >= hEs, "en")
+          .when(hDe >= hFr && hDe >= hEs, "de")
+          .when(hFr >= hEs, "fr")
+          .otherwise("es").as("pred_lang"),
+        greatest(hEn, hDe, hFr, hEs).cast(LongType).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
+    // ---- #37 quality scoring ---------------------------------------------
+    // length / duplication / stopword signals; identical double expression
+    // shape on both engines, round(·,4) for parity.
+    "text_quality" -> OpDef(
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars, len(ws) AS n_words,
+        |    len(list_distinct(ws)) AS n_distinct,
+        |    len(list_filter(ws, w -> list_contains(['the','and','of','to','in','is','a'], w))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+        |  round(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 4) AS avg_word_len,
+        |  round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS distinct_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+        |  round(least(CAST(n_words AS DOUBLE), 100.0) / 100.0
+        |        * (0.5 + 0.5 * (CAST(n_distinct AS DOUBLE) / n_words)), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val enLex = array(lexicons(1)._2.map(lit): _*)
+      docs(s, dir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"), words.as("ws"))
+        .select(col("doc_id"), col("n_chars"), size(col("ws")).as("n_words"),
+          size(array_distinct(col("ws"))).as("n_distinct"),
+          size(filter(col("ws"), w => array_contains(enLex, w))).as("n_stop"))
+        .select(
+          col("doc_id"),
+          col("n_chars").cast(LongType).as("n_chars"),
+          col("n_words").cast(LongType).as("n_words"),
+          round((col("n_chars") - col("n_words") + 1).cast(DoubleType) / col("n_words"), 4)
+            .as("avg_word_len"),
+          round(col("n_distinct").cast(DoubleType) / col("n_words"), 4).as("distinct_ratio"),
+          round(col("n_stop").cast(DoubleType) / col("n_words"), 4).as("stop_ratio"),
+          round(least(col("n_words").cast(DoubleType), lit(100.0)) / 100.0
+            * (lit(0.5) + lit(0.5) * (col("n_distinct").cast(DoubleType) / col("n_words"))), 4)
+            .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- #38 token counting: whitespace + regex + BPE-ish budget ----------
+    // BPE-ish = every word costs ceil(len/4) subword tokens (integer form
+    // (len+3) div 4 — exact on both engines).
+    "text_tokens" -> OpDef(
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(re_tokens AS BIGINT) AS re_tokens,
+        |  CAST(list_sum(list_transform(ws, w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(n_chars AS DOUBLE) / len(ws), 4) AS chars_per_token
+        |FROM t ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"), words.as("ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .as("re_tokens"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast(LongType).as("ws_tokens"),
+          col("re_tokens").cast(LongType).as("re_tokens"),
+          // Column `/` is double division — floor() recovers the exact
+          // integer quotient ((len+3)/4 is exact in doubles at these sizes).
+          aggregate(col("ws"), lit(0L),
+            (acc, w) => acc + floor((length(w) + 3) / lit(4)).cast(LongType))
+            .as("bpe_tokens"),
+          round(col("n_chars").cast(DoubleType) / size(col("ws")), 4).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+
+    // ---- #39 rolling-hash fingerprint -------------------------------------
+    // Order-sensitive md5 chain over the word sequence (fold); the 60-bit
+    // numeric form is the portable join/shard key.
+    "text_fingerprint" -> OpDef(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend('', string_split(text, ' ')),
+        |                (a, b) -> md5(a || ':' || b)) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp,
+        |  ('0x' || substr(fp, 1, 15))::BIGINT AS fp_long
+        |FROM t ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val fp = aggregate(words, lit(""), (acc, w) => md5(concat(acc, lit(":"), w)))
+      docs(s, dir)
+        .select(col("doc_id"), fp.as("fp"))
+        .withColumn("fp_long", conv(substring(col("fp"), 1, 15), 16, 10).cast(LongType))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.ann.Ann
+
+class AnnSpec extends SparkSpecBase {
+
+  private lazy val bf = run("ann_bruteforce").collect()
+
+  test("bruteforce returns exactly k neighbors per probe") {
+    val byProbe = bf.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byProbe.size == Ann.NumProbes)
+    assert(byProbe.values.forall(_ == Ann.K))
+  }
+
+  test("bruteforce neighbors are ranked by cosine desc and never the probe itself") {
+    bf.groupBy(_.getLong(0)).foreach { case (pid, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(w => w(0) >= w(1)))
+      assert(!rows.exists(_.getLong(1) == pid))
+    }
+  }
+
+  test("lsh recall@5 vs bruteforce is at least 0.5") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(bf)
+    val approx = pairs(Ann.lshTopK(spark, sfDir).collect())
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("deterministic hyperplanes are reproducible and bounded") {
+    val a = Ann.hyperplanes
+    assert(a.length == Ann.Tables_ && a(0).length == Ann.Bits && a(0)(0).length == Ann.Dim)
+    assert(a.flatten.flatten.forall(w => w >= -1.0 && w <= 1.0))
+  }
+}

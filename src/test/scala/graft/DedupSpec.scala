@@ -1,0 +1,43 @@
+package graft
+
+class DedupSpec extends SparkSpecBase {
+
+  test("exact dedup emits only non-keeper ids, keeper < dup") {
+    val rows = run("dedup_exact").collect()
+    assert(rows.forall(r => r.getLong(1) < r.getLong(0)))
+  }
+
+  test("minhash-lsh pairs all meet the jaccard threshold, ordered a<b") {
+    val rows = run("dedup_minhash_lsh").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= 0.35 && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("ngram-jaccard pairs are a subset of blocks and meet tau") {
+    val rows = run("dedup_ngram_jaccard").collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.5 && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash is a total map with 60-bit signatures") {
+    val rows = run("dedup_simhash").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) < (1L << 60)))
+  }
+
+  test("identical texts get identical simhash; near-identical differ in few bits") {
+    val byText = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "md5(text) th").collect()
+      .groupBy(_.getString(1)).values.filter(_.length > 1)
+    val sig = run("dedup_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byText.foreach { g => assert(g.map(r => sig(r.getLong(0))).toSet.size == 1) }
+  }
+
+  test("embedding near-dup pairs stay within a label block") {
+    val lbl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("dedup_embedding").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => lbl(r.getLong(0)) == lbl(r.getLong(1))))
+  }
+}
