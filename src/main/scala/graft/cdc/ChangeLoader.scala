@@ -1,0 +1,100 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch change-set merge + snapshot apply — the distributed re-expression
+  * of the reference's in-memory op buffer and flush
+  * (`/root/reference/db/ops.go:11-122`, `db/flush.go:13-69`).
+  *
+  * The reference keeps a per-(table, pk) map of pending ops and mutates it
+  * change-by-change; at 100 TB the equivalent is ONE shuffle of the batch by
+  * pk (window merge), then ONE sort-merge full-outer join against the prior
+  * snapshot. No driver-side state anywhere.
+  */
+object ChangeLoader {
+
+  /** Collapse a batch to one row per pk, reproducing ops.go semantics:
+    *
+    *   - ops strictly after the pk's last DELETE survive; field values merge
+    *     last-writer-wins per FIELD (`mergeData`), null = "not in change".
+    *   - `deleted` = the pk's final op is DELETE (no later INSERT/UPDATE) —
+    *     the collapsed op is a delete (`ops.go:49-57` delete replaces).
+    *
+    * Input needs `pk`, `block` (monotone within the batch) and the field
+    * columns; output: pk, deleted, last_block, merged field columns.
+    */
+  def collapse(changes: DataFrame, fieldCols: Seq[String]): DataFrame = {
+    val byBlock = Window.partitionBy("pk").orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lastDel = max(when(col("op") === Op.Delete, col("block"))).over(byBlock)
+    val afterDel = changes
+      .withColumn("_del_block", lastDel)
+      .filter(col("op") =!= Op.Delete &&
+        (col("_del_block").isNull || col("block") > col("_del_block")))
+    val merged = afterDel.select(
+      Seq(col("pk"), col("block"),
+        col("_del_block").isNotNull.as("revived"),
+        row_number().over(Window.partitionBy("pk").orderBy(col("block").desc)).as("_rn")) ++
+        fieldCols.map(f => last(col(f), ignoreNulls = true).over(byBlock).as(f)): _*)
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumnRenamed("block", "last_block")
+      .withColumn("deleted", lit(false))
+    // pks whose ONLY surviving state is a delete:
+    val deletes = changes.groupBy("pk")
+      .agg(max("block").as("last_block"),
+        max(when(col("op") === Op.Delete, col("block"))).as("_del_block"),
+        max(when(col("op") =!= Op.Delete, col("block"))).as("_live_block"))
+      .filter(col("_del_block").isNotNull &&
+        (col("_live_block").isNull || col("_live_block") < col("_del_block")))
+      .select(Seq(col("pk"), col("last_block"), lit(true).as("deleted"),
+        lit(false).as("revived")) ++
+        fieldCols.map(f => lit(null).as(f)): _*)
+    merged.select(outCols(fieldCols): _*).unionByName(deletes.select(outCols(fieldCols): _*))
+  }
+
+  private def outCols(fieldCols: Seq[String]): Seq[Column] =
+    Seq(col("pk"), col("last_block"), col("deleted"), col("revived")) ++ fieldCols.map(col)
+
+  /** Flag reference-loader rule violations in a batch instead of aborting
+    * (`ops.go:29` duplicate INSERT, `ops.go:37-41` UPDATE after DELETE at
+    * the same pk with no INSERT between).
+    */
+  def violations(changes: DataFrame): DataFrame = {
+    val dupInsert = changes.filter(col("op") === Op.Insert)
+      .groupBy("pk").agg(count(lit(1)).as("n"), max("block").as("block"))
+      .filter(col("n") > 1)
+      .select(col("pk"), col("block"), lit("duplicate_insert").as("rule"))
+    val w = Window.partitionBy("pk").orderBy("block")
+    val updAfterDel = changes
+      .withColumn("_prev_op", lag("op", 1).over(w))
+      .filter(col("op") === Op.Update && col("_prev_op") === Op.Delete)
+      .select(col("pk"), col("block"), lit("update_after_delete").as("rule"))
+    dupInsert.unionByName(updAfterDel)
+  }
+
+  /** Apply a collapsed batch to the prior snapshot (the flush):
+    * full-outer join on pk; deletes drop the row, merges coalesce per field
+    * onto the prior values (UPDATE semantics), new pks insert. A `revived`
+    * pk (deleted then re-written within the batch) takes ONLY the batch's
+    * fields — the reference's DELETE wipes the prior row entirely.
+    *
+    * Both sides shuffle on pk — with bucketed snapshot storage this is a
+    * co-located join at scale, and AQE handles skewed pks.
+    */
+  def applyBatch(snapshot: DataFrame, collapsed: DataFrame, fieldCols: Seq[String]): DataFrame = {
+    val s = snapshot.select(col("pk").as("s_pk"),
+      struct(fieldCols.map(col): _*).as("s_fields"))
+    val c = collapsed.select(col("pk").as("c_pk"), col("deleted"), col("revived"),
+      struct(fieldCols.map(col): _*).as("c_fields"))
+    s.join(c, col("s_pk") === col("c_pk"), "full_outer")
+      .filter(col("deleted").isNull || !col("deleted"))
+      .select(
+        Seq(coalesce(col("s_pk"), col("c_pk")).as("pk")) ++
+          fieldCols.map(f =>
+            when(col("revived"), col(s"c_fields.$f"))
+              .otherwise(coalesce(col(s"c_fields.$f"), col(s"s_fields.$f"))).as(f)): _*)
+  }
+}

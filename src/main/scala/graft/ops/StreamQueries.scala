@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.{GraftSession, OpDef}
+import graft.cdc.ChangeLoader
+import graft.sources.{Changes, Tables}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked BATCH shapes of the streaming layer (SURVEY §2.4 + §2.1
+  * #7): Structured Streaming transforms are plain DataFrame functions, so
+  * the exact code that runs incrementally on a stream is verified here
+  * against DuckDB on the static `events` table. The streaming-only behavior
+  * (watermarks, state, exactly-once sink) is covered by ScalaTest specs.
+  */
+object StreamQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables(s, dir, "events")
+  }
+
+  private def withCh(body: String): String =
+    s"WITH ch AS (\n${Changes.changesSql}\n)\n$body"
+
+  val defs: Map[String, OpDef] = Map(
+    // ---- #42 tumbling-window aggregation ---------------------------------
+    "stream_window_counts" -> OpDef(
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) => StreamOps.windowedCounts(ev(s, dir)).orderBy("day", "event_type") },
+
+    // ---- #43 gap-based sessionization ------------------------------------
+    // session_window(gap=4h) ≡ gaps-and-islands: a new session starts when
+    // the gap from the previous event is ≥ 4h; session end = last ts + gap.
+    "stream_sessionize" -> OpDef(
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  date_diff('second', MIN(ts), MAX(ts)) + 14400 AS duration_s,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+    ) { (s, dir) => StreamOps.sessionize(ev(s, dir)).orderBy("user_id", "session_start") },
+
+    // ---- #44 stream dedup (batch shape: keep-first per key) --------------
+    "stream_dedup" -> OpDef(
+      """SELECT user_id, event_type, MIN(event_id) AS event_id
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) => StreamOps.dedupStream(ev(s, dir)).orderBy("user_id", "event_type") },
+
+    // ---- §2.1 #7 ChangeLoader: incremental two-phase apply ≡ one-shot ----
+    // Collapse+apply the first half of the feed, then the second half on
+    // top; the result must equal the full-feed merge (the cdc_merge_fields
+    // oracle) — proving flush-batch composition is associative, the property
+    // the reference's every-N-blocks flush relies on.
+    "cdc_snapshot_apply" -> OpDef(
+      withCh(
+        """, lastdel AS (
+          |  SELECT pk, MAX(CASE WHEN op = 'DELETE' THEN block END) AS del_block
+          |  FROM ch GROUP BY pk),
+          |alive AS (
+          |  SELECT ch.* FROM ch JOIN lastdel USING (pk)
+          |  WHERE ch.op <> 'DELETE' AND (del_block IS NULL OR ch.block > del_block)),
+          |merged AS (
+          |  SELECT pk,
+          |    last_value(amount IGNORE NULLS) OVER w AS amount,
+          |    last_value(kval   IGNORE NULLS) OVER w AS kval,
+          |    last_value(note   IGNORE NULLS) OVER w AS note,
+          |    row_number() OVER (PARTITION BY pk ORDER BY block DESC) AS rn
+          |  FROM alive
+          |  WINDOW w AS (PARTITION BY pk ORDER BY block
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+          |SELECT pk AS user_id, amount, kval, note FROM merged WHERE rn = 1
+          |ORDER BY user_id""".stripMargin)
+    ) { (s, dir) =>
+      GraftSession.tune(s)
+      val fields = Seq("amount", "kval", "note")
+      val ch = Changes(s, dir)
+      val mid = 500L // event_ids (blocks) are dense from 0; sf-independent split
+      val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ch.select(col("pk"), col("amount"), col("kval"), col("note")).schema)
+      val snap1 = ChangeLoader.applyBatch(empty,
+        ChangeLoader.collapse(ch.filter(col("block") <= mid), fields), fields)
+      ChangeLoader.applyBatch(snap1,
+        ChangeLoader.collapse(ch.filter(col("block") > mid), fields), fields)
+        .select(col("pk").as("user_id"), col("amount"), col("kval"), col("note"))
+        .orderBy("user_id")
+    }
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 — streaming analytics transforms.
+  *
+  * Each transform is a pure DataFrame→DataFrame function valid on BOTH a
+  * streaming and a static frame (Structured Streaming's unified model):
+  * streaming runs add a watermark (bounding state) and run incrementally;
+  * the static shape is what the batch query bank + DuckDB oracle check.
+  */
+object StreamOps {
+
+  /** #42 — tumbling-window event counts per type, 1-day windows, 1-hour
+    * watermark on streams (late data beyond it is dropped; state per open
+    * window is O(types × windows-in-watermark)).
+    */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** #43 — gap-based sessionization (4-hour inactivity gap) per user via the
+    * native session_window operator: state is one open session per user,
+    * closed by the watermark on streams.
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(session_window(col("ts"), "4 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        (unix_timestamp(col("w.end")) - unix_timestamp(col("w.start"))).as("duration_s"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** #44 — drop duplicate (user_id, event_type) arrivals; on streams the
+    * watermark bounds the dedup state (dropDuplicatesWithinWatermark), in
+    * batch it is an exact keep-first dedup.
+    */
+  def dedupStream(events: DataFrame): DataFrame = {
+    val keyed = events.select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    if (events.isStreaming)
+      keyed.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .drop("ts")
+    else
+      // Batch equivalent with a deterministic "first": min event_id per key.
+      keyed.groupBy("user_id", "event_type")
+        .agg(min("event_id").as("event_id"))
+        .select("user_id", "event_type", "event_id")
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.cdc.{ChangeLoader, CursorStore}
+import graft.sources.Changes
+import graft.streaming.{ChangeRow, ChangeStreamSink, StatefulMerge, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def changeRows(maxBlock: Long = Long.MaxValue): Seq[ChangeRow] = {
+    import org.apache.spark.sql.Row
+    Changes(spark, sfDir).filter(col("block") <= maxBlock).collect().toSeq.map {
+      case Row(block: Long, pk: Long, op: String, amount, kval, note) =>
+        ChangeRow(block, pk, op,
+          Option(amount).map(_.asInstanceOf[Double]),
+          Option(kval).map(_.asInstanceOf[Long]),
+          Option(note).map(_.asInstanceOf[String]))
+    }
+  }
+
+  test("StatefulMerge stream state equals batch collapse") {
+    implicit val s = spark
+    import s.implicits._
+    val rows = changeRows().sortBy(_.block)
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[ChangeRow]
+    val q = StatefulMerge(in.toDS())
+      .writeStream.format("memory").queryName("sm").outputMode("update").start()
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    // last emitted state per pk:
+    val got = spark.sql("select * from sm").collect()
+      .groupBy(_.getLong(0)).map { case (_, g) => g.maxBy(_.getLong(1)) }
+      .map(r => (r.getLong(0), r.getBoolean(2), Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .toSet
+    val exp = ChangeLoader.collapse(Changes(spark, sfDir), Seq("amount", "kval", "note"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))
+      .toSet
+    assert(got == exp)
+  }
+
+  test("ChangeStreamSink: incremental batches + replay are exactly-once") {
+    val dir = Files.createTempDirectory("sink").toString
+    val sink = new ChangeStreamSink(dir, "mod_a", Seq("amount", "kval", "note"))
+    val ch = Changes(spark, sfDir)
+    val b0 = ch.filter(col("block") <= 300)
+    val b1 = ch.filter(col("block") > 300 && col("block") <= 700)
+    val b2 = ch.filter(col("block") > 700)
+    sink.processBatch(b0, 0)
+    sink.processBatch(b1, 1)
+    sink.processBatch(b1, 1) // replay of a completed batch: must be a no-op
+    sink.processBatch(b2, 2)
+    val store = new CursorStore(s"$dir/cursor", spark)
+    val cur = store.readWithBatch("mod_a").get
+    assert(cur._2 == 2 && cur._1.blockNum == ch.agg(max("block")).collect()(0).getLong(0))
+    // final snapshot == one-shot collapse+apply of the whole feed
+    val fields = Seq("amount", "kval", "note")
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      ch.select(col("pk"), col("amount"), col("kval"), col("note")).schema)
+    val exp = ChangeLoader.applyBatch(empty, ChangeLoader.collapse(ch, fields), fields)
+      .collect().map(_.toSeq).toSet
+    val got = sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet
+    assert(got == exp)
+  }
+
+  test("ChangeStreamSink end-to-end on a real stream") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("sink_e2e").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[ChangeRow]
+    in.addData(changeRows(500))
+    val sink = new ChangeStreamSink(dir, "mod_b", Seq("amount", "kval", "note"))
+    val q = sink.start(in.toDF(), s"$dir/ckpt", Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val snap = sink.latestSnapshot(spark)
+    assert(snap.isDefined && snap.get.count() > 0)
+  }
+
+  test("cursor mismatch modes: ignore/warn/error") {
+    val dir = Files.createTempDirectory("cursor").toString
+    val store = new CursorStore(dir, spark)
+    store.commit(graft.cdc.Cursor("hash_x", "c1", 10, "b10"), 0)
+    assert(store.readWithMismatch("hash_x", "error").get.blockNum == 10)
+    assert(store.readWithMismatch("hash_y", "ignore").isEmpty)
+    assert(store.readWithMismatch("hash_y", "warn").get.moduleHash == "hash_x")
+    intercept[IllegalStateException](store.readWithMismatch("hash_y", "error"))
+  }
+
+  test("windowed counts on a stream emit watermark-closed windows matching batch") {
+    implicit val s = spark
+    import s.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "user_id", "event_type",
+        "timestamp_micros(ts div 1000) as ts", "value")
+      .as[(Long, Long, String, java.sql.Timestamp, Double)]
+      .collect().sortBy(_._4.getTime)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val q = StreamOps.windowedCounts(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select * from wc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    val batch = StreamOps.windowedCounts(
+      spark.createDataFrame(ev.toSeq).toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.subsetOf(batch)) // emitted = closed windows; all must match batch
+  }
+}
