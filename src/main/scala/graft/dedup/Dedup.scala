@@ -292,15 +292,13 @@ object Dedup {
         |FROM p WHERE cos >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin
     ) { (s, dir) =>
-      val e = transform(col("embedding"), x => x.cast(DoubleType))
-      val v = embs(s, dir).select(col("vec_id"), col("label"), e.as("e"))
+      graft.functions.GraftFunctions.register(s)
+      val v = embs(s, dir).select(col("vec_id"), col("label"), col("embedding").as("e"))
       val a = v.select(col("label"), col("vec_id").as("vec_a"), col("e").as("e_a"))
       val b = v.select(col("label"), col("vec_id").as("vec_b"), col("e").as("e_b"))
-      def norm(c: Column): Column =
-        sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
-      val dot = aggregate(zip_with(col("e_a"), col("e_b"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val cos = dot / (norm(col("e_a")) * norm(col("e_b")))
+      // Native codegen'd expression (graft.functions.CosineSimilarity): one
+      // fused primitive loop per pair instead of interpreted HOF folds.
+      val cos = call_function("cosine_sim", col("e_a"), col("e_b"))
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), cos.as("cos"))
