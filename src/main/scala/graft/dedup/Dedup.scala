@@ -30,19 +30,7 @@ object Dedup {
     Tables(s, dir, "embeddings")
   }
 
-  /** 60-bit portable hash of a string: first 15 md5 hex chars as a bigint. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-
-  /** Word 3-gram shingle set (distinct). */
-  private def shingles(text: Column): Column = {
-    val ws = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
-  }
-
-  /** DuckDB spelling of [[shingles]] over column `text`. */
+  /** DuckDB spelling of the distinct word-3-gram shingle set of `text`. */
   private val shinglesSql: String =
     """list_distinct(list_transform(
       |      generate_series(0, len(string_split(text, ' ')) - 3),
@@ -260,16 +248,13 @@ object Dedup {
         |         THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
         |FROM t ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val th = transform(array_distinct(split(col("text"), " ")), w => h60(w))
-      // The Scala shiftright/shiftleft wrappers only take literal bit counts;
-      // the SQL forms accept a column — use an expr for the bit-vote fold.
-      val simhash = expr(
-        """aggregate(sequence(0, 59), 0L, (acc, i) ->
-          |  acc + IF(2 * size(filter(th, h -> (shiftright(h, i) & 1) = 1)) > size(th),
-          |           shiftleft(1L, i), 0L))""".stripMargin)
+      // Native one-pass expression (graft.functions.SimHash64): the HOF
+      // formulation (60 × filter/size over the token array) runs interpreted.
+      graft.functions.GraftFunctions.register(s)
       docs(s, dir)
-        .select(col("doc_id"), th.as("th"))
-        .select(col("doc_id"), simhash.as("simhash"))
+        .select(col("doc_id"),
+          call_function("simhash64", array_distinct(split(col("text"), " ")))
+            .as("simhash"))
         .orderBy("doc_id")
     },
 

@@ -16,7 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> { args => CosineSimilarity(args(0), args(1)) }
+    "cosine_sim" -> { args => CosineSimilarity(args(0), args(1)) },
+    "simhash64" -> { args => SimHash64(args(0)) },
+    "md5_chain" -> { args => Md5Chain(args(0)) },
+    "bpe_cost" -> { args => BpeCost(args(0)) },
+    "count_in" -> { args => CountIn(args(0), args(1)) }
   )
 
   def register(spark: SparkSession): Unit = {

@@ -93,12 +93,14 @@ object TextOps {
         |        * (0.5 + 0.5 * (CAST(n_distinct AS DOUBLE) / n_words)), 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val enLex = array(lexicons(1)._2.map(lit): _*)
       docs(s, dir)
         .select(col("doc_id"), length(col("text")).as("n_chars"), words.as("ws"))
         .select(col("doc_id"), col("n_chars"), size(col("ws")).as("n_words"),
           size(array_distinct(col("ws"))).as("n_distinct"),
-          size(filter(col("ws"), w => array_contains(enLex, w))).as("n_stop"))
+          // native count_in: the filter() lambda would run interpreted
+          call_function("count_in", col("ws"), enLex).as("n_stop"))
         .select(
           col("doc_id"),
           col("n_chars").cast(LongType).as("n_chars"),
@@ -128,6 +130,7 @@ object TextOps {
         |  round(CAST(n_chars AS DOUBLE) / len(ws), 4) AS chars_per_token
         |FROM t ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       docs(s, dir)
         .select(col("doc_id"), length(col("text")).as("n_chars"), words.as("ws"),
           size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
@@ -136,11 +139,8 @@ object TextOps {
           col("doc_id"),
           size(col("ws")).cast(LongType).as("ws_tokens"),
           col("re_tokens").cast(LongType).as("re_tokens"),
-          // Column `/` is double division — floor() recovers the exact
-          // integer quotient ((len+3)/4 is exact in doubles at these sizes).
-          aggregate(col("ws"), lit(0L),
-            (acc, w) => acc + floor((length(w) + 3) / lit(4)).cast(LongType))
-            .as("bpe_tokens"),
+          // native bpe_cost: the aggregate() fold would run interpreted
+          call_function("bpe_cost", col("ws")).as("bpe_tokens"),
           round(col("n_chars").cast(DoubleType) / size(col("ws")), 4).as("chars_per_token"))
         .orderBy("doc_id")
     },
@@ -158,9 +158,11 @@ object TextOps {
         |  ('0x' || substr(fp, 1, 15))::BIGINT AS fp_long
         |FROM t ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val fp = aggregate(words, lit(""), (acc, w) => md5(concat(acc, lit(":"), w)))
+      graft.functions.GraftFunctions.register(s)
+      // native md5_chain: the aggregate() fold would run interpreted,
+      // re-hashing through boxed strings per word
       docs(s, dir)
-        .select(col("doc_id"), fp.as("fp"))
+        .select(col("doc_id"), call_function("md5_chain", words).as("fp"))
         .withColumn("fp_long", conv(substring(col("fp"), 1, 15), 16, 10).cast(LongType))
         .orderBy("doc_id")
     }
