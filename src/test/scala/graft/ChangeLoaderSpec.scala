@@ -1,0 +1,82 @@
+package graft
+
+import graft.cdc.ChangeLoader
+import graft.sources.Changes
+import org.apache.spark.sql.functions._
+
+class ChangeLoaderSpec extends SparkSpecBase {
+
+  private val fields = Seq("amount", "kval", "note")
+
+  test("collapse: a pk deleted then re-written is revived with only new fields") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 10L, "INSERT", Some(1.0), Some(5L), Some("a")),
+      (2L, 10L, "DELETE", None, None, None),
+      (3L, 10L, "UPDATE", Some(9.0), None, None)
+    ).toDF("block", "pk", "op", "amount", "kval", "note")
+    val out = ChangeLoader.collapse(ch, fields).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(!r.getAs[Boolean]("deleted") && r.getAs[Boolean]("revived"))
+    assert(r.getAs[Double]("amount") == 9.0)
+    assert(r.isNullAt(r.fieldIndex("kval")) && r.isNullAt(r.fieldIndex("note")))
+  }
+
+  test("applyBatch: revival does not resurrect prior-snapshot fields") {
+    import spark.implicits._
+    val snapshot = Seq((10L, Some(1.0), Some(5L), Some("old")))
+      .toDF("pk", "amount", "kval", "note")
+    val batch = Seq(
+      (2L, 10L, "DELETE", None: Option[Double], None: Option[Long], None: Option[String]),
+      (3L, 10L, "UPDATE", Some(9.0), None: Option[Long], None: Option[String])
+    ).toDF("block", "pk", "op", "amount", "kval", "note")
+    val out = ChangeLoader.applyBatch(snapshot, ChangeLoader.collapse(batch, fields), fields)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Double]("amount") == 9.0)
+    assert(r.isNullAt(r.fieldIndex("kval")), "kval must not survive the delete")
+    assert(r.isNullAt(r.fieldIndex("note")), "note must not survive the delete")
+  }
+
+  test("applyBatch: plain update merges onto prior fields; delete drops; insert adds") {
+    import spark.implicits._
+    val snapshot = Seq(
+      (10L, Some(1.0), Some(5L), Some("keep")),
+      (20L, Some(2.0), Some(6L), Some("gone"))
+    ).toDF("pk", "amount", "kval", "note")
+    val batch = Seq(
+      (1L, 10L, "UPDATE", Some(7.0), None: Option[Long], None: Option[String]),
+      (2L, 20L, "DELETE", None: Option[Double], None: Option[Long], None: Option[String]),
+      (3L, 30L, "INSERT", Some(3.0), Some(8L), Some("new"))
+    ).toDF("block", "pk", "op", "amount", "kval", "note")
+    val out = ChangeLoader.applyBatch(snapshot, ChangeLoader.collapse(batch, fields), fields)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(10L, 30L))
+    assert(out(10L).getAs[Double]("amount") == 7.0)
+    assert(out(10L).getAs[Long]("kval") == 5L, "unchanged field keeps prior value")
+    assert(out(30L).getAs[String]("note") == "new")
+  }
+
+  test("violations: duplicate INSERT and UPDATE-after-DELETE are flagged") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 10L, "INSERT", Some(1.0), None: Option[Long], None: Option[String]),
+      (2L, 10L, "INSERT", Some(2.0), None: Option[Long], None: Option[String]),
+      (3L, 20L, "DELETE", None: Option[Double], None: Option[Long], None: Option[String]),
+      (4L, 20L, "UPDATE", Some(3.0), None: Option[Long], None: Option[String])
+    ).toDF("block", "pk", "op", "amount", "kval", "note")
+    val v = ChangeLoader.violations(ch).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(v == Set((10L, "duplicate_insert"), (20L, "update_after_delete")))
+  }
+
+  test("violations on the derived feed match the declarative dup-insert query") {
+    val viaQuery = run("cdc_upsert_dedup").collect().map(_.getLong(0)).toSet
+    val viaApi = ChangeLoader.violations(Changes(spark, sfDir))
+      .filter(col("rule") === "duplicate_insert")
+      .select("pk").collect().map(_.getLong(0)).toSet
+    assert(viaApi == viaQuery)
+  }
+}

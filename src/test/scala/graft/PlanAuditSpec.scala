@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Locks in the structural plan properties SURVEY §6 promises — a regression
+  * here means a scale property silently degraded, even if results stay
+  * correct.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def auditOf(df: DataFrame): PlanAudit.Audit = {
+    df.count()
+    PlanAudit.audit(df.queryExecution.executedPlan)
+  }
+
+  test("q5 star join: all five joins broadcast, no sort-merge") {
+    val a = auditOf(run("q5_multi_join"))
+    assert(a.broadcastJoins == 5, s"expected 5 broadcast joins, got $a")
+    assert(a.sortMergeJoins == 0)
+  }
+
+  test("q1 filter reaches the parquet scan") {
+    val a = auditOf(run("q1_agg"))
+    assert(a.scans == 1 && a.scansWithPushdown == 1, s"$a")
+  }
+
+  test("pure text/fingerprint ops are single-scan, zero-join, no fallback exprs") {
+    for (q <- Seq("text_quality", "text_tokens", "text_fingerprint", "text_langid",
+        "dedup_simhash")) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.broadcastJoins + a.sortMergeJoins == 0, s"$q: $a")
+      assert(a.fallbackExprs.isEmpty, s"$q has interpreted exprs: ${a.fallbackExprs}")
+    }
+  }
+
+  test("dedup family never degrades to a sort-merge pair join") {
+    for (q <- Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_embedding")) {
+      val a = auditOf(run(q))
+      assert(a.sortMergeJoins == 0, s"$q: $a")
+      assert(a.fallbackExprs.isEmpty, s"$q has interpreted exprs: ${a.fallbackExprs}")
+    }
+  }
+}
