@@ -61,7 +61,12 @@ object Dedup {
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
       split(col("text"), " ").as("ws"))
-    d.select(col("doc_id"), col("lang"), col("source"), col("ws"),
+    // < 3 words → no 3-gram shingles. The filter also guards correctness:
+    // Spark's sequence(0, n) flips direction for n < 0 (sequence(0, -1) =
+    // [0, -1]), which would emit bogus indices — DuckDB's generate_series
+    // returns [] instead, and the filter makes both engines agree.
+    d.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - 3)).as("i"))
       .select(col("doc_id"), col("lang"), col("source"),
         h32(concat_ws(" ",
