@@ -384,6 +384,70 @@ object Relational {
           approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")
+    },
+
+    // ---- #45 ordered array aggregation (ClickHouse groupArray surface) ---
+    // One shuffle on user_id; the per-group sort happens on the collected
+    // array (bounded by the group), not as a global sort.
+    "group_array" -> OpDef(
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_id) AS types,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          concat_ws(",",
+            transform(array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+              x => x.getField("event_type"))).as("types"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+
+    // ---- #46 argMax (ClickHouse argMax surface) ---------------------------
+    // Pure aggregation — no window shuffle; tie-broken by event_id so both
+    // engines agree deterministically.
+    "arg_max" -> OpDef(
+      """SELECT user_id, event_type AS top_type, value AS top_value FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events) q
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), struct(col("value"), col("event_id"))).as("top_type"),
+          max(struct(col("value"), col("event_id"))).getField("value").as("top_value"))
+        .orderBy("user_id")
+    },
+
+    // ---- #47 ordered funnel (ClickHouse windowFunnel surface) -------------
+    // signup → later purchase per user, as conditional aggregation (one
+    // shuffle, no self-join, no window).
+    "funnel" -> OpDef(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  COUNT(*) AS n_users,
+        |  COUNT(first_signup) AS n_signup,
+        |  COUNT(*) FILTER (WHERE last_purchase > first_signup) AS n_converted
+        |FROM u""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("first_signup")).as("n_signup"),
+          count(when(col("last_purchase") > col("first_signup"), 1)).as("n_converted"))
     }
   )
 }
