@@ -236,9 +236,11 @@ object Relational {
 
     // ---- #21 as-of join -----------------------------------------------------
     // "Most recent strictly-earlier order of the same customer." Spark has no
-    // ASOF JOIN: we dedup to one row per (custkey, orderdate), take lag() over
-    // the date-ordered window (one shuffle on custkey), and join back — the
-    // sort-merge pattern that scales linearly. Oracle uses DuckDB ASOF JOIN.
+    // ASOF JOIN; instead of dedup + lag + join-back (3 shuffles) this is two
+    // stacked windows over ONE shuffle on custkey: the per-date max orderkey,
+    // then its last value over the strictly-earlier date range (RANGE frame
+    // on epoch days, upper bound -1 day). Scales linearly, no join at all.
+    // Oracle uses DuckDB's native ASOF JOIN.
     "asof_join" -> OpDef(
       """WITH ord AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS okey
@@ -250,15 +252,18 @@ object Relational {
         |  ON o.o_custkey = p.o_custkey AND o.o_orderdate > p.o_orderdate
         |ORDER BY o.o_orderkey""".stripMargin
     ) { (s, dir) =>
-      val ord = tbl(s, dir, "orders")
-      val byDate = ord.groupBy("o_custkey", "o_orderdate").agg(max("o_orderkey").as("okey"))
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
-      val withPrev = byDate.withColumn("prev_orderkey", lag("okey", 1).over(w))
-      ord
-        .join(withPrev.select(col("o_custkey").as("p_custkey"),
-            col("o_orderdate").as("p_orderdate"), col("prev_orderkey")),
-          col("o_custkey") === col("p_custkey") && col("o_orderdate") === col("p_orderdate"))
-        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("orderdate"), col("prev_orderkey"))
+      // Same partitioning AND ordering for both windows → one shuffle, one
+      // sort, a single WindowExec pass. RANGE [0,0] = the current date's
+      // peer rows (per-date max); RANGE [-∞,-1] = strictly-earlier dates.
+      val byDate = Window.partitionBy("o_custkey").orderBy("dd").rangeBetween(0, 0)
+      val asOf = Window.partitionBy("o_custkey").orderBy("dd")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      tbl(s, dir, "orders")
+        .withColumn("dd", datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+        .withColumn("date_okey", max("o_orderkey").over(byDate))
+        .withColumn("prev_orderkey", last("date_okey").over(asOf))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("orderdate"),
+          col("prev_orderkey"))
         .orderBy("o_orderkey")
     },
 
