@@ -1,0 +1,56 @@
+package graft
+
+import graft.cdc.{Catalog, ChangeLoader, CursorStore}
+import graft.sources.{Changes, Tables}
+import graft.streaming.ChangeStreamSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The library facade — what a user of the reference sink programs against
+  * after switching to graft.
+  *
+  * One instance binds a session and a table directory (the "database");
+  * every capability of the engine hangs off it: the reference's CDC
+  * ingestion surface (change feed → collapse → snapshot apply → streaming
+  * sink with exactly-once cursors), the analytic query bank, and the
+  * training-data operators (dedup / ANN / text / multimodal).
+  */
+final class Graft(val spark: SparkSession, val dir: String) {
+
+  graft.functions.GraftFunctions.register(spark)
+
+  // ---- storage & schema -------------------------------------------------
+  def table(name: String): DataFrame = Tables(spark, dir, name)
+  def registerAllTables(): Unit = Tables.registerAll(spark, dir)
+  lazy val catalog: Catalog = new Catalog(dir, spark)
+
+  // ---- CDC surface (the reference's job) --------------------------------
+  /** The per-block change feed (derived deterministically from `events`). */
+  def changes(): DataFrame = Changes(spark, dir)
+
+  def collapse(batch: DataFrame, fields: Seq[String]): DataFrame =
+    ChangeLoader.collapse(batch, fields)
+
+  def applyBatch(snapshot: DataFrame, collapsed: DataFrame, fields: Seq[String]): DataFrame =
+    ChangeLoader.applyBatch(snapshot, collapsed, fields)
+
+  def violations(batch: DataFrame): DataFrame = ChangeLoader.violations(batch)
+
+  def cursorStore(path: String): CursorStore = new CursorStore(path, spark)
+
+  def streamSink(baseDir: String, moduleHash: String, fields: Seq[String]): ChangeStreamSink =
+    new ChangeStreamSink(baseDir, moduleHash, fields)
+
+  // ---- query bank -------------------------------------------------------
+  /** Run any SURVEY §2 operator by key (see `SparkEntry.queries`). */
+  def run(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  def operators: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
+  // ---- ANN --------------------------------------------------------------
+  def annBruteForce(): DataFrame = run("ann_bruteforce")
+  def annLsh(k: Int = ann.Ann.K): DataFrame = ann.Ann.lshTopK(spark, dir, k)
+}
+
+object Graft {
+  def apply(spark: SparkSession, dir: String): Graft = new Graft(spark, dir)
+}

@@ -25,10 +25,12 @@ final class Catalog(dir: String, spark: SparkSession,
       .sorted.toSeq
 
   /** Column names and types from the parquet footer (no rows read — the
-    * LIMIT-0 probe equivalent).
+    * LIMIT-0 probe equivalent). Routed through [[graft.sources.Tables]] so
+    * per-table quirks (events' TIMESTAMP(NANOS) column) resolve the same
+    * way they do for queries.
     */
   def schemaOf(table: String): StructType =
-    spark.read.parquet(s"$dir/$table.parquet").schema
+    graft.sources.Tables(spark, dir, table).schema
 
   def columns(table: String): Seq[(String, String)] =
     schemaOf(table).fields.map(f => f.name -> f.dataType.simpleString).toSeq

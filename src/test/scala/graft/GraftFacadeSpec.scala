@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftFacadeSpec extends SparkSpecBase {
+
+  private lazy val g = Graft(spark, sfDir)
+
+  test("facade exposes every inventory operator and runs one") {
+    assert(g.operators.size == SparkEntry.queries.size)
+    assert(g.operators.size >= 43)
+    assert(g.run("q1_agg").count() == 6)
+  }
+
+  test("facade catalog sees all ten tables with pk metadata") {
+    assert(g.catalog.tables().size == 10)
+    assert(g.catalog.primaryKeys("lineitem") == Seq("l_orderkey", "l_linenumber"))
+    assert(g.catalog.columns("events").nonEmpty)
+  }
+
+  test("facade CDC loop: changes → collapse → apply matches the query bank") {
+    val fields = Seq("amount", "kval", "note")
+    val ch = g.changes()
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      ch.select(col("pk"), col("amount"), col("kval"), col("note")).schema)
+    val snap = g.applyBatch(empty, g.collapse(ch, fields), fields)
+    val viaQuery = g.run("cdc_merge_fields").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSet
+    val viaApi = snap.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(viaApi == viaQuery)
+  }
+
+  test("facade registers native functions on construction") {
+    assert(!g.spark.sql("SELECT cosine_sim(array(1.0F), array(1.0F)) c").isEmpty)
+  }
+}
