@@ -49,6 +49,12 @@ final class Graft(val spark: SparkSession, val dir: String) {
   // ---- ANN --------------------------------------------------------------
   def annBruteForce(): DataFrame = run("ann_bruteforce")
   def annLsh(k: Int = ann.Ann.K): DataFrame = ann.Ann.lshTopK(spark, dir, k)
+
+  // ---- as-of join (single-shuffle union+window operator) -----------------
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: org.apache.spark.sql.Column, rightTime: org.apache.spark.sql.Column,
+      rightPayload: Seq[String], strict: Boolean = false): DataFrame =
+    ops.AsofJoin.join(left, right, keys, leftTime, rightTime, rightPayload, strict)
 }
 
 object Graft {
