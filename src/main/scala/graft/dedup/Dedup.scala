@@ -263,6 +263,45 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- #32b SimHash near-dup pairs: hamming ≤ 2 within sig-prefix band -
+    // Band key = top 12 signature bits (docs differing only in low bits
+    // collide); pair verify is a bit_count(xor) — both the bucket join and
+    // the verify are integer-only, no text ever shuffles.
+    "dedup_simhash_pairs" -> OpDef(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), i ->
+        |      CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b
+        |  ON (a.sig >> 48) = (b.sig >> 48) AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sig = docs(s, dir).select(col("doc_id"),
+        call_function("simhash64", array_distinct(split(col("text"), " "))).as("sig"))
+      val a = sig.select(shiftright(col("sig"), 48).as("band"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = sig.select(shiftright(col("sig"), 48).as("band"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
+        .filter(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- #33 embedding cosine near-dup pairs within label blocks ---------
     // Sequential double dot product (same fold order both engines); block
     // key = label (an IVF coarse cell at scale). τ = 0.35 (the synthetic

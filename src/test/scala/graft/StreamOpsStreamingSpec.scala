@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-mode behavior of the §2.4 transforms whose BATCH shape is
+  * oracle-checked (stream_dedup / stream_sessionize queries).
+  */
+class StreamOpsStreamingSpec extends SparkSpecBase {
+
+  private type Ev = (Long, Long, String, java.sql.Timestamp, Double)
+
+  private def eventRows(): Array[Ev] = {
+    import spark.implicits._
+    graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value")
+      .as[Ev].collect().sortBy(_._4.getTime)
+  }
+
+  test("stream dedup: in-batch duplicates collapse, within-watermark replays drop") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value")
+          .select("user_id", "event_type", "event_id", "ts"))
+      .writeStream.format("memory").queryName("sd").outputMode("append").start()
+    try {
+      // (1,a) duplicated in-batch; (2,b) unique → 2 emissions
+      in.addData(Seq(
+        (10L, 1L, "a", ts(0), 0.0), (11L, 1L, "a", ts(10), 0.0),
+        (12L, 2L, "b", ts(20), 0.0)))
+      q.processAllAvailable()
+      assert(spark.sql("select * from sd").count() == 2)
+      // watermark = ts(20) - 1h; (1,a) state (first seen ts(0), expires
+      // ts(60)) is alive → replay at ts(15) drops; (3,c) is new → emits
+      in.addData(Seq((13L, 1L, "a", ts(15), 0.0), (14L, 3L, "c", ts(25), 0.0)))
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, event_type from sd").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows.length == 3 && rows.distinct.length == 3)
+      assert(rows.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("batch shape of stream_dedup matches distinct keys of the feed") {
+    val ev = eventRows()
+    val keys = ev.map(e => (e._2, e._3)).distinct
+    val batch = run("stream_dedup").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(batch.toSet == keys.toSet && batch.length == keys.length)
+  }
+
+  test("streaming sessionization emits watermark-closed sessions matching batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = eventRows()
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.sessionize(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value")
+          .select("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("ss").outputMode("append").start()
+    try {
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select * from ss").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got.nonEmpty)
+    val batch = run("stream_sessionize").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // append mode only emits sessions the watermark has closed — every one
+    // of them must be byte-identical to the batch result's session
+    assert(got.subsetOf(batch), s"diff: ${got.diff(batch).take(3)}")
+  }
+}

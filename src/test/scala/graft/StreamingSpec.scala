@@ -97,9 +97,8 @@ class StreamingSpec extends SparkSpecBase {
   test("windowed counts on a stream emit watermark-closed windows matching batch") {
     implicit val s = spark
     import s.implicits._
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("event_id", "user_id", "event_type",
-        "timestamp_micros(ts div 1000) as ts", "value")
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value")
       .as[(Long, Long, String, java.sql.Timestamp, Double)]
       .collect().sortBy(_._4.getTime)
     val (h1, h2) = ev.splitAt(ev.length / 2)
