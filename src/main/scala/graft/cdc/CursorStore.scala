@@ -41,11 +41,14 @@ final class CursorStore(path: String, spark: SparkSession) {
   /** Current cursor for the module hash, exact match only. */
   def read(moduleHash: String): Option[Cursor] = readWithBatch(moduleHash).map(_._1)
 
-  /** Current cursor plus the micro-batch id that committed it. */
+  /** Current cursor plus the micro-batch id that committed it. Resolution
+    * is by commit order (batchId), not block height — a rollback commit
+    * legitimately moves the block number backwards.
+    */
   def readWithBatch(moduleHash: String): Option[(Cursor, Long)] =
     log().flatMap { df =>
       df.filter(col("moduleHash") === moduleHash)
-        .orderBy(col("blockNum").desc, col("batchId").desc)
+        .orderBy(col("batchId").desc, col("blockNum").desc)
         .limit(1)
         .as[(String, String, Long, String, Long)]
         .collect()

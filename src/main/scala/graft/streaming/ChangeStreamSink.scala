@@ -59,6 +59,23 @@ final class ChangeStreamSink(
     }
   }
 
+  /** Roll the sink back to an earlier committed batch (a chain-reorg /
+    * BlockUndoSignal response). The reference refuses undo signals outright
+    * (`sinker/sinker.go:176` errors on any undo); here versioned snapshots
+    * make it a cursor re-commit — the snapshot written by `toBatchId`
+    * becomes current again and later versions are ignored.
+    */
+  def rollbackTo(spark: SparkSession, toBatchId: Long, newBatchId: Long): Unit = {
+    val store = new CursorStore(s"$baseDir/cursor", spark)
+    val snap = spark.read.parquet(snapDir(toBatchId))
+    // re-commit the old snapshot under the new batch id so the cursor log
+    // stays append-only and resolves (by commit order) to the rolled-back
+    // state
+    snap.write.mode(SaveMode.Overwrite).parquet(snapDir(newBatchId))
+    store.commit(Cursor(moduleHash, s"cursor:rollback:$toBatchId", toBatchId,
+      s"rollback:$toBatchId"), newBatchId)
+  }
+
   /** Attach to a streaming changes frame. */
   def start(changes: DataFrame, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

@@ -84,6 +84,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(snap.isDefined && snap.get.count() > 0)
   }
 
+  test("rollback restores an earlier snapshot version (reorg handling)") {
+    val dir = Files.createTempDirectory("sink_rb").toString
+    val sink = new ChangeStreamSink(dir, "mod_rb", Seq("amount", "kval", "note"))
+    val ch = Changes(spark, sfDir)
+    sink.processBatch(ch.filter(col("block") <= 400), 0)
+    val snapAt0 = sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet
+    sink.processBatch(ch.filter(col("block") > 400), 1)
+    assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet != snapAt0)
+    sink.rollbackTo(spark, toBatchId = 0, newBatchId = 2)
+    assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet == snapAt0)
+  }
+
   test("cursor mismatch modes: ignore/warn/error") {
     val dir = Files.createTempDirectory("cursor").toString
     val store = new CursorStore(dir, spark)
