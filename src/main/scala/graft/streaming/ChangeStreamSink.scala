@@ -41,6 +41,7 @@ final class ChangeStreamSink(
 
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
+      val t0 = System.currentTimeMillis()
       val spark = batch.sparkSession
       val store = new CursorStore(s"$baseDir/cursor", spark)
       val collapsed = ChangeLoader.collapse(batch, fieldCols)
@@ -51,11 +52,17 @@ final class ChangeStreamSink(
             collapsed.drop("last_block", "deleted", "revived").schema)
       }
       val next = ChangeLoader.applyBatch(prior, collapsed, fieldCols)
+      val tFlush = System.currentTimeMillis()
       next.write.mode(SaveMode.Overwrite).parquet(snapDir(batchId))
-      val head = batch.agg(max("block")).collect()(0)
+      val head = batch
+        .agg(max("block"), count(lit(1)), countDistinct(col("pk"))).collect()(0)
       val maxBlock = if (head.isNullAt(0)) -1L else head.getLong(0)
       store.commit(Cursor(moduleHash, s"cursor:$maxBlock", maxBlock,
         s"block:$maxBlock"), batchId)
+      new SinkStats(s"$baseDir/stats", spark).record(FlushStat(
+        moduleHash, batchId, maxBlock, head.getLong(1), head.getLong(2),
+        flushMillis = System.currentTimeMillis() - tFlush,
+        wallMillis = math.max(1, System.currentTimeMillis() - t0)))
     }
   }
 

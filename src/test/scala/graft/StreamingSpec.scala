@@ -84,6 +84,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(snap.isDefined && snap.get.count() > 0)
   }
 
+  test("sink records per-flush stats and computes reference-style rates") {
+    val dir = Files.createTempDirectory("sink_stats").toString
+    val sink = new ChangeStreamSink(dir, "mod_s", Seq("amount", "kval", "note"))
+    val ch = Changes(spark, sfDir)
+    sink.processBatch(ch.filter(col("block") <= 500), 0)
+    sink.processBatch(ch.filter(col("block") > 500), 1)
+    val stats = new graft.streaming.SinkStats(s"$dir/stats", spark)
+    val log = stats.log().get.collect()
+    assert(log.length == 2)
+    assert(log.map(_.getAs[Long]("nOps")).sum == ch.count())
+    val rates = stats.rates().get.collect()
+    assert(rates.length == 1)
+    val r = rates(0)
+    assert(r.getAs[Long]("entries") == ch.count())
+    assert(r.getAs[Double]("entries_per_sec") > 0)
+  }
+
   test("rollback restores an earlier snapshot version (reorg handling)") {
     val dir = Files.createTempDirectory("sink_rb").toString
     val sink = new ChangeStreamSink(dir, "mod_rb", Seq("amount", "kval", "note"))
