@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line (guaranteed to be the final
+  * stdout line) and mirrors it to `SPARK_GRAFT_BENCH_OUT` when set.
+  *
+  * A query that throws is recorded in an `"errors"` map (name → exception
+  * class+message) instead of being silently timed as if it had run — a
+  * crashed query must never look fast.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,24 +19,43 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the FS cache / codegen / shuffle infra once so per-query numbers
-    // measure the query, not first-job session setup.
+    // measure the query, not first-job session setup. Goes through
+    // graft.sources.Tables so per-table read confs (events' nanosAsLong)
+    // are applied — a raw spark.read here aborts a job on events.parquet.
     graft.sources.Tables.names.foreach { n =>
-      try spark.read.parquet(s"$sfDir/$n.parquet").count() catch { case _: Throwable => }
+      try graft.sources.Tables(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"warmup failed for $n: ${e.getClass.getSimpleName}") }
     }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // ops may persist intermediates; don't let cache accumulate across queries
       spark.catalog.clearCache()
       name -> dt
-    }.toMap
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop() // stop BEFORE printing so no executor shutdown logs trail the JSON
+    System.out.flush()
+    println(line)
+    System.out.flush()
   }
 }

@@ -24,19 +24,34 @@ object ChangeLoader {
     *
     * Input needs `pk`, `block` (monotone within the batch) and the field
     * columns; output: pk, deleted, last_block, merged field columns.
+    *
+    * Ordering within a block: the substreams model allows several changes
+    * for one pk in one block, disambiguated by the protobuf `ordinal`
+    * (reference TableChange field 3). If the input carries an `ordinal`
+    * column it participates in every ordering decision, making
+    * last-writer-wins deterministic; without it, (pk, block) uniqueness is
+    * a REQUIRED precondition of this API.
     */
   def collapse(changes: DataFrame, fieldCols: Seq[String]): DataFrame = {
-    val byBlock = Window.partitionBy("pk").orderBy("block")
+    // seqKey: the total order of changes within a pk. Struct comparison is
+    // lexicographic, so max/`>` over it behaves like (block[, ordinal]).
+    val seqKey =
+      if (changes.columns.contains("ordinal")) struct(col("block"), col("ordinal"))
+      else struct(col("block"))
+    val seqAsc: Seq[Column] =
+      if (changes.columns.contains("ordinal")) Seq(col("block"), col("ordinal"))
+      else Seq(col("block"))
+    val byBlock = Window.partitionBy("pk").orderBy(seqAsc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val lastDel = max(when(col("op") === Op.Delete, col("block"))).over(byBlock)
+    val lastDel = max(when(col("op") === Op.Delete, seqKey)).over(byBlock)
     val afterDel = changes
-      .withColumn("_del_block", lastDel)
+      .withColumn("_del_key", lastDel)
       .filter(col("op") =!= Op.Delete &&
-        (col("_del_block").isNull || col("block") > col("_del_block")))
+        (col("_del_key").isNull || seqKey > col("_del_key")))
     val merged = afterDel.select(
       Seq(col("pk"), col("block"),
-        col("_del_block").isNotNull.as("revived"),
-        row_number().over(Window.partitionBy("pk").orderBy(col("block").desc)).as("_rn")) ++
+        col("_del_key").isNotNull.as("revived"),
+        row_number().over(Window.partitionBy("pk").orderBy(seqAsc.map(_.desc): _*)).as("_rn")) ++
         fieldCols.map(f => last(col(f), ignoreNulls = true).over(byBlock).as(f)): _*)
       .filter(col("_rn") === 1)
       .drop("_rn")
@@ -45,10 +60,10 @@ object ChangeLoader {
     // pks whose ONLY surviving state is a delete:
     val deletes = changes.groupBy("pk")
       .agg(max("block").as("last_block"),
-        max(when(col("op") === Op.Delete, col("block"))).as("_del_block"),
-        max(when(col("op") =!= Op.Delete, col("block"))).as("_live_block"))
-      .filter(col("_del_block").isNotNull &&
-        (col("_live_block").isNull || col("_live_block") < col("_del_block")))
+        max(when(col("op") === Op.Delete, seqKey)).as("_del_key"),
+        max(when(col("op") =!= Op.Delete, seqKey)).as("_live_key"))
+      .filter(col("_del_key").isNotNull &&
+        (col("_live_key").isNull || col("_live_key") < col("_del_key")))
       .select(Seq(col("pk"), col("last_block"), lit(true).as("deleted"),
         lit(false).as("revived")) ++
         fieldCols.map(f => lit(null).as(f)): _*)
@@ -61,6 +76,11 @@ object ChangeLoader {
   /** Flag reference-loader rule violations in a batch instead of aborting
     * (`ops.go:29` duplicate INSERT, `ops.go:37-41` UPDATE after DELETE at
     * the same pk with no INSERT between).
+    *
+    * `insert_after_existing` reproduces the reference's full strictness:
+    * `ops.go` Insert errors when ANY op is already pending for the pk —
+    * including INSERT after DELETE/UPDATE, which `collapse` leniently treats
+    * as a revive. Callers wanting reference-abort behavior check this feed.
     */
   def violations(changes: DataFrame): DataFrame = {
     val dupInsert = changes.filter(col("op") === Op.Insert)
@@ -72,7 +92,11 @@ object ChangeLoader {
       .withColumn("_prev_op", lag("op", 1).over(w))
       .filter(col("op") === Op.Update && col("_prev_op") === Op.Delete)
       .select(col("pk"), col("block"), lit("update_after_delete").as("rule"))
-    dupInsert.unionByName(updAfterDel)
+    val insAfterAny = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("op") === Op.Insert && col("_rn") > 1)
+      .select(col("pk"), col("block"), lit("insert_after_existing").as("rule"))
+    dupInsert.unionByName(updAfterDel).unionByName(insAfterAny)
   }
 
   /** Apply a collapsed batch to the prior snapshot (the flush):

@@ -26,10 +26,16 @@ object MismatchMode {
   * Re-expresses the reference's cursor table (`db/cursor.go:27-137`): one
   * logical row per output-module hash, atomically advanced with each flush.
   * Storage is an append-only parquet log under `path`; the current cursor is
-  * the row with the highest (blockNum, batchId) per module — append + resolve
+  * the row with the highest (batchId, blockNum) per module — append + resolve
   * -on-read is the lake-native equivalent of the reference's UPDATE-in-txn,
   * and replaying a Structured Streaming batch (same batchId) is a no-op on
   * resolve, giving exactly-once cursor semantics under retries.
+  *
+  * The log is metadata (one tiny row per flush); [[compact]] bounds its
+  * growth at production flush rates, and the admin surface
+  * ([[allCursors]]/[[delete]]/[[deleteAll]]) mirrors the reference's
+  * `GetAllCursors`/`DeleteCursor`/`DeleteAllCursors`
+  * (`db/cursor.go:26-46,129-143`).
   */
 final class CursorStore(path: String, spark: SparkSession) {
 
@@ -56,6 +62,32 @@ final class CursorStore(path: String, spark: SparkSession) {
         .map { case (m, c, b, id, bid) => (Cursor(m, c, b, id), bid) }
     }
 
+  /** The cursor row a specific micro-batch committed (rollback resolution). */
+  def cursorAt(moduleHash: String, batchId: Long): Option[Cursor] =
+    log().flatMap { df =>
+      df.filter(col("moduleHash") === moduleHash && col("batchId") === batchId)
+        .as[(String, String, Long, String, Long)]
+        .collect()
+        .headOption
+        .map { case (m, c, b, id, _) => Cursor(m, c, b, id) }
+    }
+
+  /** Has this (moduleHash, batchId) already committed? The sink's replay
+    * no-op check: a committed batch's snapshot + cursor are durable, so the
+    * whole flush can be skipped.
+    */
+  def committed(moduleHash: String, batchId: Long): Boolean =
+    log().exists { df =>
+      !df.filter(col("moduleHash") === moduleHash && col("batchId") === batchId).isEmpty
+    }
+
+  /** Highest batchId committed for the module (−1 when none). */
+  def maxBatchId(moduleHash: String): Long =
+    log().map { df =>
+      df.filter(col("moduleHash") === moduleHash)
+        .agg(max("batchId")).as[Option[Long]].collect().head.getOrElse(-1L)
+    }.getOrElse(-1L)
+
   /** Reference `cursorAtHighestBlock`: on a module-hash mismatch, `ignore`
     * starts fresh, `warn` adopts the cursor at the highest block across all
     * hashes, `error` throws.
@@ -80,15 +112,70 @@ final class CursorStore(path: String, spark: SparkSession) {
   /** Idempotent commit: appending the same (moduleHash, batchId) twice
     * leaves the resolved cursor unchanged (replay-safe).
     */
-  def commit(c: Cursor, batchId: Long): Unit = {
-    val committed = log().exists { df =>
-      !df.filter(col("moduleHash") === c.moduleHash && col("batchId") === batchId).isEmpty
-    }
-    if (!committed) {
+  def commit(c: Cursor, batchId: Long): Unit =
+    if (!committed(c.moduleHash, batchId)) {
       Seq((c.moduleHash, c.cursor, c.blockNum, c.blockId, batchId))
         .toDF("moduleHash", "cursor", "blockNum", "blockId", "batchId")
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(path)
     }
+
+  // ---- admin surface (reference db/cursor.go:26-46,129-143) --------------
+
+  /** The resolved (current) cursor of every module — `GetAllCursors`. */
+  def allCursors(): Map[String, Cursor] =
+    log().map { df =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("moduleHash")
+        .orderBy(col("batchId").desc, col("blockNum").desc)
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("moduleHash", "cursor", "blockNum", "blockId")
+        .as[(String, String, Long, String)]
+        .collect()
+        .map { case (m, c, b, id) => m -> Cursor(m, c, b, id) }
+        .toMap
+    }.getOrElse(Map.empty)
+
+  /** Drop every cursor row of one module — `DeleteCursor`. Returns the
+    * number of rows removed (the reference errors on not-found; callers can
+    * check == 0).
+    */
+  def delete(moduleHash: String): Long =
+    rewrite(keep = r => r._1 != moduleHash)
+
+  /** Drop the whole store — `DeleteAllCursors`. */
+  def deleteAll(): Long = rewrite(keep = _ => false)
+
+  /** Bound log growth: keep only each module's newest `keepLast` commits.
+    * The resolved cursor of every module is unchanged (resolution only ever
+    * looks at the highest batchIds); older rows exist for audit/rollback, so
+    * retention is the caller's policy.
+    */
+  def compact(keepLast: Int = 16): Long = {
+    val rows = collectRows()
+    val keep = rows.groupBy(_._1).valuesIterator
+      .flatMap(_.sortBy(-_._5).take(keepLast)).toSeq
+    writeRows(keep)
+    (rows.size - keep.size).toLong
+  }
+
+  // The cursor log is metadata — a handful of tiny rows per module (bounded
+  // by compact) — so admin rewrites stage through the driver; the data path
+  // (commit/read) never does.
+  private def collectRows(): Seq[(String, String, Long, String, Long)] =
+    log().map(_.as[(String, String, Long, String, Long)].collect().toSeq)
+      .getOrElse(Seq.empty)
+
+  private def writeRows(rows: Seq[(String, String, Long, String, Long)]): Unit =
+    rows.toDF("moduleHash", "cursor", "blockNum", "blockId", "batchId")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  private def rewrite(keep: ((String, String, Long, String, Long)) => Boolean): Long = {
+    val rows = collectRows()
+    val kept = rows.filter(keep)
+    writeRows(kept)
+    (rows.size - kept.size).toLong
   }
 }

@@ -53,8 +53,10 @@ object Relational {
     },
 
     // ---- #13 fact⋈fact⋈dim + top-k (TPC-H Q3 shape) ----------------------
-    // customer is a dim → broadcast; orderBy().limit() plans as
-    // TakeOrderedAndProject (no global sort at scale).
+    // customer SCALES with SF (billions of rows at 100 TB) so it gets no
+    // broadcast hint — AQE + autoBroadcastJoinThreshold decide at runtime
+    // (it still broadcasts at small SF, where it fits). orderBy().limit()
+    // plans as TakeOrderedAndProject (no global sort at scale).
     "q3_join_topk" -> OpDef(
       """SELECT o_orderkey,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -73,7 +75,7 @@ object Relational {
       val ord  = tbl(s, dir, "orders").filter(col("o_orderdate") < ts19980101)
       val li   = tbl(s, dir, "lineitem").filter(col("l_shipdate") > ts19980101)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(sumDec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(col("o_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("orderdate"))
@@ -82,8 +84,10 @@ object Relational {
     },
 
     // ---- #14 5-way star join (TPC-H Q5 shape) ----------------------------
-    // region/nation/supplier/customer all broadcast; the only shuffle left
-    // is lineitem⋈orders on orderkey.
+    // region/nation are constant-size → explicit broadcast hints;
+    // customer/supplier scale with SF, so they carry NO hint — at test SF
+    // AQE still broadcasts them (under the size threshold), at 100 TB they
+    // become shuffle joins instead of a driver OOM.
     "q5_multi_join" -> OpDef(
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -102,8 +106,8 @@ object Relational {
       val ord    = tbl(s, dir, "orders")
       val li     = tbl(s, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

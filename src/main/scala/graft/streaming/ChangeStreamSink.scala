@@ -1,9 +1,13 @@
 package graft.streaming
 
-import graft.cdc.{ChangeLoader, Cursor, CursorStore}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.PlanAudit
+import graft.cdc.{BucketedSnapshot, ChangeLoader, Cursor, CursorStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
 
 /** SURVEY §2.1 #8 — the reference's sink loop (`sinker/sinker.go:96-190` +
   * `db/flush.go`) as a Structured Streaming `foreachBatch` sink.
@@ -11,59 +15,87 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Per micro-batch (the flush unit — the reference flushes every N blocks;
   * here the trigger interval plays that role):
   *
+  *   0. if the cursor store already has (moduleHash, batchId) committed,
+  *      return — a replayed batch's snapshot + cursor are already durable,
+  *      so recovery is a true no-op (never recompute, never touch a path a
+  *      concurrent plan might be reading),
   *   1. collapse the batch's changes per pk ([[ChangeLoader.collapse]] — the
   *      reference's in-batch op merge),
   *   2. read the prior snapshot, apply the collapsed ops
   *      ([[ChangeLoader.applyBatch]]), write the next snapshot version
-  *      (write-once per batchId → replays overwrite the same path:
-  *      idempotent),
+  *      (a NEW pk-bucketed table per batchId — never overwriting a version
+  *      being read),
   *   3. commit the cursor keyed by batchId ([[CursorStore.commit]] is a
   *      no-op on replay).
   *
   * Steps 2+3 give the reference's "ops + cursor in one transaction"
   * exactly-once guarantee under micro-batch replay.
+  *
+  * Scale: snapshot versions are pk-bucketed+sorted tables
+  * ([[BucketedSnapshot]]), so the apply join's snapshot side arrives
+  * pre-partitioned and ONLY the collapsed delta shuffles — per-flush network
+  * is O(batch), not O(snapshot), the lake equivalent of the reference
+  * target's ORDER BY pk MergeTree merge. (The snapshot files are still
+  * rewritten on disk each flush — bounding that needs a compacting format's
+  * merge-on-read; the shuffle, which is the cluster-wide cost, is delta-only.)
   */
 final class ChangeStreamSink(
     baseDir: String,
     moduleHash: String,
-    fieldCols: Seq[String]
+    fieldCols: Seq[String],
+    buckets: Int = 8
 ) {
 
-  private def snapDir(batchId: Long) = s"$baseDir/snapshot_v$batchId"
+  /** Snapshot versions are catalog tables (bucketing metadata lives in the
+    * catalog); the name is namespaced by (baseDir, moduleHash) so parallel
+    * sinks never collide.
+    */
+  private val tablePrefix = {
+    val h = MessageDigest.getInstance("MD5")
+      .digest(s"$baseDir:$moduleHash".getBytes(StandardCharsets.UTF_8))
+      .take(5).map("%02x".format(_)).mkString
+    s"graft_snap_$h"
+  }
+  private[graft] def snapTable(batchId: Long) = s"${tablePrefix}_v$batchId"
+
+  /** Plan audit of the last flush's apply join (spec hook: proves the
+    * snapshot side contributed no shuffle).
+    */
+  @volatile private[graft] var lastApplyAudit: Option[PlanAudit.Audit] = None
 
   /** The newest committed snapshot (resolved through the cursor store). */
   def latestSnapshot(spark: SparkSession): Option[DataFrame] = {
     val store = new CursorStore(s"$baseDir/cursor", spark)
-    store.readWithBatch(moduleHash).map { case (_, bid) =>
-      spark.read.parquet(snapDir(bid))
-    }
+    store.readWithBatch(moduleHash).map { case (_, bid) => spark.table(snapTable(bid)) }
   }
 
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (!batch.isEmpty) {
-      val t0 = System.currentTimeMillis()
-      val spark = batch.sparkSession
-      val store = new CursorStore(s"$baseDir/cursor", spark)
-      val collapsed = ChangeLoader.collapse(batch, fieldCols)
-      val prior = store.readWithBatch(moduleHash) match {
-        case Some((_, bid)) => spark.read.parquet(snapDir(bid))
-        case None =>
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            collapsed.drop("last_block", "deleted", "revived").schema)
-      }
-      val next = ChangeLoader.applyBatch(prior, collapsed, fieldCols)
-      val tFlush = System.currentTimeMillis()
-      next.write.mode(SaveMode.Overwrite).parquet(snapDir(batchId))
-      val head = batch
-        .agg(max("block"), count(lit(1)), countDistinct(col("pk"))).collect()(0)
-      val maxBlock = if (head.isNullAt(0)) -1L else head.getLong(0)
-      store.commit(Cursor(moduleHash, s"cursor:$maxBlock", maxBlock,
-        s"block:$maxBlock"), batchId)
-      new SinkStats(s"$baseDir/stats", spark).record(FlushStat(
-        moduleHash, batchId, maxBlock, head.getLong(1), head.getLong(2),
-        flushMillis = System.currentTimeMillis() - tFlush,
-        wallMillis = math.max(1, System.currentTimeMillis() - t0)))
+    val spark = batch.sparkSession
+    val store = new CursorStore(s"$baseDir/cursor", spark)
+    if (store.committed(moduleHash, batchId)) return // replay: durable already
+    if (batch.isEmpty) return
+    val t0 = System.currentTimeMillis()
+    val collapsed = ChangeLoader.collapse(batch, fieldCols)
+    val prior = store.readWithBatch(moduleHash) match {
+      case Some((_, bid)) => spark.table(snapTable(bid))
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          collapsed.drop("last_block", "deleted", "revived").schema)
     }
+    val next = ChangeLoader.applyBatch(prior, collapsed, fieldCols)
+    lastApplyAudit = Some(PlanAudit.audit(next.queryExecution.executedPlan))
+    val tFlush = System.currentTimeMillis()
+    BucketedSnapshot.write(next, snapTable(batchId), buckets)
+    val head = batch
+      .agg(max("block"), count(lit(1)), countDistinct(col("pk")), min("block")).collect()(0)
+    val maxBlock = if (head.isNullAt(0)) -1L else head.getLong(0)
+    val minBlock = if (head.isNullAt(3)) -1L else head.getLong(3)
+    store.commit(Cursor(moduleHash, s"cursor:$maxBlock", maxBlock,
+      s"block:$maxBlock"), batchId)
+    new SinkStats(s"$baseDir/stats", spark).record(FlushStat(
+      moduleHash, batchId, maxBlock, minBlock, head.getLong(1), head.getLong(2),
+      flushMillis = System.currentTimeMillis() - tFlush,
+      wallMillis = math.max(1, System.currentTimeMillis() - t0)))
   }
 
   /** Roll the sink back to an earlier committed batch (a chain-reorg /
@@ -71,16 +103,28 @@ final class ChangeStreamSink(
     * (`sinker/sinker.go:176` errors on any undo); here versioned snapshots
     * make it a cursor re-commit — the snapshot written by `toBatchId`
     * becomes current again and later versions are ignored.
+    *
+    * The re-committed cursor carries the BLOCK number the rolled-back batch
+    * originally committed (read from its cursor row), keeping blockNum-based
+    * resolution (`readWithMismatch` warn mode) truthful. `newBatchId` must
+    * exceed every committed batchId — a collision with a future Structured
+    * Streaming batch would make that batch's commit a silent no-op — so it
+    * fails fast instead.
     */
   def rollbackTo(spark: SparkSession, toBatchId: Long, newBatchId: Long): Unit = {
     val store = new CursorStore(s"$baseDir/cursor", spark)
-    val snap = spark.read.parquet(snapDir(toBatchId))
+    val rolled = store.cursorAt(moduleHash, toBatchId).getOrElse(
+      throw new IllegalArgumentException(s"no committed cursor for batch $toBatchId"))
+    val maxCommitted = store.maxBatchId(moduleHash)
+    require(newBatchId > maxCommitted,
+      s"newBatchId $newBatchId must exceed every committed batchId (max $maxCommitted); " +
+        "a collision would silently swallow a future micro-batch's commit")
     // re-commit the old snapshot under the new batch id so the cursor log
     // stays append-only and resolves (by commit order) to the rolled-back
     // state
-    snap.write.mode(SaveMode.Overwrite).parquet(snapDir(newBatchId))
-    store.commit(Cursor(moduleHash, s"cursor:rollback:$toBatchId", toBatchId,
-      s"rollback:$toBatchId"), newBatchId)
+    BucketedSnapshot.write(spark.table(snapTable(toBatchId)), snapTable(newBatchId), buckets)
+    store.commit(Cursor(moduleHash, s"cursor:rollback:${rolled.blockNum}",
+      rolled.blockNum, rolled.blockId), newBatchId)
   }
 
   /** Attach to a streaming changes frame. */

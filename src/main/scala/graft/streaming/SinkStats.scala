@@ -12,6 +12,7 @@ final case class FlushStat(
     moduleHash: String,
     batchId: Long,
     maxBlock: Long,
+    minBlock: Long,
     nOps: Long,
     nPks: Long,
     flushMillis: Long,
@@ -40,6 +41,10 @@ final class SinkStats(path: String, spark: SparkSession) {
         count(lit(1)).as("flushes"),
         avg("flushMillis").as("avg_flush_ms"),
         (sum("nOps") * 1000.0 / sum("wallMillis")).as("entries_per_sec"),
-        (max("maxBlock") * 1000.0 / sum("wallMillis")).as("blocks_per_sec"))
+        // blocks PROCESSED per second (head − start), not absolute head
+        // height — a stream resuming at chain head ~20M must not report a
+        // 20M-block flush.
+        ((max("maxBlock") - min("minBlock")) * 1000.0 / sum("wallMillis"))
+          .as("blocks_per_sec"))
   }
 }

@@ -59,17 +59,24 @@ class ChangeLoaderSpec extends SparkSpecBase {
     assert(out(30L).getAs[String]("note") == "new")
   }
 
-  test("violations: duplicate INSERT and UPDATE-after-DELETE are flagged") {
+  test("violations: duplicate INSERT, UPDATE-after-DELETE, INSERT-after-existing flagged") {
     import spark.implicits._
     val ch = Seq(
       (1L, 10L, "INSERT", Some(1.0), None: Option[Long], None: Option[String]),
       (2L, 10L, "INSERT", Some(2.0), None: Option[Long], None: Option[String]),
       (3L, 20L, "DELETE", None: Option[Double], None: Option[Long], None: Option[String]),
-      (4L, 20L, "UPDATE", Some(3.0), None: Option[Long], None: Option[String])
+      (4L, 20L, "UPDATE", Some(3.0), None: Option[Long], None: Option[String]),
+      (5L, 30L, "DELETE", None: Option[Double], None: Option[Long], None: Option[String]),
+      (6L, 30L, "INSERT", Some(4.0), None: Option[Long], None: Option[String])
     ).toDF("block", "pk", "op", "amount", "kval", "note")
     val v = ChangeLoader.violations(ch).collect()
       .map(r => (r.getLong(0), r.getString(2))).toSet
-    assert(v == Set((10L, "duplicate_insert"), (20L, "update_after_delete")))
+    // ops.go Insert errors whenever ANY op is pending for the pk: the dup
+    // INSERT at pk 10 is flagged by both rules, and the INSERT-after-DELETE
+    // "revive" at pk 30 (lenient in collapse) is surfaced here.
+    assert(v == Set(
+      (10L, "duplicate_insert"), (10L, "insert_after_existing"),
+      (20L, "update_after_delete"), (30L, "insert_after_existing")))
   }
 
   test("violations on the derived feed match the declarative dup-insert query") {

@@ -13,7 +13,11 @@ class PlanAuditSpec extends SparkSpecBase {
     PlanAudit.audit(df.queryExecution.executedPlan)
   }
 
-  test("q5 star join: all five joins broadcast, no sort-merge") {
+  // customer/supplier carry NO broadcast() hint (a forced hint would OOM at
+  // 100× scale) — at test SF they broadcast because AQE sees they fit under
+  // autoBroadcastJoinThreshold. This asserts the threshold path works, and
+  // that removing the hints did not degrade the small-SF plan.
+  test("q5 star join: all five joins broadcast at test SF without hints, no sort-merge") {
     val a = auditOf(run("q5_multi_join"))
     assert(a.broadcastJoins == 5, s"expected 5 broadcast joins, got $a")
     assert(a.sortMergeJoins == 0)

@@ -101,6 +101,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(r.getAs[Double]("entries_per_sec") > 0)
   }
 
+  test("sink flush shuffles only the delta: bucketed snapshot side never re-shuffles") {
+    val dir = Files.createTempDirectory("sink_delta").toString
+    val sink = new ChangeStreamSink(dir, "mod_delta", Seq("amount", "kval", "note"))
+    val ch = Changes(spark, sfDir)
+    val fields = Seq("amount", "kval", "note")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // broadcast must not mask the shuffle
+    try {
+      val cuts = Seq(0L, 250L, 500L, 750L, Long.MaxValue)
+      for (i <- 0 until 4) {
+        val b = ch.filter(col("block") > cuts(i) && col("block") <= cuts(i + 1))
+        sink.processBatch(b, i.toLong)
+        if (i > 0) {
+          // Audit of the sink's own apply join (snapshot = bucketed table)
+          // vs the same join against a FLAT parquet copy of that snapshot:
+          // the bucketed plan must carry strictly fewer exchanges — the
+          // missing one is the snapshot side.
+          val sinkAudit = sink.lastApplyAudit.get
+          val flatPath = s"$dir/flat_prior_$i"
+          spark.table(sink.snapTable(i - 1L)).write.parquet(flatPath)
+          val flat = ChangeLoader.applyBatch(
+            spark.read.parquet(flatPath), ChangeLoader.collapse(b, fields), fields)
+          val flatAudit = PlanAudit.audit(flat.queryExecution.executedPlan)
+          assert(sinkAudit.shuffles < flatAudit.shuffles,
+            s"batch $i: bucketed $sinkAudit vs flat $flatAudit")
+        }
+      }
+      // unchanged contents: final snapshot == one-shot collapse+apply
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ch.select(col("pk"), col("amount"), col("kval"), col("note")).schema)
+      val exp = ChangeLoader.applyBatch(empty, ChangeLoader.collapse(ch, fields), fields)
+        .collect().map(_.toSeq).toSet
+      val got = sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet
+      assert(got == exp)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("rollback restores an earlier snapshot version (reorg handling)") {
     val dir = Files.createTempDirectory("sink_rb").toString
     val sink = new ChangeStreamSink(dir, "mod_rb", Seq("amount", "kval", "note"))
@@ -109,8 +148,14 @@ class StreamingSpec extends SparkSpecBase {
     val snapAt0 = sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet
     sink.processBatch(ch.filter(col("block") > 400), 1)
     assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet != snapAt0)
+    intercept[IllegalArgumentException](
+      sink.rollbackTo(spark, toBatchId = 0, newBatchId = 1)) // collides with committed batch
     sink.rollbackTo(spark, toBatchId = 0, newBatchId = 2)
     assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet == snapAt0)
+    // the re-committed cursor carries batch 0's BLOCK number, not a batch id
+    val blk0 = ch.filter(col("block") <= 400).agg(max("block")).collect()(0).getLong(0)
+    val cur = new CursorStore(s"$dir/cursor", spark).read("mod_rb").get
+    assert(cur.blockNum == blk0, s"rollback cursor blockNum ${cur.blockNum} != $blk0")
   }
 
   test("cursor mismatch modes: ignore/warn/error") {
