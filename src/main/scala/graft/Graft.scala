@@ -1,8 +1,8 @@
 package graft
 
-import graft.cdc.{Catalog, ChangeLoader, CursorStore}
+import graft.cdc.{Catalog, ChangeLoader, CursorStore, MultiTable}
 import graft.sources.{Changes, Tables}
-import graft.streaming.ChangeStreamSink
+import graft.streaming.{ChangeStreamSink, MultiTableChangeSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The library facade — what a user of the reference sink programs against
@@ -39,6 +39,17 @@ final class Graft(val spark: SparkSession, val dir: String) {
 
   def streamSink(baseDir: String, moduleHash: String, fields: Seq[String]): ChangeStreamSink =
     new ChangeStreamSink(baseDir, moduleHash, fields)
+
+  /** The wire-shaped multi-table feed + the reference's full dispatch loop. */
+  def multiTableChanges(): DataFrame = Changes.multiTable(spark, dir)
+
+  def collapseAll(wire: DataFrame,
+      schemas: Map[String, org.apache.spark.sql.types.StructType]): Map[String, DataFrame] =
+    MultiTable.collapseAll(wire, schemas)
+
+  def multiTableSink(baseDir: String, moduleHash: String,
+      schemas: Map[String, org.apache.spark.sql.types.StructType]): MultiTableChangeSink =
+    new MultiTableChangeSink(baseDir, moduleHash, schemas)
 
   // ---- query bank -------------------------------------------------------
   /** Run any SURVEY §2 operator by key (see `SparkEntry.queries`). */

@@ -62,6 +62,22 @@ final class CursorStore(path: String, spark: SparkSession) {
         .map { case (m, c, b, id, bid) => (Cursor(m, c, b, id), bid) }
     }
 
+  /** Newest cursor committed STRICTLY BEFORE `batchId`. The crash-replay-
+    * safe prior resolution for a multi-step flush: a replayed batch whose
+    * per-table commits partially landed must base itself on the PREVIOUS
+    * batch's state, never on its own half-written one.
+    */
+  def readBatchBefore(moduleHash: String, batchId: Long): Option[(Cursor, Long)] =
+    log().flatMap { df =>
+      df.filter(col("moduleHash") === moduleHash && col("batchId") < batchId)
+        .orderBy(col("batchId").desc, col("blockNum").desc)
+        .limit(1)
+        .as[(String, String, Long, String, Long)]
+        .collect()
+        .headOption
+        .map { case (m, c, b, id, bid) => (Cursor(m, c, b, id), bid) }
+    }
+
   /** The cursor row a specific micro-batch committed (rollback resolution). */
   def cursorAt(moduleHash: String, batchId: Long): Option[Cursor] =
     log().flatMap { df =>

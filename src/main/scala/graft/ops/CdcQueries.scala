@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{GraftSession, OpDef}
-import graft.cdc.TypeNormalizer
+import graft.cdc.{MultiTable, TypeNormalizer}
 import graft.sources.Changes
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -181,6 +181,59 @@ object CdcQueries {
           "yyyy-MM-dd HH:mm:ss").as("ts_norm"),
         TypeNormalizer.normalize(col("flag_s"), BooleanType).as("flag"))
         .orderBy("event_id")
+    },
+
+    // ---- #48 multi-table change routing (sinker.go:136-174, db/ops.go) ---
+    // The reference's actual loop: ONE wire batch carries changes for MANY
+    // tables (different pks, different schemas, fields as string maps);
+    // each table collapses and applies independently. Here: the two-table
+    // wire feed → route → per-table collapse → apply to empty snapshots →
+    // union of final states. `accounts` has numeric-string pks + a sparse
+    // `note` field (per-FIELD merge) + DELETEs; `categories` has STRING pks
+    // and only UPDATEs.
+    "cdc_multi_table" -> OpDef(
+      """WITH mt AS (
+        |  SELECT event_id AS block, 'accounts' AS tbl, CAST(user_id AS VARCHAR) AS pk,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE'
+        |         WHEN event_type = 'signup' THEN 'INSERT' ELSE 'UPDATE' END AS op,
+        |    CAST(value AS VARCHAR) AS amount,
+        |    CASE WHEN event_type <> 'view' THEN event_type END AS note
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'categories', event_type, 'UPDATE',
+        |    CAST(value AS VARCHAR), CAST(user_id AS VARCHAR)
+        |  FROM events),
+        |lastdel AS (
+        |  SELECT tbl, pk, MAX(CASE WHEN op = 'DELETE' THEN block END) AS del_block
+        |  FROM mt GROUP BY tbl, pk),
+        |alive AS (
+        |  SELECT mt.* FROM mt JOIN lastdel USING (tbl, pk)
+        |  WHERE op <> 'DELETE' AND (del_block IS NULL OR block > del_block)),
+        |merged AS (
+        |  SELECT tbl, pk,
+        |    last_value(amount IGNORE NULLS) OVER w AS amount,
+        |    last_value(note IGNORE NULLS) OVER w AS note,
+        |    row_number() OVER (PARTITION BY tbl, pk ORDER BY block DESC) AS rn
+        |  FROM alive
+        |  WINDOW w AS (PARTITION BY tbl, pk ORDER BY block
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT tbl, pk, CAST(amount AS DOUBLE) AS amount, note
+        |FROM merged WHERE rn = 1
+        |ORDER BY tbl, pk""".stripMargin
+    ) { (s, dir) =>
+      GraftSession.tune(s)
+      val schemas = Changes.multiTableSchemas
+      val collapsed = MultiTable.collapseAll(Changes.multiTable(s, dir), schemas)
+      val empty = schemas.map { case (t, sch) =>
+        t -> s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(StructField("pk", StringType) +: sch.fields))
+      }
+      MultiTable.applyAll(empty, collapsed, schemas).toSeq.sortBy(_._1)
+        .map { case (t, df) =>
+          df.select(lit(t).as("tbl"), col("pk"), col("amount"), col("note"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("tbl", "pk")
     }
   )
 }

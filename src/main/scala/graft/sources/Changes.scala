@@ -35,6 +35,52 @@ object Changes {
     )
   }
 
+  /** Deterministic MULTI-table wire feed (the reference's actual input
+    * shape — `DatabaseChanges` carries changes for many tables per block):
+    *
+    *   - table `accounts`  (pk = user_id): op per the single-table rule;
+    *     field `amount` in every change, `note` only when the event is not
+    *     a view (exercises per-FIELD merge — `ops.go mergeData` skips
+    *     absent fields).
+    *   - table `categories` (pk = event_type — a STRING pk): always UPDATE;
+    *     `amount` = value, `note` = the acting user id.
+    *
+    * Fields ride as MAP<STRING,STRING> with absent keys = "not in change",
+    * exactly the flattened protobuf TableChange.
+    */
+  def multiTable(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val amountS = col("value").cast(StringType)
+    val accounts = ev.select(
+      col("event_id").as("block"),
+      lit("accounts").as("table"),
+      col("user_id").cast(StringType).as("pk"),
+      when(col("event_type") === "error", "DELETE")
+        .when(col("event_type") === "signup", "INSERT")
+        .otherwise("UPDATE").as("op"),
+      when(col("event_type") =!= "view",
+        map(lit("amount"), amountS, lit("note"), col("event_type")))
+        .otherwise(map(lit("amount"), amountS)).as("fields"))
+    val categories = ev.select(
+      col("event_id").as("block"),
+      lit("categories").as("table"),
+      col("event_type").as("pk"),
+      lit("UPDATE").as("op"),
+      map(lit("amount"), amountS,
+        lit("note"), col("user_id").cast(StringType)).as("fields"))
+    accounts.unionByName(categories)
+  }
+
+  /** The per-table field schemas of the [[multiTable]] feed (what the sink's
+    * catalog would introspect from the target tables).
+    */
+  val multiTableSchemas: Map[String, StructType] = Map(
+    "accounts" -> StructType(Seq(
+      StructField("amount", DoubleType), StructField("note", StringType))),
+    "categories" -> StructType(Seq(
+      StructField("amount", DoubleType), StructField("note", StringType)))
+  )
+
   /** The same derivation as a DuckDB CTE body (prepend `WITH ch AS (...)`). */
   val changesSql: String =
     """SELECT event_id AS block, user_id AS pk,
