@@ -73,6 +73,42 @@ object ChangeLoader {
   private def outCols(fieldCols: Seq[String]): Seq[Column] =
     Seq(col("pk"), col("last_block"), col("deleted"), col("revived")) ++ fieldCols.map(col)
 
+  /** [[collapse]] plus the reference's pending-op TYPE per pk
+    * (`db/operations.go Operation`): what statement the flush executes.
+    *
+    *   - `DELETE`  — final state is a delete,
+    *   - `INSERT`  — the pk's first surviving op is an INSERT (later UPDATEs
+    *     merged into it — `ops.go:60-75` update-into-pending-insert),
+    *   - `UPDATE`  — updates with no in-batch insert,
+    *   - `REPLACE` — deleted then re-inserted within the batch (the lenient
+    *     revive; executes as DELETE + INSERT).
+    */
+  def pendingOps(changes: DataFrame, fieldCols: Seq[String]): DataFrame = {
+    val seqKey =
+      if (changes.columns.contains("ordinal")) struct(col("block"), col("ordinal"))
+      else struct(col("block"))
+    val seqAsc: Seq[Column] =
+      if (changes.columns.contains("ordinal")) Seq(col("block"), col("ordinal"))
+      else Seq(col("block"))
+    val byBlock = Window.partitionBy("pk").orderBy(seqAsc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val firstAlive = changes
+      .withColumn("_del_key", max(when(col("op") === Op.Delete, seqKey)).over(byBlock))
+      .filter(col("op") =!= Op.Delete &&
+        (col("_del_key").isNull || seqKey > col("_del_key")))
+      .withColumn("_rn", row_number().over(Window.partitionBy("pk").orderBy(seqAsc: _*)))
+      .filter(col("_rn") === 1)
+      .select(col("pk"), col("op").as("_first_op"))
+    collapse(changes, fieldCols)
+      .join(firstAlive, Seq("pk"), "left")
+      .withColumn("sql_op",
+        when(col("deleted"), Op.Delete)
+          .when(col("revived"), "REPLACE")
+          .when(col("_first_op") === Op.Insert, Op.Insert)
+          .otherwise(Op.Update))
+      .drop("_first_op")
+  }
+
   /** Flag reference-loader rule violations in a batch instead of aborting
     * (`ops.go:29` duplicate INSERT, `ops.go:37-41` UPDATE after DELETE at
     * the same pk with no INSERT between).

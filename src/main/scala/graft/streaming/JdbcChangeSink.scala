@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.cdc.{ChangeLoader, Cursor, JdbcFlush}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming → external JDBC database, one transaction per
+  * micro-batch — the reference's actual sink wiring
+  * (`sinker/sinker.go` loop + `db/flush.go` transactional flush), with the
+  * micro-batch as the flush interval.
+  *
+  * Per batch: collapse to pending ops ([[ChangeLoader.pendingOps]] — the
+  * delta, never the snapshot), generate dialect statements, execute them
+  * plus the cursor advance in ONE JDBC transaction ([[JdbcFlush.flush]]).
+  * Replays are detected inside the transaction (stored batch_id) and
+  * skipped: exactly-once into the target database.
+  */
+final class JdbcChangeSink(
+    url: String,
+    table: String,
+    pkCol: String,
+    moduleHash: String,
+    fieldCols: Seq[String]
+) {
+
+  def processBatch(batch: DataFrame, batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
+    val rows = JdbcFlush.collectPending(
+      ChangeLoader.pendingOps(batch, fieldCols), fieldCols)
+    val mx = batch.agg(max("block")).collect()(0).getLong(0)
+    val conn = JdbcFlush.connect(url)
+    try JdbcFlush.flush(conn, table, pkCol, rows,
+      Cursor(moduleHash, s"cursor:$mx", mx, s"block:$mx"), batchId)
+    finally conn.close()
+  }
+
+  def start(changes: DataFrame, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch((b: DataFrame, id: Long) => { processBatch(b, id); () })
+      .start()
+}
