@@ -30,16 +30,26 @@ object Bench {
         System.err.println(s"warmup failed for $n: ${e.getClass.getSimpleName}") }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
+    // optional comma-separated query filter for focused runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // optional N repeats per query (warm, single-JVM timing); the MINIMUM
+    // wall time is reported — the least-noise estimator for a fixed plan
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // ops may persist intermediates; don't let cache accumulate across queries
+        spark.catalog.clearCache()
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // ops may persist intermediates; don't let cache accumulate across queries
-      spark.catalog.clearCache()
-      name -> dt
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

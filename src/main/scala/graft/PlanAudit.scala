@@ -44,7 +44,15 @@ object PlanAudit {
       scansWithPushdown = scans.count(pushed),
       fallbackExprs = nodes
         .flatMap(_.expressions)
-        .flatMap(_.collect { case e: CodegenFallback => e.prettyName })
+        .flatMap(_.collect {
+          // Imperative AGGREGATES (TypedImperativeAggregate) carry the
+          // CodegenFallback marker but never run through interpreted
+          // per-row eval — the aggregate exec calls update() directly on a
+          // typed buffer. Only non-aggregate fallbacks poison a hot path.
+          case e: CodegenFallback
+              if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                .aggregate.ImperativeAggregate] => e.prettyName
+        })
         .distinct
     )
   }

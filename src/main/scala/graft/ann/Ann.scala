@@ -192,16 +192,21 @@ object Ann extends Serializable {
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
 
+    // Exact re-rank through the native codegen'd cosine_sim expression: the
+    // candidate rows broadcast-join the (tiny) probe VECTORS, so scoring
+    // stays inside whole-stage codegen — no typed ser/de, no per-row probe
+    // scan.
+    graft.functions.GraftFunctions.register(s)
+    val probeVecs = probeArr.toSeq.map { case (pid, pv) => (pid, pv.toSeq) }
+      .toDF("probe_id", "probe_emb")
     val scored = cand
       .join(embDs(s, dir).toDF("vec_id", "embedding", "label"), "vec_id")
-      .as[(Long, Long, Seq[Float], Int)]
-      .map { case (vecId, probeId, emb, _) =>
-        val pv = probeArr.find(_._1 == probeId).get._2
-        Scored(probeId, vecId, cosine(pv, emb))
-      }
+      .join(broadcast(probeVecs), "probe_id")
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        call_function("cosine_sim", col("embedding"), col("probe_emb")).as("cos"))
 
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.toDF()
+    scored
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rn"), round(col("cos"), 4).as("cosine"))

@@ -20,7 +20,10 @@ object GraftFunctions {
     "simhash64" -> { args => SimHash64(args(0)) },
     "md5_chain" -> { args => Md5Chain(args(0)) },
     "bpe_cost" -> { args => BpeCost(args(0)) },
-    "count_in" -> { args => CountIn(args(0), args(1)) }
+    "count_in" -> { args => CountIn(args(0), args(1)) },
+    // one-pass 16-permutation MinHash signature (aggregate)
+    "minhash16" -> { args =>
+      MinHashAgg(args(0), MinHashAgg.defaultA, MinHashAgg.defaultB, MinHashAgg.Prime) }
   )
 
   def register(spark: SparkSession): Unit = {

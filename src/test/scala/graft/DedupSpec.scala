@@ -1,6 +1,26 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 class DedupSpec extends SparkSpecBase {
+
+  test("simhash multi-band pairs have recall 1.0 at radius 2 (pigeonhole)") {
+    // exact all-pairs hamming over the collected signatures (small N)
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        call_function("simhash64", array_distinct(split(col("text"), " "))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exact = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 2
+    } yield (a, b)).toSet
+    val banded = graft.dedup.Dedup.simhashPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact,
+      s"missed ${(exact -- banded).size}, extra ${(banded -- exact).size}")
+    assert(exact.nonEmpty, "fixture must contain radius-2 pairs")
+  }
 
   test("exact dedup emits only non-keeper ids, keeper < dup") {
     val rows = run("dedup_exact").collect()
