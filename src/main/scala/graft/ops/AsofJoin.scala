@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * ordered by (time, tag) — ONE shuffle on the partition keys, no join, no
   * row blowup, linear at any scale. Ties: right rows at the same instant
   * order before left rows iff `strict` is false (≤ semantics) and after iff
-  * true (< semantics).
+  * true (< semantics). Among MULTIPLE right rows sharing identical
+  * (keys, time), the greatest payload struct wins — an explicit ordering on
+  * the payload makes the result deterministic across runs (a bare
+  * (time, tag) sort would leave the winner to partition luck).
   */
 object AsofJoin {
 
@@ -47,7 +50,11 @@ object AsofJoin {
     val rUnion = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }.select(leftCols.map(col): _*)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_tag"))
+    // `_payload` as the final sort key = deterministic winner among right
+    // rows tied on (keys, time); left rows carry a null payload and are
+    // already separated by `_tag`.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_tag"), col("_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(rUnion)
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))

@@ -39,11 +39,37 @@ import java.security.MessageDigest
   * rewritten on disk each flush — bounding that needs a compacting format's
   * merge-on-read; the shuffle, which is the cluster-wide cost, is delta-only.)
   */
+/** The reference's flush cadence (`sinker/sinker.go:20-21,180-194`):
+  * historical blocks flush every `HISTORICAL_BLOCK_FLUSH_EACH` (1000),
+  * blocks at the live edge (≥ `headBlock`) flush EVERY block, and a
+  * positive `flushInterval` overrides the historical modulo.
+  */
+final case class FlushPolicy(
+    flushInterval: Long = 0L,
+    headBlock: Long = Long.MaxValue
+) {
+  def modulo: Long =
+    if (flushInterval > 0) flushInterval else FlushPolicy.HistoricalEach
+
+  /** The flush unit a block belongs to. Historical units (block ÷ modulo)
+    * are always numerically below live units (the block number itself, one
+    * unit per block), so ascending unit order is ascending block order.
+    */
+  def unitOf(block: Long): Long =
+    if (block >= headBlock) block else block / modulo
+}
+
+object FlushPolicy {
+  val HistoricalEach = 1000L
+  val LiveEach = 1L
+}
+
 final class ChangeStreamSink(
     baseDir: String,
     moduleHash: String,
     fieldCols: Seq[String],
-    buckets: Int = 8
+    buckets: Int = 8,
+    policy: Option[FlushPolicy] = None
 ) {
 
   /** Snapshot versions are catalog tables (bucketing metadata lives in the
@@ -69,15 +95,43 @@ final class ChangeStreamSink(
     store.readWithBatch(moduleHash).map { case (_, bid) => spark.table(snapTable(bid)) }
   }
 
-  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+  /** Max flush units per micro-batch when a [[FlushPolicy]] is set (the
+    * synthetic version-id stride).
+    */
+  private val UnitStride = 4096L
+
+  def processBatch(batch: DataFrame, batchId: Long): Unit = policy match {
+    case None => flushOne(batch, batchId)
+    case Some(p) =>
+      // The reference flushes whenever blockNum % modulo == 0
+      // (`sinker.go:119`); the lake equivalent partitions the micro-batch
+      // into contiguous block ranges (one per flush unit) and runs one
+      // versioned flush per unit, in block order. Unit ids are data-derived
+      // (deterministic), so a replayed micro-batch regenerates the same
+      // sub-flushes and each one's committed-check skips what already
+      // landed — mid-batch crash recovery resumes at the exact unit.
+      val units = batch.select(col("block")).distinct()
+        .collect().map(r => p.unitOf(r.getLong(0))).distinct.sorted
+      require(units.length <= UnitStride,
+        s"micro-batch spans ${units.length} flush units (> $UnitStride); " +
+          "raise the trigger rate or the flush interval")
+      units.zipWithIndex.foreach { case (u, idx) =>
+        val sub = batch.filter(
+          when(col("block") >= p.headBlock, col("block"))
+            .otherwise(expr(s"block div ${p.modulo}")) === u)
+        flushOne(sub, batchId * UnitStride + idx)
+      }
+  }
+
+  private def flushOne(batch: DataFrame, bid: Long): Unit = {
     val spark = batch.sparkSession
     val store = new CursorStore(s"$baseDir/cursor", spark)
-    if (store.committed(moduleHash, batchId)) return // replay: durable already
+    if (store.committed(moduleHash, bid)) return // replay: durable already
     if (batch.isEmpty) return
     val t0 = System.currentTimeMillis()
     val collapsed = ChangeLoader.collapse(batch, fieldCols)
     val prior = store.readWithBatch(moduleHash) match {
-      case Some((_, bid)) => spark.table(snapTable(bid))
+      case Some((_, b)) => spark.table(snapTable(b))
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           collapsed.drop("last_block", "deleted", "revived").schema)
@@ -85,15 +139,15 @@ final class ChangeStreamSink(
     val next = ChangeLoader.applyBatch(prior, collapsed, fieldCols)
     lastApplyAudit = Some(PlanAudit.audit(next.queryExecution.executedPlan))
     val tFlush = System.currentTimeMillis()
-    BucketedSnapshot.write(next, snapTable(batchId), buckets)
+    BucketedSnapshot.write(next, snapTable(bid), buckets)
     val head = batch
       .agg(max("block"), count(lit(1)), countDistinct(col("pk")), min("block")).collect()(0)
     val maxBlock = if (head.isNullAt(0)) -1L else head.getLong(0)
     val minBlock = if (head.isNullAt(3)) -1L else head.getLong(3)
     store.commit(Cursor(moduleHash, s"cursor:$maxBlock", maxBlock,
-      s"block:$maxBlock"), batchId)
+      s"block:$maxBlock"), bid)
     new SinkStats(s"$baseDir/stats", spark).record(FlushStat(
-      moduleHash, batchId, maxBlock, minBlock, head.getLong(1), head.getLong(2),
+      moduleHash, bid, maxBlock, minBlock, head.getLong(1), head.getLong(2),
       flushMillis = System.currentTimeMillis() - tFlush,
       wallMillis = math.max(1, System.currentTimeMillis() - t0)))
   }

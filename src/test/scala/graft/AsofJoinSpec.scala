@@ -47,6 +47,19 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(runWith(true) == Seq(None, Some("at150")))
   }
 
+  test("tied (key, time) right rows resolve deterministically to the greatest payload") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    def runWith(rightRows: Seq[(Long, Long, String)], parts: Int) =
+      AsofJoin.join(left, rightRows.toDF("k", "t2", "v").repartition(parts),
+        Seq("k"), col("t"), col("t2"), Seq("v"))
+        .select("asof_v").collect().map(_.getString(0)).toSeq
+    val ties = Seq((1L, 50L, "a"), (1L, 50L, "z"), (1L, 50L, "m"))
+    // same winner under any input order or partitioning
+    for (rows <- Seq(ties, ties.reverse); parts <- Seq(1, 7))
+      assert(runWith(rows, parts) == Seq("z"))
+  }
+
   test("asof plan is single-shuffle (no join nodes)") {
     val events = graft.sources.Tables(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))

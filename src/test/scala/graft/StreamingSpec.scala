@@ -2,7 +2,7 @@ package graft
 
 import graft.cdc.{ChangeLoader, CursorStore}
 import graft.sources.Changes
-import graft.streaming.{ChangeRow, ChangeStreamSink, StatefulMerge, StreamOps}
+import graft.streaming.{ChangeRow, ChangeStreamSink, FlushPolicy, StatefulMerge, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -156,6 +156,37 @@ class StreamingSpec extends SparkSpecBase {
     val blk0 = ch.filter(col("block") <= 400).agg(max("block")).collect()(0).getLong(0)
     val cur = new CursorStore(s"$dir/cursor", spark).read("mod_rb").get
     assert(cur.blockNum == blk0, s"rollback cursor blockNum ${cur.blockNum} != $blk0")
+  }
+
+  test("flush cadence: historical modulo batches, per-block at the live edge") {
+    val dir = Files.createTempDirectory("sink_cadence").toString
+    val fields = Seq("amount", "kval", "note")
+    // head at block 951: blocks 1..950 are historical (flush every 200),
+    // 951..1000 live (flush each block) — sinker.go:180-194 semantics
+    val sink = new ChangeStreamSink(dir, "mod_c", fields,
+      policy = Some(FlushPolicy(flushInterval = 200, headBlock = 951)))
+    val ch = Changes(spark, sfDir).filter(col("block") <= 1000)
+    sink.processBatch(ch, 0)
+    val stats = new graft.streaming.SinkStats(s"$dir/stats", spark).log().get
+      .orderBy("batchId").collect()
+    val nLiveBlocks = ch.filter(col("block") >= 951)
+      .select("block").distinct().count()
+    // historical units: ceil-ish buckets 0..4 (blocks 1..950, div 200)
+    val histUnits = ch.filter(col("block") < 951)
+      .selectExpr("block div 200 as u").distinct().count()
+    assert(stats.length == histUnits + nLiveBlocks,
+      s"${stats.length} flushes != $histUnits historical + $nLiveBlocks live")
+    // every live flush carries exactly one block; cursor ends at the head
+    val live = stats.filter(_.getAs[Long]("maxBlock") >= 951)
+    assert(live.forall(r => r.getAs[Long]("maxBlock") == r.getAs[Long]("minBlock")))
+    val cur = new CursorStore(s"$dir/cursor", spark).read("mod_c").get
+    assert(cur.blockNum == ch.agg(max("block")).collect()(0).getLong(0))
+    // final snapshot identical to a single-flush sink over the same feed
+    val exp = ChangeLoader.applyBatch(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ch.select(col("pk"), col("amount"), col("kval"), col("note")).schema),
+      ChangeLoader.collapse(ch, fields), fields).collect().map(_.toSeq).toSet
+    assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet == exp)
   }
 
   test("cursor mismatch modes: ignore/warn/error") {
