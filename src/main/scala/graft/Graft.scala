@@ -61,11 +61,20 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def annBruteForce(): DataFrame = run("ann_bruteforce")
   def annLsh(k: Int = ann.Ann.K): DataFrame = ann.Ann.lshTopK(spark, dir, k)
 
-  // ---- as-of join (single-shuffle union+window operator) -----------------
+  // ---- as-of join --------------------------------------------------------
+  /** Union+window composition — no session extensions needed. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: org.apache.spark.sql.Column, rightTime: org.apache.spark.sql.Column,
       rightPayload: Seq[String], strict: Boolean = false): DataFrame =
     ops.AsofJoin.join(left, right, keys, leftTime, rightTime, rightPayload, strict)
+
+  /** The custom Catalyst operator (logical node → strategy → merge exec):
+    * SMJ-style distribution, O(1) look-behind state per partition.
+    */
+  def asofJoinOperator(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: org.apache.spark.sql.Column, rightTime: org.apache.spark.sql.Column,
+      rightPayload: Seq[String], strict: Boolean = false): DataFrame =
+    plans.AsofJoinPlan.asof(left, right, keys, leftTime, rightTime, rightPayload, strict)
 }
 
 object Graft {

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.AsofJoin
+import graft.plans.{AsofJoinExec, AsofJoinPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom Catalyst ASOF JOIN (logical node → strategy → merge exec)
+  * must agree exactly with the union+window composition on every input,
+  * and its physical plan must be the operator itself (no join nodes).
+  */
+class AsofJoinPlanSpec extends SparkSpecBase {
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+    case q: QueryStageExec        => q +: collectNodes(q.plan)
+    case other => other +: other.children.flatMap(collectNodes)
+  }
+
+  test("custom operator matches the union+window composition on real data") {
+    val events = graft.sources.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").desc)
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("asof_o_orderkey"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    for (strict <- Seq(false, true)) {
+      val viaWindow = asMap(AsofJoin.join(events, orders, Seq("user_id"),
+        col("ts"), col("o_orderdate"), Seq("o_orderkey"), strict = strict))
+      val viaOperator = asMap(AsofJoinPlan.asof(events, orders, Seq("user_id"),
+        col("ts"), col("o_orderdate"), Seq("o_orderkey"), strict = strict))
+      assert(viaOperator.size == viaWindow.size)
+      val diffs = viaOperator.collect {
+        case (k, v) if viaWindow(k) != v => (k, v, viaWindow(k))
+      }
+      assert(diffs.isEmpty, s"strict=$strict first diffs: ${diffs.take(3)}")
+    }
+  }
+
+  test("ties on (key, time) pick the greatest payload, deterministically") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val ties = Seq((1L, 50L, "a"), (1L, 50L, "z"), (1L, 50L, "m"))
+    for (rows <- Seq(ties, ties.reverse); parts <- Seq(1, 7)) {
+      val out = AsofJoinPlan.asof(left, rows.toDF("k", "t2", "v").repartition(parts),
+        Seq("k"), col("t"), col("t2"), Seq("v"))
+        .select("asof_v").collect().map(_.getString(0)).toSeq
+      assert(out == Seq("z"))
+    }
+  }
+
+  test("left rows with no admissible right row get null payload") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 50L, "late")).toDF("k", "t2", "v") // after left's time
+    val out = AsofJoinPlan.asof(left, right, Seq("k"), col("t"), col("t2"), Seq("v"))
+      .orderBy("k").select("asof_v").collect().map(r => Option(r.getString(0))).toSeq
+    assert(out == Seq(None, None))
+  }
+
+  test("physical plan is the merge operator: no join nodes, SMJ-style exchanges") {
+    val events = graft.sources.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    val df = AsofJoinPlan.asof(events, orders, Seq("user_id"),
+      col("ts"), col("o_orderdate"), Seq("o_orderkey"))
+    df.count()
+    val nodes = collectNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[AsofJoinExec]), "AsofJoinExec missing")
+    val audit = PlanAudit.audit(df.queryExecution.executedPlan)
+    assert(audit.broadcastJoins == 0 && audit.sortMergeJoins == 0, s"$audit")
+    assert(audit.shuffles == 2, s"one exchange per side expected: $audit")
+  }
+}
