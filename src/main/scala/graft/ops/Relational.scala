@@ -457,6 +457,82 @@ object Relational {
           count(lit(1)).as("n_users"),
           count(col("first_signup")).as("n_signup"),
           count(when(col("last_purchase") > col("first_signup"), 1)).as("n_converted"))
+    },
+
+    // ---- #53 cohort retention (ClickHouse retention surface) --------------
+    // Cohort day = the user's first signup day; activity at day offsets
+    // 0..7 counted per cohort. The events⋈cohort join keys on user_id —
+    // the SAME key the cohort aggregation just shuffled on, so Catalyst
+    // reuses the exchange (co-partitioned); only the final (cohort, offset)
+    // agg adds a shuffle, whose cardinality is days×8.
+    "retention" -> OpDef(
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    CAST(MIN(CASE WHEN event_type = 'signup' THEN ts END) AS DATE) AS d0
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT e.user_id, c.d0, date_diff('day', c.d0, CAST(e.ts AS DATE)) AS off
+        |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE c.d0 IS NOT NULL)
+        |SELECT d0 AS cohort_day, off AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_active
+        |FROM act WHERE off BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val ev = tbl(s, dir, "events")
+      val cohort = ev.groupBy("user_id")
+        .agg(to_date(min(when(col("event_type") === "signup", col("ts")))).as("d0"))
+        .filter(col("d0").isNotNull)
+      ev.select(col("user_id"), to_date(col("ts")).as("d"))
+        .join(cohort, "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("d0")).cast(LongType))
+        .filter(col("day_offset").between(0, 7))
+        .groupBy(col("d0").as("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // ---- #54 ordered sequence match (ClickHouse sequenceMatch surface) ----
+    // signup → later click → later purchase, per user, via THREE stacked
+    // running-min windows over ONE shuffle on user_id (same partitioning
+    // and ordering ⇒ a single WindowExec pass; no self-joins, no state
+    // blowup). Strict time order; (ts, event_id) breaks ties identically
+    // in both engines.
+    "seq_match" -> OpDef(
+      """WITH w1 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER w AS t_signup
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w2 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+        |      OVER w AS t_click
+        |  FROM w1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND ts > t_click
+        |             THEN 1 ELSE 0 END) AS hit
+        |  FROM w2 GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users, CAST(SUM(hit) AS BIGINT) AS n_matched
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .withColumn("t_signup",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_signup"),
+            col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("ts") > col("t_click"), 1)
+          .otherwise(0)).as("hit"))
+        .agg(count(lit(1)).as("n_users"), sum("hit").cast(LongType).as("n_matched"))
     }
   )
 }

@@ -31,6 +31,24 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(viaApi == viaQuery)
   }
 
+  test("retention offsets bounded; day-0 cohort includes every signup user") {
+    val rows = run("retention").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => (0L to 7L).contains(r.getLong(1))))
+    // every cohort day has a day-0 row (the signup itself is activity)
+    val days = rows.map(_.getDate(0)).distinct
+    val day0 = rows.filter(_.getLong(1) == 0L).map(_.getDate(0)).distinct
+    assert(days.toSet == day0.toSet)
+  }
+
+  test("seq_match is at most the 2-step funnel conversion count") {
+    val seq = run("seq_match").collect()(0)
+    val fun = run("funnel").collect()(0)
+    assert(seq.getLong(0) == fun.getLong(0)) // same user universe
+    // signup→click→purchase matches ⊆ signup→purchase matches
+    assert(seq.getLong(1) <= fun.getLong(2))
+  }
+
   test("facade registers native functions on construction") {
     assert(!g.spark.sql("SELECT cosine_sim(array(1.0F), array(1.0F)) c").isEmpty)
   }
