@@ -161,8 +161,14 @@ object Ann extends Serializable {
     * vectors → (t, bucket) sign-bit keys (narrow map, L rows per vector);
     * probe buckets are broadcast; bucket-join → candidate ids → exact cosine
     * → top-k. The full N×P score matrix is never materialized.
+    *
+    * `multiprobe` ≥ 1 additionally queries every bucket within that many
+    * sign-bit flips of the probe's own bucket — the classic multiprobe LSH
+    * recall lift, paid ONLY on the (tiny, broadcast) probe side: the corpus
+    * still emits L rows per vector, and the candidate set grows by the
+    * extra buckets actually probed, not by corpus work.
     */
-  def lshTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+  def lshTopK(s: SparkSession, dir: String, k: Int = K, multiprobe: Int = 1): DataFrame = {
     import s.implicits._
     val probeArr = probes(s, dir)
     val planes = hyperplanes
@@ -183,8 +189,17 @@ object Ann extends Serializable {
     val vecBuckets = embDs(s, dir)
       .flatMap(e => bucketsOf(e.embedding).map { case (t, b) => Bucket(e.vec_id, t, b) })
       .toDF("vec_id", "t", "bucket")
+    // probe-side bucket expansion: the exact bucket plus all buckets within
+    // `multiprobe` bit flips (4 extra per table at multiprobe=1)
+    def expand(b: Long, flips: Int): Seq[Long] =
+      if (flips <= 0) Seq(b)
+      else Seq(b) ++ (0 until Bits).flatMap(h => expand(b ^ (1L << h), flips - 1))
     val probeBuckets = probeArr.toSeq
-      .flatMap { case (pid, pv) => bucketsOf(pv.toSeq).map { case (t, b) => (pid, t, b) } }
+      .flatMap { case (pid, pv) =>
+        bucketsOf(pv.toSeq).flatMap { case (t, b) =>
+          expand(b, multiprobe).distinct.map(v => (pid, t, v))
+        }
+      }
       .toDF("probe_id", "t", "bucket")
 
     val cand = vecBuckets

@@ -20,13 +20,19 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
-  test("lsh recall@5 vs bruteforce is at least 0.5") {
+  test("lsh recall@5: multiprobe ≥ 0.8 and strictly lifts single-probe ≥ 0.5") {
     def pairs(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(bf)
-    val approx = pairs(Ann.lshTopK(spark, sfDir).collect())
-    val recall = approx.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall")
+    def recallAt(multiprobe: Int) = {
+      val approx = pairs(Ann.lshTopK(spark, sfDir, multiprobe = multiprobe).collect())
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val single = recallAt(0)
+    val multi = recallAt(1)
+    assert(single >= 0.5, s"single-probe recall $single")
+    assert(multi >= 0.8, s"multiprobe recall $multi")
+    assert(multi >= single, s"multiprobe $multi must not lose to single $single")
   }
 
   test("deterministic hyperplanes are reproducible and bounded") {
