@@ -45,6 +45,39 @@ class MultiTableSpec extends SparkSpecBase {
     assert(got == exp)
   }
 
+  test("multi-table sink end-to-end on a real stream") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("mt_e2e").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // wire rows as a typed stream: (block, table, pk, op, fields)
+    val rows = Changes.multiTable(spark, sfDir).filter(col("block") <= 500)
+      .as[(Long, String, String, String, Map[String, String])].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, String, String, Map[String, String])]
+    val (h1, h2) = rows.sortBy(_._1).splitAt(rows.size / 2)
+    val sink = new MultiTableChangeSink(dir, "mod_mt_e2e", schemas)
+    val q = sink.start(
+      in.toDF().toDF("block", "table", "pk", "op", "fields"),
+      s"$dir/ckpt", org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    in.addData(h1); in.addData(h2)
+    q.awaitTermination(120000)
+    val snaps = sink.latestSnapshots(spark)
+    assert(snaps.keySet == Set("accounts", "categories"))
+    assert(snaps.values.forall(_.count() > 0))
+    // categories' final state must match a one-shot collapse of the same cut
+    val gotCat = snaps("categories").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    val expCat = {
+      val wire = Changes.multiTable(spark, sfDir).filter(col("block") <= 500)
+      val collapsed = graft.cdc.MultiTable.collapseAll(wire, schemas)("categories")
+      collapsed.filter(!col("deleted"))
+        .select("pk", "amount", "note").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    }
+    assert(gotCat == expCat)
+  }
+
   test("partial flush is invisible until the module cursor lands; replay heals it") {
     val dir = Files.createTempDirectory("mt_crash").toString
     val sink = new MultiTableChangeSink(dir, "mod_crash", schemas)
