@@ -97,6 +97,13 @@ final class CursorStore(path: String, spark: SparkSession) {
       !df.filter(col("moduleHash") === moduleHash && col("batchId") === batchId).isEmpty
     }
 
+  /** Every batchId committed for the module (unordered). */
+  def allBatches(moduleHash: String): Seq[Long] =
+    log().map { df =>
+      df.filter(col("moduleHash") === moduleHash)
+        .select("batchId").as[Long].collect().toSeq
+    }.getOrElse(Seq.empty)
+
   /** Highest batchId committed for the module (−1 when none). */
   def maxBatchId(moduleHash: String): Long =
     log().map { df =>

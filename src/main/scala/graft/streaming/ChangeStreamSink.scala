@@ -69,8 +69,17 @@ final class ChangeStreamSink(
     moduleHash: String,
     fieldCols: Seq[String],
     buckets: Int = 8,
-    policy: Option[FlushPolicy] = None
+    policy: Option[FlushPolicy] = None,
+    /** Merge-on-read cadence: 1 (default) materializes the full snapshot
+      * every flush (simple, read-optimal); N > 1 writes only the COLLAPSED
+      * DELTA for intermediate flushes — O(delta) disk I/O, the MergeTree-
+      * style write path — and materializes every Nth flush (compaction).
+      * Reads compose base + pending deltas, so the plan depth between
+      * compactions is bounded by N.
+      */
+    compactEvery: Int = 1
 ) {
+  require(compactEvery >= 1, "compactEvery must be ≥ 1")
 
   /** Snapshot versions are catalog tables (bucketing metadata lives in the
     * catalog); the name is namespaced by (baseDir, moduleHash) so parallel
@@ -89,11 +98,40 @@ final class ChangeStreamSink(
     */
   @volatile private[graft] var lastApplyAudit: Option[PlanAudit.Audit] = None
 
-  /** The newest committed snapshot (resolved through the cursor store). */
+  private def deltaTable(batchId: Long) = s"${tablePrefix}_d$batchId"
+
+  private def isDelta(spark: SparkSession, batchId: Long): Boolean =
+    spark.catalog.tableExists(deltaTable(batchId))
+
+  /** The newest committed snapshot (resolved through the cursor store).
+    * With merge-on-read, pending deltas since the last materialized base
+    * fold into the read plan oldest-first — at most `compactEvery − 1`
+    * applies deep.
+    */
   def latestSnapshot(spark: SparkSession): Option[DataFrame] = {
     val store = new CursorStore(s"$baseDir/cursor", spark)
-    store.readWithBatch(moduleHash).map { case (_, bid) => spark.table(snapTable(bid)) }
+    store.readWithBatch(moduleHash).map { case (_, bid) => snapshotAt(spark, store, bid) }
   }
+
+  /** The snapshot as of a committed version: the version's base table, or —
+    * for a delta version — the newest base with every pending delta folded
+    * in oldest-first.
+    */
+  private def snapshotAt(spark: SparkSession, store: CursorStore, bid: Long): DataFrame =
+    if (!isDelta(spark, bid)) spark.table(snapTable(bid))
+    else {
+      val bids = store.allBatches(moduleHash).filter(_ <= bid).sorted.reverse
+      val (deltas, rest) = bids.span(isDelta(spark, _))
+      val base = rest.headOption.map(b => spark.table(snapTable(b))).getOrElse {
+        val schema = spark.table(deltaTable(deltas.last))
+          .drop("last_block", "deleted", "revived").schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      deltas.reverse.foldLeft(base) { (snap, b) =>
+        ChangeLoader.applyBatch(snap, spark.table(deltaTable(b)), fieldCols)
+      }
+    }
 
   /** Max flush units per micro-batch when a [[FlushPolicy]] is set (the
     * synthetic version-id stride).
@@ -130,16 +168,25 @@ final class ChangeStreamSink(
     if (batch.isEmpty) return
     val t0 = System.currentTimeMillis()
     val collapsed = ChangeLoader.collapse(batch, fieldCols)
-    val prior = store.readWithBatch(moduleHash) match {
-      case Some((_, b)) => spark.table(snapTable(b))
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          collapsed.drop("last_block", "deleted", "revived").schema)
-    }
-    val next = ChangeLoader.applyBatch(prior, collapsed, fieldCols)
-    lastApplyAudit = Some(PlanAudit.audit(next.queryExecution.executedPlan))
+    val pendingDeltas = store.allBatches(moduleHash).sorted.reverse
+      .takeWhile(isDelta(spark, _)).size
+    val materialize = compactEvery <= 1 || pendingDeltas >= compactEvery - 1
     val tFlush = System.currentTimeMillis()
-    BucketedSnapshot.write(next, snapTable(bid), buckets)
+    if (materialize) {
+      val prior = store.readWithBatch(moduleHash) match {
+        case Some((_, b)) => snapshotAt(spark, store, b)
+        case None =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            collapsed.drop("last_block", "deleted", "revived").schema)
+      }
+      val next = ChangeLoader.applyBatch(prior, collapsed, fieldCols)
+      lastApplyAudit = Some(PlanAudit.audit(next.queryExecution.executedPlan))
+      BucketedSnapshot.write(next, snapTable(bid), buckets)
+    } else {
+      // merge-on-read delta flush: write ONLY the collapsed batch —
+      // O(delta) disk, the MergeTree-style write path; readers fold it in
+      BucketedSnapshot.write(collapsed, deltaTable(bid), buckets)
+    }
     val head = batch
       .agg(max("block"), count(lit(1)), countDistinct(col("pk")), min("block")).collect()(0)
     val maxBlock = if (head.isNullAt(0)) -1L else head.getLong(0)
@@ -175,8 +222,8 @@ final class ChangeStreamSink(
         "a collision would silently swallow a future micro-batch's commit")
     // re-commit the old snapshot under the new batch id so the cursor log
     // stays append-only and resolves (by commit order) to the rolled-back
-    // state
-    BucketedSnapshot.write(spark.table(snapTable(toBatchId)), snapTable(newBatchId), buckets)
+    // state (snapshotAt materializes even if toBatchId was a delta version)
+    BucketedSnapshot.write(snapshotAt(spark, store, toBatchId), snapTable(newBatchId), buckets)
     store.commit(Cursor(moduleHash, s"cursor:rollback:${rolled.blockNum}",
       rolled.blockNum, rolled.blockId), newBatchId)
   }

@@ -158,6 +158,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(cur.blockNum == blk0, s"rollback cursor blockNum ${cur.blockNum} != $blk0")
   }
 
+  test("merge-on-read: delta flushes write O(delta), compaction materializes") {
+    val dir = Files.createTempDirectory("sink_mor").toString
+    val fields = Seq("amount", "kval", "note")
+    val sink = new ChangeStreamSink(dir, "mod_mor", fields, compactEvery = 3)
+    val ch = Changes(spark, sfDir)
+    val cuts = Seq(0L, 250L, 500L, 750L, Long.MaxValue)
+    for (i <- 0 until 4)
+      sink.processBatch(ch.filter(col("block") > cuts(i) && col("block") <= cuts(i + 1)), i.toLong)
+    // batches 0,1 are deltas; batch 2 compacts; batch 3 is a delta again
+    def exists(t: String) = spark.catalog.tableExists(t)
+    val deltaNames = (0 to 3).map(i => sink.snapTable(i.toLong).replace(s"_v$i", s"_d$i"))
+    val baseNames = (0 to 3).map(i => sink.snapTable(i.toLong))
+    assert(exists(deltaNames(0)) && exists(deltaNames(1)) && exists(deltaNames(3)),
+      "batches 0,1,3 must be delta flushes")
+    assert(exists(baseNames(2)) && !exists(deltaNames(2)), "batch 2 must compact")
+    assert(!exists(baseNames(0)) && !exists(baseNames(1)) && !exists(baseNames(3)))
+    // a delta table is O(batch): exactly one row per pk touched by the
+    // batch, regardless of snapshot size
+    val deltaRows = spark.table(deltaNames(3)).count()
+    val batchPks = ch.filter(col("block") > 750)
+      .select("pk").distinct().count()
+    assert(deltaRows == batchPks, s"delta $deltaRows != batch pks $batchPks")
+    // composed read equals the one-shot result
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      ch.select(col("pk"), col("amount"), col("kval"), col("note")).schema)
+    val exp = ChangeLoader.applyBatch(empty, ChangeLoader.collapse(ch, fields), fields)
+      .collect().map(_.toSeq).toSet
+    assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet == exp)
+    // rollback to a DELTA version materializes the composed state
+    sink.rollbackTo(spark, toBatchId = 1, newBatchId = 4)
+    val expAt1 = ChangeLoader.applyBatch(empty,
+      ChangeLoader.collapse(ch.filter(col("block") <= 500), fields), fields)
+      .collect().map(_.toSeq).toSet
+    assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet == expAt1)
+  }
+
   test("flush cadence: historical modulo batches, per-block at the live edge") {
     val dir = Files.createTempDirectory("sink_cadence").toString
     val fields = Seq("amount", "kval", "note")
