@@ -5,9 +5,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
-  RowOrdering, SortOrder, UnsafeProjection}
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode,
+  Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 
@@ -124,14 +126,105 @@ final case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsofJoinNode]] → [[AsofJoinExec]]; injected per-session via
-  * `spark.experimental.extraStrategies` (see [[AsofJoinPlan.register]]) or
-  * cluster-wide through `graft.functions.GraftExtensions`.
+/** Broadcast as-of: when the right side is small it ships whole to every
+  * task; the LEFT side needs NO shuffle and NO sort — each right key's
+  * rows sort once in the broadcast build, and every left row binary-
+  * searches its key's timeline. The same trade a BroadcastHashJoin makes,
+  * applied to as-of semantics.
+  */
+final case class BroadcastAsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    payload: Seq[Attribute],
+    strict: Boolean,
+    left: SparkPlan,
+    right: SparkPlan
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val isStrict = strict
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val rightOutput = right.output
+    val rightKeysLocal = rightKeys
+    val rightTimeLocal = rightTime
+    val payloadLocal = payload
+    val nPayload = payload.length
+    left.execute().mapPartitions { lIter =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeysLocal, rightOutput)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTimeLocal), rightOutput)
+      val payloadProj = UnsafeProjection.create(payloadLocal, rightOutput)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(leftTime.dataType))
+      val payloadOrd =
+        RowOrdering.createNaturalAscendingOrdering(payloadLocal.map(_.dataType))
+      // build once per partition: key → (times, payloads) sorted ascending
+      // by (time, payload) so ties resolve to the greatest payload
+      val index = new java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[InternalRow])]()
+      val grouped = broadcastRows.value.groupBy(r => rKeyProj(r).copy())
+      grouped.foreach { case (k, rows) =>
+        val sorted = rows.map(r => (rTimeProj(r).copy(), payloadProj(r).copy()))
+          .sortWith { (a, b) =>
+            val c = timeOrd.compare(a._1, b._1)
+            if (c != 0) c < 0 else payloadOrd.compare(a._2, b._2) < 0
+          }
+        index.put(k, (sorted.map(_._1), sorted.map(_._2)))
+      }
+      val resultProj = UnsafeProjection.create(output, output)
+      val nullPayload = new GenericInternalRow(nPayload)
+      val joined = new JoinedRow
+      lIter.map { lRow =>
+        val entry = index.get(lKeyProj(lRow))
+        val matched = if (entry == null) null else {
+          val (times, payloads) = entry
+          val lTime = lTimeProj(lRow)
+          // binary search: last index with time ≤ (or <) lTime
+          var lo = 0; var hi = times.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            val c = timeOrd.compare(times(mid), lTime)
+            if (c < 0 || (c == 0 && !isStrict)) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (ans >= 0) payloads(ans) else null
+        }
+        resultProj(joined(lRow, if (matched != null) matched else nullPayload))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinNode]] → broadcast or merge exec; injected per-session
+  * via `spark.experimental.extraStrategies` (see [[AsofJoinPlan.register]])
+  * or cluster-wide through `graft.functions.GraftExtensions`.
+  *
+  * The broadcast variant is chosen exactly like BroadcastHashJoin: right
+  * side's logical size estimate under `autoBroadcastJoinThreshold`.
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinNode(l, r, lk, rk, lt, rt, p, s) =>
-      AsofJoinExec(lk, rk, lt, rt, p, s, planLater(l), planLater(r)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsofJoinExec(lk, rk, lt, rt, p, s, planLater(l), planLater(r))
+        else AsofJoinExec(lk, rk, lt, rt, p, s, planLater(l), planLater(r))
+      exec :: Nil
     case _ => Nil
   }
 }

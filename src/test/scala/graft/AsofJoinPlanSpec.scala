@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.AsofJoin
-import graft.plans.{AsofJoinExec, AsofJoinPlan}
+import graft.plans.{AsofJoinExec, AsofJoinPlan, BroadcastAsofJoinExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.expressions.Window
@@ -66,18 +66,59 @@ class AsofJoinPlanSpec extends SparkSpecBase {
     assert(out == Seq(None, None))
   }
 
-  test("physical plan is the merge operator: no join nodes, SMJ-style exchanges") {
+  test("small right side plans as broadcast as-of: zero shuffle, same answer") {
     val events = graft.sources.Tables(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
+    // raw right side (no window prep) so every exchange in the plan would
+    // belong to the as-of operator itself; (key, time) ties exist and both
+    // variants must resolve them to the greatest payload
     val orders = graft.sources.Tables(spark, sfDir, "orders")
       .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
-    val df = AsofJoinPlan.asof(events, orders, Seq("user_id"),
-      col("ts"), col("o_orderdate"), Seq("o_orderkey"))
-    df.count()
-    val nodes = collectNodes(df.queryExecution.executedPlan)
-    assert(nodes.exists(_.isInstanceOf[AsofJoinExec]), "AsofJoinExec missing")
-    val audit = PlanAudit.audit(df.queryExecution.executedPlan)
-    assert(audit.broadcastJoins == 0 && audit.sortMergeJoins == 0, s"$audit")
-    assert(audit.shuffles == 2, s"one exchange per side expected: $audit")
+
+    def run(strict: Boolean) = AsofJoinPlan.asof(events, orders, Seq("user_id"),
+      col("ts"), col("o_orderdate"), Seq("o_orderkey"), strict = strict)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("asof_o_orderkey"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      for (strict <- Seq(false, true)) {
+        // planning happens at first action — materialize each variant
+        // while ITS threshold is active
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val merge = run(strict)
+        val mergeResult = asMap(merge)
+        assert(collectNodes(merge.queryExecution.executedPlan)
+          .exists(_.isInstanceOf[AsofJoinExec]), "merge variant not chosen")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+        val bcast = run(strict)
+        val bcastResult = asMap(bcast)
+        assert(collectNodes(bcast.queryExecution.executedPlan)
+          .exists(_.isInstanceOf[BroadcastAsofJoinExec]), "broadcast variant not chosen")
+        assert(PlanAudit.audit(bcast.queryExecution.executedPlan).shuffles == 0,
+          "broadcast as-of must not shuffle the left side")
+        assert(bcastResult == mergeResult, s"strict=$strict variants disagree")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("physical plan is the merge operator: no join nodes, SMJ-style exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // pin the merge path
+    try {
+      val events = graft.sources.Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = graft.sources.Tables(spark, sfDir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+      val df = AsofJoinPlan.asof(events, orders, Seq("user_id"),
+        col("ts"), col("o_orderdate"), Seq("o_orderkey"))
+      df.count()
+      val nodes = collectNodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[AsofJoinExec]), "AsofJoinExec missing")
+      val audit = PlanAudit.audit(df.queryExecution.executedPlan)
+      assert(audit.broadcastJoins == 0 && audit.sortMergeJoins == 0, s"$audit")
+      assert(audit.shuffles == 2, s"one exchange per side expected: $audit")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
