@@ -49,7 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CosineSimilarity].getName, name),
         builder))
     }
-    // the custom ASOF JOIN operator's planner strategy
+    // the custom ASOF JOIN operator's planner strategy + pushdown rule
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
   }
 }

@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
   RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode,
   Partitioning, UnspecifiedDistribution}
@@ -229,6 +231,30 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: push left-only predicates through [[AsofJoinNode]].
+  *
+  * Catalyst's own pushdown rules stop at unknown nodes, so a filter above
+  * the as-of operator would otherwise run AFTER the join — scanning and
+  * joining rows the query immediately discards. An as-of join preserves
+  * left rows exactly 1:1 (every output row is one left row + a looked-up
+  * payload), so any conjunct referencing only left columns commutes with
+  * the node and can continue down to the scan. Right-side/payload
+  * conjuncts stay above (removing a left row never changes another row's
+  * match, but payload predicates depend on the join result).
+  */
+object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoinNode) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** The user-facing builder: resolves columns against the analyzed inputs,
   * freshly aliases everything taken from the right side (so self-as-of
   * joins never collide on expression ids), and surfaces the custom node as
@@ -236,10 +262,14 @@ object AsofJoinStrategy extends SparkStrategy {
   */
 object AsofJoinPlan {
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsofJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsofJoin
+  }
 
   def asof(
       left: DataFrame,

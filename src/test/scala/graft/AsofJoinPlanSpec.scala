@@ -103,6 +103,27 @@ class AsofJoinPlanSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("left-only filters push through the as-of node to the parquet scan") {
+    val events = graft.sources.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    val joined = AsofJoinPlan.asof(events, orders, Seq("user_id"),
+      col("ts"), col("o_orderdate"), Seq("o_orderkey"))
+    val filtered = joined.filter(col("event_id") < 100)
+    filtered.count()
+    // the left-column predicate must reach the events scan as a pushed filter
+    val scans = collectNodes(filtered.queryExecution.executedPlan)
+      .filter(_.nodeName.toLowerCase.contains("scan")).map(_.toString)
+    assert(scans.exists(s =>
+      s.contains("event_id") && s.contains("PushedFilters: [") &&
+        !s.contains("PushedFilters: []")),
+      s"predicate did not reach a scan:\n${scans.mkString("\n---\n").take(800)}")
+    // and the rewrite must not change the answer
+    val expect = joined.collect().filter(_.getLong(0) < 100).map(_.toSeq).toSet
+    assert(filtered.collect().map(_.toSeq).toSet == expect)
+  }
+
   test("physical plan is the merge operator: no join nodes, SMJ-style exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // pin the merge path

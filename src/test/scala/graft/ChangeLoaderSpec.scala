@@ -59,6 +59,32 @@ class ChangeLoaderSpec extends SparkSpecBase {
     assert(out(30L).getAs[String]("note") == "new")
   }
 
+  test("ordinal disambiguates same-block ops: last-writer-wins is deterministic") {
+    import spark.implicits._
+    // three changes for one pk in ONE block, distinguishable only by ordinal
+    val ch = Seq(
+      (10L, 3L, 1L, "UPDATE", Some(3.0), None: Option[Long], Some("third")),
+      (10L, 1L, 1L, "INSERT", Some(1.0), Some(7L), Some("first")),
+      (10L, 2L, 1L, "UPDATE", Some(2.0), None: Option[Long], None: Option[String])
+    ).toDF("block", "ordinal", "pk", "op", "amount", "kval", "note")
+    for (parts <- Seq(1, 5)) {
+      val out = ChangeLoader.collapse(ch.repartition(parts), fields).collect()
+      assert(out.length == 1)
+      val r = out(0)
+      assert(r.getAs[Double]("amount") == 3.0 && r.getAs[String]("note") == "third")
+      assert(r.getAs[Long]("kval") == 7L, "field untouched later keeps ordinal-1 value")
+    }
+    // DELETE at ordinal 2 wipes ordinal-1 fields; ordinal-3 revives
+    val del = Seq(
+      (10L, 1L, 1L, "INSERT", Some(1.0), Some(7L), Some("first")),
+      (10L, 2L, 1L, "DELETE", None: Option[Double], None: Option[Long], None: Option[String]),
+      (10L, 3L, 1L, "UPDATE", Some(9.0), None: Option[Long], None: Option[String])
+    ).toDF("block", "ordinal", "pk", "op", "amount", "kval", "note")
+    val r2 = ChangeLoader.collapse(del, fields).collect()(0)
+    assert(r2.getAs[Boolean]("revived") && r2.getAs[Double]("amount") == 9.0)
+    assert(r2.isNullAt(r2.fieldIndex("kval")), "pre-delete field must not survive")
+  }
+
   test("violations: duplicate INSERT, UPDATE-after-DELETE, INSERT-after-existing flagged") {
     import spark.implicits._
     val ch = Seq(

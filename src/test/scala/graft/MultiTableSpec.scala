@@ -45,6 +45,25 @@ class MultiTableSpec extends SparkSpecBase {
     assert(got == exp)
   }
 
+  test("routing equivalence: each table's collapse equals a single-table collapse") {
+    // routing must be a pure partition of the wire feed: collapsing the
+    // routed 'accounts' slice equals collapsing the classic single-table
+    // feed restricted to the same semantics (same pks, same field merges)
+    val wire = Changes.multiTable(spark, sfDir)
+    val viaRoute = graft.cdc.MultiTable
+      .collapseAll(wire, schemas)("accounts")
+      .select("pk", "deleted", "amount", "note")
+      .collect().map(_.toSeq).toSet
+    val single = Changes(spark, sfDir) // classic feed: same op rules on user_id
+      .select(col("block"), col("pk").cast("string").as("pk"), col("op"),
+        col("amount"),
+        when(col("note") =!= "view", col("note")).as("note"))
+    val viaSingle = graft.cdc.ChangeLoader.collapse(single, Seq("amount", "note"))
+      .select("pk", "deleted", "amount", "note")
+      .collect().map(_.toSeq).toSet
+    assert(viaRoute == viaSingle)
+  }
+
   test("multi-table sink end-to-end on a real stream") {
     implicit val s = spark
     import s.implicits._
