@@ -106,6 +106,30 @@ class JdbcSinkSpec extends SparkSpecBase {
     }
   }
 
+  test("JDBC sink end-to-end on a real stream") {
+    implicit val s = spark
+    import s.implicits._
+    val url = freshDb("streamdb")
+    withConn(url)(createTarget)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, String, Option[String], Option[String])]
+    in.addData(Seq(
+      (1L, "u1", "INSERT", Some("1.0"), Some("a")),
+      (2L, "u2", "INSERT", Some("2.0"), None),
+      (3L, "u1", "UPDATE", Some("7.5"), None),
+      (4L, "u2", "DELETE", None, None)))
+    val sink = new JdbcChangeSink(url, "accounts", "pk", "mod_stream", fields)
+    val ckpt = java.nio.file.Files.createTempDirectory("jdbc_ckpt").toString
+    val q = sink.start(in.toDF().toDF("block", "pk", "op", "amount", "note"), ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    withConn(url) { c =>
+      assert(readTarget(c) == Set(("u1", Some("7.5"), Some("a"))))
+      assert(JdbcFlush.readCursor(c, "mod_stream").get._1.blockNum == 4)
+    }
+  }
+
   test("mid-flush failure rolls back ops AND cursor (atomicity)") {
     val url = freshDb("atomdb")
     withConn(url)(createTarget)
