@@ -327,8 +327,102 @@ object Dedup {
         .filter(col("cos") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- #55 dedup clustering: near-dup pairs → components → canonical ---
+    // The step a real training pipeline runs AFTER pair generation: group
+    // transitive near-dups into clusters and keep one canonical doc (the
+    // min id) per cluster. Components via distributed min-label
+    // propagation over the hamming≤2 pair graph; the oracle replays it as
+    // a recursive reachability CTE.
+    "dedup_clusters" -> OpDef(
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), i ->
+        |      CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM t),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 20)) & 1048575 AS bkey
+        |  FROM s, (SELECT unnest(generate_series(0, 2)) AS b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+        |  WHERE a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.sig, b.sig)) <= 2),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
+        |SELECT node AS doc_id, MIN(label) AS cluster_id,
+        |  node = MIN(label) AS is_canonical
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val pairs = simhashPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          (col("node") === col("component")).as("is_canonical"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation — the standard GraphX-free formulation for
+    * billion-edge graphs: every iteration is one distributed join+agg
+    * (labels shuffle on the node key), and the DRIVER loops only over
+    * iterations (≤ graph diameter, log-like in practice), never over data.
+    *
+    * Input: `a`, `b` columns (one row per undirected edge). Output:
+    * (node, component) where component = the minimum node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) truncates the plan lineage every iteration —
+    // without it the logical plan doubles per round and planning time,
+    // not the data, becomes the bottleneck
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min("label").as("nmin"))
+      val merged = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jumping: also adopt label(label) from the previous round —
+      // components collapse in ~log(diameter) iterations instead of
+      // diameter (chains would otherwise dominate the round count)
+      val next = merged
+        .join(labels.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
 
   /** Multi-band SimHash pair generation (the #32b operator, parameterized).
     *

@@ -22,6 +22,24 @@ class DedupSpec extends SparkSpecBase {
     assert(exact.nonEmpty, "fixture must contain radius-2 pairs")
   }
 
+  test("dedup clusters: pair endpoints share a cluster, canonical is the min") {
+    val clusters = run("dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // every near-dup pair's endpoints land in the same cluster
+    val pairs = graft.dedup.Dedup.simhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // the cluster id is a member, and it is the minimum member
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.keys.toSeq)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.min == cid, s"cluster $cid min is ${members.min}")
+    }
+  }
+
   test("exact dedup emits only non-keeper ids, keeper < dup") {
     val rows = run("dedup_exact").collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(0)))
