@@ -138,6 +138,14 @@ final class ChangeStreamSink(
     */
   private val UnitStride = 4096L
 
+  /** [[FlushPolicy.unitOf]] as a column — the data-side twin of the driver
+    * method, so unit derivation runs distributed and the driver only ever
+    * sees the ≤ [[UnitStride]] distinct unit ids.
+    */
+  private def unitCol(p: FlushPolicy): org.apache.spark.sql.Column =
+    when(col("block") >= p.headBlock, col("block"))
+      .otherwise(expr(s"block div ${p.modulo}"))
+
   def processBatch(batch: DataFrame, batchId: Long): Unit = policy match {
     case None => flushOne(batch, batchId)
     case Some(p) =>
@@ -148,17 +156,26 @@ final class ChangeStreamSink(
       // (deterministic), so a replayed micro-batch regenerates the same
       // sub-flushes and each one's committed-check skips what already
       // landed — mid-batch crash recovery resumes at the exact unit.
-      val units = batch.select(col("block")).distinct()
-        .collect().map(r => p.unitOf(r.getLong(0))).distinct.sorted
-      require(units.length <= UnitStride,
-        s"micro-batch spans ${units.length} flush units (> $UnitStride); " +
-          "raise the trigger rate or the flush interval")
-      units.zipWithIndex.foreach { case (u, idx) =>
-        val sub = batch.filter(
-          when(col("block") >= p.headBlock, col("block"))
-            .otherwise(expr(s"block div ${p.modulo}")) === u)
-        flushOne(sub, batchId * UnitStride + idx)
-      }
+      //
+      // Persist FIRST: the unit-derivation scan materializes the cache, and
+      // every sub-flush filters the cached frame — one micro-batch source
+      // scan total, however many units a historical backfill spans.
+      val withUnit = batch.withColumn("_unit", unitCol(p))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // distinct over the UNIT expression, never raw blocks — a backfill
+        // batch has modulo× more blocks than units; driver traffic is
+        // O(units) ≤ UnitStride by the require below.
+        val units = withUnit.select(col("_unit")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        require(units.length <= UnitStride,
+          s"micro-batch spans ${units.length} flush units (> $UnitStride); " +
+            "raise the trigger rate or the flush interval")
+        units.zipWithIndex.foreach { case (u, idx) =>
+          flushOne(withUnit.filter(col("_unit") === u).drop("_unit"),
+            batchId * UnitStride + idx)
+        }
+      } finally { withUnit.unpersist(blocking = false); () }
   }
 
   private def flushOne(batch: DataFrame, bid: Long): Unit = {

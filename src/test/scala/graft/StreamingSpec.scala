@@ -225,6 +225,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet == exp)
   }
 
+  test("multi-unit batch: one source scan total, driver collect is O(units)") {
+    val dir = Files.createTempDirectory("sink_units").toString
+    val fields = Seq("amount", "kval", "note")
+    val sink = new ChangeStreamSink(dir, "mod_u", fields,
+      policy = Some(FlushPolicy(flushInterval = 200))) // all historical
+    val ch = Changes(spark, sfDir).filter(col("block") <= 1000)
+    val nRows = ch.count()
+    val nUnits = ch.selectExpr("block div 200 as u").distinct().count()
+    assert(nUnits > 1, "test needs a multi-unit batch")
+    // instrument the source: the accumulator counts rows SCANNED, so
+    // scans-of-source == acc / nRows
+    val acc = spark.sparkContext.longAccumulator("src_rows")
+    val tick = udf { (b: Long) => acc.add(1); b }.asNondeterministic()
+    sink.processBatch(ch.withColumn("block", tick(col("block"))), 0)
+    // (b) exactly ONE pass over the micro-batch source: the persist-first
+    // cache is materialized by the unit-derivation scan; every sub-flush
+    // reads the cache, not the source
+    assert(acc.value == nRows,
+      s"source scanned ${acc.value.toDouble / nRows}× (expected exactly 1×)")
+    // (a) one flush per unit — the driver-side units array is the distinct
+    // of the unit EXPRESSION (O(units) rows), never the raw blocks
+    val stats = new graft.streaming.SinkStats(s"$dir/stats", spark).log().get.collect()
+    assert(stats.length == nUnits, s"${stats.length} flushes != $nUnits units")
+    // contents unchanged: final snapshot == one-shot collapse+apply
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      ch.select(col("pk"), col("amount"), col("kval"), col("note")).schema)
+    val exp = ChangeLoader.applyBatch(empty, ChangeLoader.collapse(ch, fields), fields)
+      .collect().map(_.toSeq).toSet
+    assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet == exp)
+  }
+
   test("cursor mismatch modes: ignore/warn/error") {
     val dir = Files.createTempDirectory("cursor").toString
     val store = new CursorStore(dir, spark)
