@@ -384,7 +384,8 @@ object Dedup {
     * Input: `a`, `b` columns (one row per undirected edge). Output:
     * (node, component) where component = the minimum node id reachable.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      checkEvery: Int = 2): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -394,31 +395,45 @@ object Dedup {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // Convergence witness: labels only ever DECREASE (min-propagation), so
+    // Σlabel is strictly monotone until fixpoint — an equal sum means no
+    // label moved. A scan-only agg over the cached checkpoint, replacing a
+    // join + count() per round. Decimal(38) so a 1e12-node × 1e12-id corpus
+    // can't overflow the witness.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // each node adopts min(own label, neighbors' labels)
-      val neighborMin = sym
+      // each node adopts min(own label, neighbors' labels): the self-label
+      // UNIONS into the same groupBy as the neighbor feed — one shuffle,
+      // no separate left-join merge step
+      val merged = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min("label").as("nmin"))
-      val merged = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("a").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("label").as("label"))
       // pointer jumping: also adopt label(label) from the previous round —
       // components collapse in ~log(diameter) iterations instead of
-      // diameter (chains would otherwise dominate the round count)
+      // diameter (chains would otherwise dominate the round count). The
+      // lookup side is the CHECKPOINTED previous labels, so the self-join
+      // never recomputes `merged`.
       val next = merged
         .join(labels.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
       labels = next
-      converged = changed == 0
       iter += 1
+      // amortize the convergence action: a changed round and its check can
+      // be 1 round apart at worst, and the check itself is join-free
+      if (iter % checkEvery == 0 || iter >= maxIter) {
+        val s = labelSum(labels)
+        converged = s == prevSum
+        prevSum = s
+      }
     }
     sym.unpersist()
     labels.select(col("node"), col("label").as("component"))
