@@ -3,6 +3,7 @@ package graft.dedup
 import graft.{GraftSession, OpDef}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -58,8 +59,11 @@ object Dedup {
     * shingles via equi-join + groupBy is the canonical distributed Jaccard
     * and benches ~10× faster here.
     */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(docs(s, dir))
+
+  private[graft] def shingleRowsOf(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.select(col("doc_id"), col("lang"), col("source"),
       split(col("text"), " ").as("ws"))
     // < 3 words → no 3-gram shingles. The filter also guards correctness:
     // Spark's sequence(0, n) flips direction for n < 0 (sequence(0, -1) =
@@ -91,6 +95,21 @@ object Dedup {
 
   private def sqlLongList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
+  /** Hot-key guards for the pairwise joins. A shingle shared by d docs in
+    * one block — or d near-identical docs landing in one LSH/simhash band
+    * bucket — emits d² join rows before any filter; AQE splits the shuffle
+    * but not the cartesian-within-key blowup. Web corpora make this real:
+    * boilerplate 3-grams and template pages concentrate millions of docs on
+    * a handful of keys. The guard drops keys above a document-frequency /
+    * bucket-size cap from CANDIDATE GENERATION ONLY — verification always
+    * uses the full shingle sets, so reported similarities are exact; a true
+    * near-dup pair sharing only hot keys is the residual recall cost (run
+    * `dedup_exact` upstream so identical docs never reach the near-dup
+    * pass). Both caps are mirrored in the DuckDB oracles via QUALIFY.
+    */
+  val NgramDfCap = 256
+  val LshBucketCap = 512
+
   val defs: Map[String, OpDef] = Map(
     // ---- #29 exact dedup: keep min doc_id per identical text -------------
     // groupBy is on md5(text): at 100 TB the shuffle moves 16-byte keys +
@@ -111,23 +130,36 @@ object Dedup {
     },
 
     // ---- #30 n-gram Jaccard near-dup pairs within (lang, source) blocks --
-    // The block key bounds the pairwise blowup (IVF-style); the self-join
-    // shuffles 32-bit shingle-HASH arrays (not strings) once on the block
-    // key, and a size-ratio prefilter (min/max ≥ τ, a necessary condition
-    // for Jaccard ≥ τ) kills most pairs before any intersection. τ = 0.5.
+    // Candidate pairs materialize only for docs sharing a COLD shingle
+    // (document frequency ≤ NgramDfCap) in the same (lang, source) block —
+    // the df-cap bounds the per-key blowup at cap² however hot a boilerplate
+    // 3-gram gets. A size-ratio prefilter (min/max ≥ τ, necessary for
+    // Jaccard ≥ τ) kills most candidates, then the verify re-joins the FULL
+    // shingle rows (hot ones included) so jaccard is exact. τ = 0.5.
     "dedup_ngram_jaccard" -> OpDef(
       s"""WITH t AS (
          |  SELECT doc_id, lang, source,
          |    list_transform($shinglesSql, g -> ${h32Sql("g")}) AS sh
          |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, lang, source, unnest(sh) AS h FROM t),
+         |e AS (
+         |  SELECT * FROM e0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, h) <= $NgramDfCap),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM e a JOIN e b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+         |  WHERE a.doc_id < b.doc_id),
          |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    len(list_intersect(a.sh, b.sh)) AS n_int,
-         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_uni
-         |  FROM t a JOIN t b
-         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         |  WHERE CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
-         |        / greatest(len(a.sh), len(b.sh)) >= 0.5)
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(ta.sh, tb.sh)) AS n_int,
+         |    len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)) AS n_uni
+         |  FROM cand c
+         |  JOIN t ta ON ta.doc_id = c.doc_a
+         |  JOIN t tb ON tb.doc_id = c.doc_b
+         |  WHERE CAST(least(len(ta.sh), len(tb.sh)) AS DOUBLE)
+         |        / greatest(len(ta.sh), len(tb.sh)) >= 0.5)
          |SELECT doc_a, doc_b,
          |  round(CAST(n_int AS DOUBLE) / n_uni, 4) AS jaccard
          |FROM p WHERE CAST(n_int AS DOUBLE) / n_uni >= 0.5
@@ -135,22 +167,16 @@ object Dedup {
     ) { (s, dir) =>
       val e = shingleRows(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ea = e.join(n, "doc_id")
-        .select(col("lang"), col("source"), col("h"),
-          col("doc_id").as("doc_a"), col("n").as("n_a"))
-      val eb = ea.select(col("lang"), col("source"), col("h"),
-        col("doc_a").as("doc_b"), col("n_a").as("n_b"))
-      // Pairs materialize only for docs SHARING a shingle in the same
-      // (lang, source) block; n_int is a map-side-combinable count.
-      ea.join(eb, Seq("lang", "source", "h"))
-        .filter(col("doc_a") < col("doc_b") &&
-          least(col("n_a"), col("n_b")).cast(DoubleType)
-            / greatest(col("n_a"), col("n_b")) >= 0.5)
+      val cand = ngramCandidates(e, tau = 0.5, dfCap = NgramDfCap)
+      // Exact verify over the FULL shingle rows: cand carries only ids +
+      // set sizes, the intersection count is a codegen equi-join + agg.
+      val ver = cand
+        .join(e.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+        .join(e.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(count(lit(1)).as("n_int"))
         .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
-        .filter(col("n_int").cast(DoubleType) / col("n_uni") >= 0.5)
+      ver.filter(col("n_int").cast(DoubleType) / col("n_uni") >= 0.5)
         .select(col("doc_a"), col("doc_b"),
           round(col("n_int").cast(DoubleType) / col("n_uni"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -178,7 +204,8 @@ object Dedup {
          |    md5(array_to_string(
          |      list_transform(list_slice(mh, b * $BandRows + 1, b * $BandRows + $BandRows),
          |                     v -> v::VARCHAR), ',')) AS bkey
-         |  FROM bands_e),
+         |  FROM bands_e
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey) <= $LshBucketCap),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.sh AS sh_a, b.sh AS sh_b
@@ -199,31 +226,11 @@ object Dedup {
       // shingle rows are consumed three times (signature + both verify
       // sides) — persist them (disk-spillable) instead of recomputing the
       // scan+hash pipeline.
-      graft.functions.GraftFunctions.register(s)
       val e = shingleRows(s, dir).select("doc_id", "h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // One-pass beats 16 min() columns 2.1 s vs 4.2 s warm at sf0.1.
-      val sig = e.groupBy("doc_id").agg(
-        count(lit(1)).as("n"),
-        call_function("minhash16", col("h")).as("mh"))
-      val bandStructs = (0 until NumBands).map { b =>
-        struct(lit(b).as("b"),
-          md5(concat_ws(",",
-            (0 until BandRows).map(r =>
-              element_at(col("mh"), b * BandRows + r + 1).cast(StringType)): _*))
-            .as("bkey"))
-      }
-      val bands = sig.select(col("doc_id"), col("n"),
-          explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("n"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
-      val l = bands.select(col("b"), col("bkey"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      val r = bands.select(col("b"), col("bkey"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+      val cand = minhashCandidates(s, e)
       // Candidate pairs carry only ids + sizes; the exact-Jaccard verify
       // re-joins the shingle rows and counts shared hashes (codegen agg).
-      val cand = l.join(r, Seq("b", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "n_a", "n_b")
-        .distinct()
       val ver = cand
         .join(e.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
         .join(e.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
@@ -269,7 +276,7 @@ object Dedup {
     // diff bits fall inside it). Bucket join per band + distinct pair, then
     // a bit_count(xor) verify — integer-only, no text ever shuffles.
     "dedup_simhash_pairs" -> OpDef(
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
         |    list_transform(list_distinct(string_split(text, ' ')),
         |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
@@ -282,7 +289,8 @@ object Dedup {
         |  FROM t),
         |bands AS (
         |  SELECT doc_id, sig, b, (sig >> (b * 20)) & 1048575 AS bkey
-        |  FROM s, (SELECT unnest(generate_series(0, 2)) AS b)),
+        |  FROM s, (SELECT unnest(generate_series(0, 2)) AS b)
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey) <= $LshBucketCap),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.sig AS sig_a, b.sig AS sig_b
@@ -336,7 +344,7 @@ object Dedup {
     // propagation over the hamming≤2 pair graph; the oracle replays it as
     // a recursive reachability CTE.
     "dedup_clusters" -> OpDef(
-      """WITH RECURSIVE t AS (
+      s"""WITH RECURSIVE t AS (
         |  SELECT doc_id,
         |    list_transform(list_distinct(string_split(text, ' ')),
         |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
@@ -349,7 +357,8 @@ object Dedup {
         |  FROM t),
         |bands AS (
         |  SELECT doc_id, sig, b, (sig >> (b * 20)) & 1048575 AS bkey
-        |  FROM s, (SELECT unnest(generate_series(0, 2)) AS b)),
+        |  FROM s, (SELECT unnest(generate_series(0, 2)) AS b)
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey) <= $LshBucketCap),
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
@@ -374,6 +383,69 @@ object Dedup {
         .orderBy("doc_id")
     }
   )
+
+  /** Candidate near-dup pairs from COLD shingles — document frequency
+    * ≤ `dfCap` within the (lang, source) block — with the size-ratio
+    * prefilter (min/max ≥ τ, a necessary condition for Jaccard ≥ τ).
+    * Output: distinct (doc_a, doc_b, n_a, n_b); n_* are the FULL shingle-set
+    * sizes, so the downstream verify computes exact Jaccard. The df window
+    * partitions on the same key as the pair join, so the guard rides the
+    * join's own shuffle.
+    */
+  private[graft] def ngramCandidates(e: DataFrame, tau: Double,
+      dfCap: Int): DataFrame = {
+    val n = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cold = e.withColumn("_df",
+        count(lit(1)).over(Window.partitionBy("lang", "source", "h")))
+      .filter(col("_df") <= dfCap).drop("_df")
+    val ca = cold.join(n, "doc_id")
+      .select(col("lang"), col("source"), col("h"),
+        col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val cb = ca.select(col("lang"), col("source"), col("h"),
+      col("doc_a").as("doc_b"), col("n_a").as("n_b"))
+    ca.join(cb, Seq("lang", "source", "h"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")).cast(DoubleType)
+          / greatest(col("n_a"), col("n_b")) >= tau)
+      .select("doc_a", "doc_b", "n_a", "n_b")
+      .distinct()
+  }
+
+  /** MinHash-LSH candidate pairs over shingle rows (`doc_id`, `h`): one-pass
+    * 16-permutation signature ([[graft.functions.MinHashAgg]] — beats 16
+    * declarative min() columns 2.1 s vs 4.2 s warm at sf0.1), band-bucket
+    * join, and a hot-bucket guard — buckets holding more than `bucketCap`
+    * docs are dropped from candidate generation (a degenerate bucket of d
+    * near-identical docs would emit d² pairs; its members still pair through
+    * their other, discriminative bands). Output: distinct
+    * (doc_a, doc_b, n_a, n_b) with full shingle-set sizes.
+    */
+  private[graft] def minhashCandidates(s: SparkSession, e: DataFrame,
+      bucketCap: Int = LshBucketCap): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sig = e.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      call_function("minhash16", col("h")).as("mh"))
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("b"),
+        md5(concat_ws(",",
+          (0 until BandRows).map(r =>
+            element_at(col("mh"), b * BandRows + r + 1).cast(StringType)): _*))
+          .as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), col("n"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("n"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
+    val cold = bands.withColumn("_bs",
+        count(lit(1)).over(Window.partitionBy("b", "bkey")))
+      .filter(col("_bs") <= bucketCap).drop("_bs")
+    val l = cold.select(col("b"), col("bkey"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val r = cold.select(col("b"), col("bkey"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    l.join(r, Seq("b", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "n_a", "n_b")
+      .distinct()
+  }
 
   /** Connected components over an undirected edge list by iterative
     * min-label propagation — the standard GraphX-free formulation for
@@ -448,12 +520,25 @@ object Dedup {
     * an exact all-pairs check). Defaults: 3 × 20 bits → radius-2 guarantee.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 2,
-      numBands: Int = 3, bandBits: Int = 20): DataFrame = {
+      numBands: Int = 3, bandBits: Int = 20,
+      bucketCap: Int = LshBucketCap): DataFrame =
+    simhashPairsOf(docs(s, dir), maxHamming, numBands, bandBits, bucketCap)
+
+  /** [[simhashPairs]] over an explicit documents frame (`doc_id`, `text`).
+    * `bucketCap` is the hot-bucket guard: a band bucket holding more than
+    * `bucketCap` docs (a boilerplate corpus collapses many near-identical
+    * signatures into one 20-bit band value) is dropped from candidate
+    * generation — its members still pair through their other bands, and
+    * byte-identical docs belong to `dedup_exact` upstream, not here.
+    */
+  private[graft] def simhashPairsOf(docsDf: DataFrame, maxHamming: Int = 2,
+      numBands: Int = 3, bandBits: Int = 20,
+      bucketCap: Int = LshBucketCap): DataFrame = {
     require(numBands * bandBits <= 60, "bands must fit the 60-bit signature")
     require(maxHamming <= numBands - 1,
       s"$numBands bands only guarantee recall at radius ${numBands - 1}")
-    graft.functions.GraftFunctions.register(s)
-    val sig = docs(s, dir).select(col("doc_id"),
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val sig = docsDf.select(col("doc_id"),
       call_function("simhash64", array_distinct(split(col("text"), " "))).as("sig"))
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("b"),
@@ -463,9 +548,12 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
-    val l = bands.select(col("b"), col("bkey"),
+    val cold = bands.withColumn("_bs",
+        count(lit(1)).over(Window.partitionBy("b", "bkey")))
+      .filter(col("_bs") <= bucketCap).drop("_bs")
+    val l = cold.select(col("b"), col("bkey"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = bands.select(col("b"), col("bkey"),
+    val r = cold.select(col("b"), col("bkey"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     l.join(r, Seq("b", "bkey"))
       .filter(col("doc_a") < col("doc_b"))

@@ -40,6 +40,48 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("df-cap drops a hot shingle from ngram candidate generation") {
+    import spark.implicits._
+    // 40 docs share ONE boilerplate 3-gram ("hot hot hot"); all other
+    // shingles are doc-unique. Uncapped, the hot shingle alone emits the
+    // full 40·39/2 pair blowup; with df-cap 8 it is excluded and no
+    // candidates survive.
+    val docsDf = (1L to 40L).map { i =>
+      (i, "en", "web", s"hot hot hot u$i v$i w$i x$i")
+    }.toDF("doc_id", "lang", "source", "text")
+    val e = graft.dedup.Dedup.shingleRowsOf(docsDf)
+    val uncapped = graft.dedup.Dedup.ngramCandidates(e, tau = 0.0, dfCap = Int.MaxValue)
+    val capped = graft.dedup.Dedup.ngramCandidates(e, tau = 0.0, dfCap = 8)
+    assert(uncapped.count() == 40L * 39 / 2)
+    assert(capped.count() == 0)
+  }
+
+  test("hot-bucket guard bounds simhash candidate generation") {
+    import spark.implicits._
+    // byte-identical docs: one signature, one bucket per band, d² pairs
+    // uncapped. The guard drops the bucket entirely (exact dedup upstream
+    // is the right tool for identical text).
+    val docsDf = (1L to 40L)
+      .map(i => (i, "all the same boilerplate text body here"))
+      .toDF("doc_id", "text")
+    val uncapped = graft.dedup.Dedup.simhashPairsOf(docsDf, bucketCap = Int.MaxValue)
+    val capped = graft.dedup.Dedup.simhashPairsOf(docsDf, bucketCap = 8)
+    assert(uncapped.count() == 40L * 39 / 2)
+    assert(capped.count() == 0)
+  }
+
+  test("hot-bucket guard bounds minhash-lsh candidate generation") {
+    import spark.implicits._
+    val docsDf = (1L to 40L)
+      .map(i => (i, "en", "web", "one two three four five six seven"))
+      .toDF("doc_id", "lang", "source", "text")
+    val e = graft.dedup.Dedup.shingleRowsOf(docsDf).select("doc_id", "h")
+    val uncapped = graft.dedup.Dedup.minhashCandidates(spark, e, bucketCap = Int.MaxValue)
+    val capped = graft.dedup.Dedup.minhashCandidates(spark, e, bucketCap = 8)
+    assert(uncapped.count() == 40L * 39 / 2)
+    assert(capped.count() == 0)
+  }
+
   test("exact dedup emits only non-keeper ids, keeper < dup") {
     val rows = run("dedup_exact").collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(0)))
