@@ -59,8 +59,14 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+    // Unconditional fixed-path mirror: sbt's [info]/[success] framing defeats
+    // last-stdout-line parsers, so the canonical machine-readable record is
+    // always target/bench.json (plus the optional env-var mirror).
+    val outs = Seq("target/bench.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outs.foreach { p =>
+      val path = java.nio.file.Paths.get(p)
+      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(path,
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop() // stop BEFORE printing so no executor shutdown logs trail the JSON

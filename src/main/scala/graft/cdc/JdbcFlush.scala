@@ -44,6 +44,45 @@ object JdbcFlush {
     deletes ++ upserts
   }
 
+  /** Statement list for a collapsed batch against an INTROSPECTED table
+    * shape ([[JdbcCatalog.tableInfo]]): same delete-first/pk-sorted order
+    * as [[statements]], but every value renders through
+    * [[SqlDialect.normalizeValue]] with the column's live type kind — the
+    * reference's `prepareColValues` + `normalizeValueType`
+    * (`db/operations.go:118-193`), including its unknown-column error.
+    */
+  def typedStatements(info: JdbcTableInfo, rows: Seq[PendingRow]): Seq[String] = {
+    def lit(col: String, v: String): (String, String) = {
+      val c = info.column(col).getOrElse(throw new IllegalArgumentException(
+        s"""cannot find column "$col" for table "${info.name}""""))
+      c.name -> SqlDialect.normalizeValue(v, c.kind)
+    }
+    val table = SqlDialect.escapeIdentifier(info.name)
+    def where(pk: String): String = {
+      val (c, v) = lit(info.pkCol, pk)
+      s"${SqlDialect.escapeIdentifier(c)}=$v"
+    }
+    val sorted = rows.sortBy(_.pk)
+    val deletes = sorted.collect {
+      case r if r.sqlOp == Op.Delete || r.sqlOp == "REPLACE" =>
+        s"DELETE FROM $table WHERE ${where(r.pk)}"
+    }
+    val upserts = sorted.collect {
+      case r if r.sqlOp == Op.Insert || r.sqlOp == "REPLACE" =>
+        val cols = (info.pkCol -> r.pk) +: r.fields
+        val rendered = cols.map { case (c, v) => lit(c, v) }
+        s"INSERT INTO $table (${rendered.map(f => SqlDialect.escapeIdentifier(f._1)).mkString(",")}) " +
+          s"VALUES (${rendered.map(_._2).mkString(",")})"
+      case r if r.sqlOp == Op.Update =>
+        val sets = r.fields.map { case (c, v) =>
+          val (name, l) = lit(c, v)
+          s"${SqlDialect.escapeIdentifier(name)}=$l"
+        }.mkString(", ")
+        s"UPDATE $table SET $sets WHERE ${where(r.pk)}"
+    }
+    deletes ++ upserts
+  }
+
   /** Collect a [[ChangeLoader.pendingOps]] frame into driver-side rows
     * (delta-sized by construction).
     */
@@ -81,6 +120,18 @@ object JdbcFlush {
     * sharing the ops transaction.
     */
   def flush(conn: Connection, table: String, pkCol: String, rows: Seq[PendingRow],
+      cursor: Cursor, batchId: Long): Boolean =
+    execFlush(conn, statements(table, pkCol, rows), cursor, batchId)
+
+  /** [[flush]] with statements generated from the live target schema
+    * ([[typedStatements]]) — the reference's introspection-driven path
+    * where `LoadTables` shapes every op (`db/db.go:82-130`).
+    */
+  def flushTyped(conn: Connection, info: JdbcTableInfo, rows: Seq[PendingRow],
+      cursor: Cursor, batchId: Long): Boolean =
+    execFlush(conn, typedStatements(info, rows), cursor, batchId)
+
+  private def execFlush(conn: Connection, stmts: Seq[String],
       cursor: Cursor, batchId: Long): Boolean = {
     val prevAutoCommit = conn.getAutoCommit
     conn.setAutoCommit(false)
@@ -95,8 +146,7 @@ object JdbcFlush {
       if (existing.exists(_ >= batchId)) { conn.rollback(); return false }
 
       val st = conn.createStatement()
-      try statements(table, pkCol, rows).foreach(sql =>
-        st.execute(sql.stripSuffix(";")))
+      try stmts.foreach(sql => st.execute(sql.stripSuffix(";")))
       finally st.close()
 
       val upd = conn.prepareStatement(
@@ -114,11 +164,37 @@ object JdbcFlush {
         ins.setLong(5, batchId)
         ins.executeUpdate(); ins.close()
       }
+      mirrorReferenceCursor(conn, cursor)
       conn.commit()
       true
     } catch {
       case e: Throwable => conn.rollback(); throw e
     } finally conn.setAutoCommit(prevAutoCommit)
+  }
+
+  /** When the target carries the reference's `cursors` table (created by
+    * [[JdbcSetup.setupCursorTable]]), mirror the cursor row into it inside
+    * the flush transaction — the reference's `UpdateCursor` shares the ops
+    * txn (`db/flush.go:52`), and reference-schema consumers read their
+    * resume position from that table. `graft_cursors` stays the
+    * engine-internal store (it additionally carries batch_id for the
+    * exactly-once replay check the reference lacks).
+    */
+  private def mirrorReferenceCursor(conn: Connection, cursor: Cursor): Unit = {
+    val rs = conn.getMetaData.getTables(null, null, JdbcCatalog.CursorTable, Array("TABLE"))
+    val exists = try rs.next() finally rs.close()
+    if (!exists) return
+    val upd = conn.prepareStatement(
+      """UPDATE "cursors" SET "cursor" = ?, "block_num" = ?, "block_id" = ? WHERE "id" = ?""")
+    upd.setString(1, cursor.cursor); upd.setLong(2, cursor.blockNum)
+    upd.setString(3, cursor.blockId); upd.setString(4, cursor.moduleHash)
+    val n = upd.executeUpdate(); upd.close()
+    if (n == 0) {
+      val ins = conn.prepareStatement("""INSERT INTO "cursors" VALUES (?, ?, ?, ?)""")
+      ins.setString(1, cursor.moduleHash); ins.setString(2, cursor.cursor)
+      ins.setLong(3, cursor.blockNum); ins.setString(4, cursor.blockId)
+      ins.executeUpdate(); ins.close()
+    }
   }
 
   /** Stored cursor for a module (resume point), if any. */

@@ -45,6 +45,38 @@ object SqlDialect {
 
   private def whereClause(pk: Seq[(String, String)]): String =
     pk.map { case (k, v) => s"${escapeIdentifier(k)}=${escapeString(v)}" }.mkString(" AND ")
+
+  private val integerRe = "^\\d+$".r
+  private val numericRe = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$".r
+  private val epochFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+
+  /** Format one string-typed CDC value as a SQL literal for a column of
+    * the given introspected kind ([[JdbcColumn.kind]]) — the reference's
+    * `normalizeValueType` (`operations.go:150-193`): strings escape+quote,
+    * bools quote, numerics pass through raw, epoch-second integers headed
+    * for time columns render as a timestamp literal, anything unknown
+    * passes through for the target to interpret.
+    *
+    * Two deliberate deviations from the reference, both safety-tightening:
+    * raw numeric passthrough is validated against a numeric shape (the
+    * reference trusts the value, `operations.go:158-165`), and the
+    * timestamp spelling is the SQL-standard `yyyy-MM-dd HH:mm:ss` UTC that
+    * JDBC targets accept rather than Go's RFC3339.
+    */
+  def normalizeValue(value: String, kind: String): String = kind match {
+    case "string" => escapeString(value)
+    case "bool"   => "'" + value + "'"
+    case "int64" | "float64" | "decimal" =>
+      require(numericRe.pattern.matcher(value).matches(),
+        s"""non-numeric value "$value" for a $kind column""")
+      value
+    case "time" =>
+      if (integerRe.pattern.matcher(value).matches())
+        escapeString(epochFmt.format(java.time.Instant.ofEpochSecond(value.toLong)))
+      else escapeString(value)
+    case _ => value
+  }
 }
 
 /** Parsed sink-database connection string, matching the reference's

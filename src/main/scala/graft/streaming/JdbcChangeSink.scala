@@ -21,7 +21,8 @@ final class JdbcChangeSink(
     table: String,
     pkCol: String,
     moduleHash: String,
-    fieldCols: Seq[String]
+    fieldCols: Seq[String],
+    typedInfo: Option[graft.cdc.JdbcTableInfo] = None
 ) {
 
   def processBatch(batch: DataFrame, batchId: Long): Boolean = {
@@ -29,9 +30,12 @@ final class JdbcChangeSink(
     val rows = JdbcFlush.collectPending(
       ChangeLoader.pendingOps(batch, fieldCols), fieldCols)
     val mx = batch.agg(max("block")).collect()(0).getLong(0)
+    val cur = Cursor(moduleHash, s"cursor:$mx", mx, s"block:$mx")
     val conn = JdbcFlush.connect(url)
-    try JdbcFlush.flush(conn, table, pkCol, rows,
-      Cursor(moduleHash, s"cursor:$mx", mx, s"block:$mx"), batchId)
+    try typedInfo match {
+      case Some(info) => JdbcFlush.flushTyped(conn, info, rows, cur, batchId)
+      case None       => JdbcFlush.flush(conn, table, pkCol, rows, cur, batchId)
+    }
     finally conn.close()
   }
 
@@ -43,4 +47,21 @@ final class JdbcChangeSink(
       .trigger(trigger)
       .foreachBatch((b: DataFrame, id: Long) => { processBatch(b, id); () })
       .start()
+}
+
+object JdbcChangeSink {
+
+  /** Build a sink whose pk and field columns come from the LIVE target
+    * schema instead of hand-passed lists — the reference's `LoadTables`
+    * flow (`db/db.go:82-130`: introspect columns+pk, default pk `id`),
+    * with statements rendered through the introspected column types
+    * ([[graft.cdc.JdbcFlush.typedStatements]]).
+    */
+  def introspected(url: String, table: String, moduleHash: String): JdbcChangeSink = {
+    val conn = JdbcFlush.connect(url)
+    val info =
+      try graft.cdc.JdbcCatalog.tableInfo(conn, table)
+      finally conn.close()
+    new JdbcChangeSink(url, table, info.pkCol, moduleHash, info.fieldCols, Some(info))
+  }
 }
