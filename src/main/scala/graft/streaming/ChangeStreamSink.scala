@@ -64,6 +64,25 @@ object FlushPolicy {
   val LiveEach = 1L
 }
 
+/** Size-triggered compaction for the merge-on-read write path: the base
+  * re-materializes when EITHER the pending-delta count reaches `maxDeltas`
+  * (the read plan's depth bound) OR the deltas' accumulated on-disk bytes
+  * reach `maxDeltaBytes`. Count alone (the fixed `compactEvery` cadence)
+  * compacts a trickle of tiny deltas as eagerly as a burst of huge ones;
+  * a byte threshold makes compaction track the actual read amplification.
+  * Byte totals come from filesystem metadata (a driver-side listing of the
+  * delta tables' files — no Spark job, no data read).
+  */
+final case class CompactionPolicy(
+    maxDeltas: Int = Int.MaxValue,
+    maxDeltaBytes: Long = Long.MaxValue
+) {
+  require(maxDeltas >= 1, "maxDeltas must be ≥ 1")
+  require(maxDeltaBytes >= 1, "maxDeltaBytes must be ≥ 1")
+  require(maxDeltas != Int.MaxValue || maxDeltaBytes != Long.MaxValue,
+    "unbounded CompactionPolicy would never compact")
+}
+
 final class ChangeStreamSink(
     baseDir: String,
     moduleHash: String,
@@ -77,7 +96,11 @@ final class ChangeStreamSink(
       * Reads compose base + pending deltas, so the plan depth between
       * compactions is bounded by N.
       */
-    compactEvery: Int = 1
+    compactEvery: Int = 1,
+    /** When set, OVERRIDES `compactEvery`: merge-on-read deltas accumulate
+      * until the [[CompactionPolicy]]'s count or byte threshold trips.
+      */
+    compaction: Option[CompactionPolicy] = None
 ) {
   require(compactEvery >= 1, "compactEvery must be ≥ 1")
 
@@ -102,6 +125,19 @@ final class ChangeStreamSink(
 
   private def isDelta(spark: SparkSession, batchId: Long): Boolean =
     spark.catalog.tableExists(deltaTable(batchId))
+
+  /** On-disk bytes of a catalog table — a recursive file listing of its
+    * location (driver-side metadata only; no job, no footer reads).
+    */
+  private def tableBytes(spark: SparkSession, table: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.graftshim.GraftSqlShim.tableLocation(spark, table))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var sum = 0L
+    while (it.hasNext) sum += it.next().getLen
+    sum
+  }
 
   /** The newest committed snapshot (resolved through the cursor store).
     * With merge-on-read, pending deltas since the last materialized base
@@ -185,9 +221,15 @@ final class ChangeStreamSink(
     if (batch.isEmpty) return
     val t0 = System.currentTimeMillis()
     val collapsed = ChangeLoader.collapse(batch, fieldCols)
-    val pendingDeltas = store.allBatches(moduleHash).sorted.reverse
-      .takeWhile(isDelta(spark, _)).size
-    val materialize = compactEvery <= 1 || pendingDeltas >= compactEvery - 1
+    val pendingBids = store.allBatches(moduleHash).sorted.reverse
+      .takeWhile(isDelta(spark, _))
+    val materialize = compaction match {
+      case Some(cp) =>
+        pendingBids.size >= cp.maxDeltas ||
+          (cp.maxDeltaBytes != Long.MaxValue &&
+            pendingBids.map(b => tableBytes(spark, deltaTable(b))).sum >= cp.maxDeltaBytes)
+      case None => compactEvery <= 1 || pendingBids.size >= compactEvery - 1
+    }
     val tFlush = System.currentTimeMillis()
     if (materialize) {
       val prior = store.readWithBatch(moduleHash) match {
@@ -214,6 +256,9 @@ final class ChangeStreamSink(
       moduleHash, bid, maxBlock, minBlock, head.getLong(1), head.getLong(2),
       flushMillis = System.currentTimeMillis() - tFlush,
       wallMillis = math.max(1, System.currentTimeMillis() - t0)))
+    // live counters (the reference's process-wide metrics set)
+    LiveSinkStats.of(moduleHash).recordFlush(head.getLong(1), maxBlock,
+      (System.currentTimeMillis() - tFlush) * 1000000L)
   }
 
   /** Roll the sink back to an earlier committed batch (a chain-reorg /

@@ -31,12 +31,18 @@ final class JdbcChangeSink(
       ChangeLoader.pendingOps(batch, fieldCols), fieldCols)
     val mx = batch.agg(max("block")).collect()(0).getLong(0)
     val cur = Cursor(moduleHash, s"cursor:$mx", mx, s"block:$mx")
+    val t0 = System.nanoTime()
     val conn = JdbcFlush.connect(url)
-    try typedInfo match {
-      case Some(info) => JdbcFlush.flushTyped(conn, info, rows, cur, batchId)
-      case None       => JdbcFlush.flush(conn, table, pkCol, rows, cur, batchId)
-    }
-    finally conn.close()
+    val flushed =
+      try typedInfo match {
+        case Some(info) => JdbcFlush.flushTyped(conn, info, rows, cur, batchId)
+        case None       => JdbcFlush.flush(conn, table, pkCol, rows, cur, batchId)
+      }
+      finally conn.close()
+    if (flushed)
+      LiveSinkStats.of(moduleHash).recordFlush(rows.size.toLong, mx,
+        System.nanoTime() - t0)
+    flushed
   }
 
   def start(changes: DataFrame, checkpoint: String,

@@ -2,7 +2,7 @@ package graft
 
 import graft.cdc.{ChangeLoader, CursorStore}
 import graft.sources.Changes
-import graft.streaming.{ChangeRow, ChangeStreamSink, FlushPolicy, StatefulMerge, StreamOps}
+import graft.streaming.{ChangeRow, ChangeStreamSink, CompactionPolicy, FlushPolicy, StatefulMerge, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -192,6 +192,57 @@ class StreamingSpec extends SparkSpecBase {
       ChangeLoader.collapse(ch.filter(col("block") <= 500), fields), fields)
       .collect().map(_.toSeq).toSet
     assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet == expAt1)
+  }
+
+  test("size-based compaction: byte threshold trips on ACCUMULATED deltas") {
+    import spark.implicits._
+    val fields = Seq("amount", "kval", "note")
+    // identical-shape batches → near-identical delta bytes (deterministic trip)
+    def batch(i: Int) = (1 to 50).map { k =>
+      (i * 100L + k, (k % 25).toLong, "INSERT",
+        Some(k * 1.0), Some(k.toLong), Some("x" * 20))
+    }.toDF("block", "pk", "op", "amount", "kval", "note")
+    def bytesOf(table: String): Long = {
+      val p = java.nio.file.Paths.get(
+        org.apache.spark.sql.graftshim.GraftSqlShim.tableLocation(spark, table))
+      java.nio.file.Files.walk(p).filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+    }
+    def deltaName(s: ChangeStreamSink, i: Int) =
+      s.snapTable(i.toLong).replace(s"_v$i", s"_d$i")
+    // probe one delta's size with a count-only policy that never trips
+    val probeDir = Files.createTempDirectory("sink_szp").toString
+    val probe = new ChangeStreamSink(probeDir, "mod_szp", fields,
+      compaction = Some(CompactionPolicy(maxDeltas = 100)))
+    probe.processBatch(batch(0), 0)
+    assert(spark.catalog.tableExists(deltaName(probe, 0)), "probe flush must be a delta")
+    val unit = bytesOf(deltaName(probe, 0))
+    // threshold 2.5 units: flushes 0-2 stay deltas (0, 1, 2 units pending),
+    // flush 3 sees ~3 units pending ≥ 2.5 → materializes
+    val dir = Files.createTempDirectory("sink_sz").toString
+    val sink = new ChangeStreamSink(dir, "mod_sz", fields,
+      compaction = Some(CompactionPolicy(maxDeltas = 100,
+        maxDeltaBytes = (2.5 * unit).toLong)))
+    for (i <- 0 to 3) sink.processBatch(batch(i), i.toLong)
+    def exists(t: String) = spark.catalog.tableExists(t)
+    assert((0 to 2).forall(i => exists(deltaName(sink, i))),
+      "flushes below the byte threshold must stay deltas")
+    assert(exists(sink.snapTable(3)) && !exists(deltaName(sink, 3)),
+      "crossing the byte threshold must materialize the base")
+    // count bound still holds independently: maxDeltas=2 compacts 3rd flush
+    val dir2 = Files.createTempDirectory("sink_szc").toString
+    val sink2 = new ChangeStreamSink(dir2, "mod_szc", fields,
+      compaction = Some(CompactionPolicy(maxDeltas = 2)))
+    for (i <- 0 to 2) sink2.processBatch(batch(i), i.toLong)
+    assert(exists(deltaName(sink2, 0)) && exists(deltaName(sink2, 1)))
+    assert(exists(sink2.snapTable(2)), "maxDeltas bound must force compaction")
+    // composed read stays correct across the policy-driven layout
+    val all = (0 to 3).map(batch).reduce(_.unionAll(_))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      all.select(col("pk"), col("amount"), col("kval"), col("note")).schema)
+    val exp = ChangeLoader.applyBatch(empty, ChangeLoader.collapse(all, fields), fields)
+      .collect().map(_.toSeq).toSet
+    assert(sink.latestSnapshot(spark).get.collect().map(_.toSeq).toSet == exp)
   }
 
   test("flush cadence: historical modulo batches, per-block at the live edge") {
