@@ -59,9 +59,6 @@ object Dedup {
     * shingles via equi-join + groupBy is the canonical distributed Jaccard
     * and benches ~10× faster here.
     */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shingleRowsOf(docs(s, dir))
-
   private[graft] def shingleRowsOf(docsDf: DataFrame): DataFrame = {
     val d = docsDf.select(col("doc_id"), col("lang"), col("source"),
       split(col("text"), " ").as("ws"))
@@ -110,6 +107,61 @@ object Dedup {
   val NgramDfCap = 256
   val LshBucketCap = 512
 
+  /** Per-run knobs for the hot-key caps: `spark.graft.dedup.ngramDfCap` /
+    * `spark.graft.dedup.lshBucketCap` override the compile-time defaults at
+    * runtime (production corpora need tuning; the defaults keep DuckDB
+    * oracle hash-parity, whose SQL interpolates the constants).
+    */
+  val NgramDfCapKey = "spark.graft.dedup.ngramDfCap"
+  val LshBucketCapKey = "spark.graft.dedup.lshBucketCap"
+
+  private def capFromConf(s: SparkSession, key: String, default: Int): Int =
+    s.conf.getOption(key).map(_.toInt).getOrElse(default)
+
+  def ngramDfCap(s: SparkSession): Int = capFromConf(s, NgramDfCapKey, NgramDfCap)
+  def lshBucketCap(s: SparkSession): Int = capFromConf(s, LshBucketCapKey, LshBucketCap)
+
+  /** Exact-Jaccard verification of candidate pairs: re-join the FULL
+    * shingle rows on both sides and count shared hashes (codegen equi-join
+    * + agg). `cand` carries (doc_a, doc_b, n_a, n_b); `e` is (doc_id, h).
+    */
+  private def verifyJaccard(cand: DataFrame, e: DataFrame, tau: Double): DataFrame = {
+    val ver = cand
+      .join(e.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(e.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_int"))
+      .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
+    ver.filter(col("n_int").cast(DoubleType) / col("n_uni") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_int").cast(DoubleType) / col("n_uni"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** PUBLIC n-gram near-dup operator over any (doc_id, lang, source, text)
+    * frame, hot-key cap tunable per call (≤ 0 → resolve from
+    * [[NgramDfCapKey]] conf, else the default).
+    */
+  def ngramJaccardPairs(docsDf: DataFrame, tau: Double = 0.5,
+      dfCap: Int = 0): DataFrame = {
+    val cap = if (dfCap > 0) dfCap else ngramDfCap(docsDf.sparkSession)
+    val e = shingleRowsOf(docsDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(ngramCandidates(e, tau, cap), e.select("doc_id", "h"), tau)
+  }
+
+  /** PUBLIC MinHash-LSH near-dup operator over any (doc_id, text) frame,
+    * bucket cap tunable per call (≤ 0 → [[LshBucketCapKey]] conf).
+    */
+  def minhashLshPairs(docsDf: DataFrame, tau: Double = 0.35,
+      bucketCap: Int = 0): DataFrame = {
+    val s = docsDf.sparkSession
+    val cap = if (bucketCap > 0) bucketCap else lshBucketCap(s)
+    val e = shingleRowsOf(docsDf).select("doc_id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(minhashCandidates(s, e, cap), e, tau)
+  }
+
   val defs: Map[String, OpDef] = Map(
     // ---- #29 exact dedup: keep min doc_id per identical text -------------
     // groupBy is on md5(text): at 100 TB the shuffle moves 16-byte keys +
@@ -122,6 +174,33 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val h = docs(s, dir).select(col("doc_id"), md5(col("text")).as("th"))
+      val keep = h.groupBy("th").agg(min("doc_id").as("keep_id"))
+      h.join(keep, "th")
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select("doc_id", "keep_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- #29b normalized exact dedup: bag-of-words canonical key ---------
+    // lower → distinct words → sort → md5: one canonical digest for any
+    // re-ordered / re-cased / word-repeated variant of the same content.
+    // Raw md5(text) finds nothing in the synthetic corpus below sf0.1, so
+    // this row keeps the exact-dedup oracle NON-vacuous at the gate SF
+    // while exercising the same 16-byte-digest shuffle shape.
+    "dedup_exact_norm" -> OpDef(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS th
+        |  FROM documents),
+        |k AS (SELECT th, MIN(doc_id) AS keep_id FROM h GROUP BY th)
+        |SELECT h.doc_id, k.keep_id FROM h JOIN k USING (th)
+        |WHERE h.doc_id <> k.keep_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val h = docs(s, dir).select(col("doc_id"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), " "))))).as("th"))
       val keep = h.groupBy("th").agg(min("doc_id").as("keep_id"))
       h.join(keep, "th")
         .filter(col("doc_id") =!= col("keep_id"))
@@ -164,23 +243,7 @@ object Dedup {
          |  round(CAST(n_int AS DOUBLE) / n_uni, 4) AS jaccard
          |FROM p WHERE CAST(n_int AS DOUBLE) / n_uni >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, dir) =>
-      val e = shingleRows(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = ngramCandidates(e, tau = 0.5, dfCap = NgramDfCap)
-      // Exact verify over the FULL shingle rows: cand carries only ids +
-      // set sizes, the intersection count is a codegen equi-join + agg.
-      val ver = cand
-        .join(e.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-        .join(e.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(count(lit(1)).as("n_int"))
-        .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
-      ver.filter(col("n_int").cast(DoubleType) / col("n_uni") >= 0.5)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("n_int").cast(DoubleType) / col("n_uni"), 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
+    ) { (s, dir) => ngramJaccardPairs(docs(s, dir), tau = 0.5) },
 
     // ---- #31 MinHash + LSH candidate pairs, Jaccard-verified -------------
     // sig_j = min over shingles of md5(j || ':' || shingle); bands of 4 sigs
@@ -219,30 +282,7 @@ object Dedup {
          |SELECT doc_a, doc_b, round(CAST(n_int AS DOUBLE) / n_uni, 4) AS jaccard
          |FROM ver WHERE CAST(n_int AS DOUBLE) / n_uni >= 0.35
          |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, dir) =>
-      // Signature: ALL 16 permutation minima in ONE typed aggregate pass
-      // over the shingle ROWS (MinHashAgg — a tight primitive-array loop
-      // per row, partials merged map-side like declarative min()s). The
-      // shingle rows are consumed three times (signature + both verify
-      // sides) — persist them (disk-spillable) instead of recomputing the
-      // scan+hash pipeline.
-      val e = shingleRows(s, dir).select("doc_id", "h")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = minhashCandidates(s, e)
-      // Candidate pairs carry only ids + sizes; the exact-Jaccard verify
-      // re-joins the shingle rows and counts shared hashes (codegen agg).
-      val ver = cand
-        .join(e.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-        .join(e.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(count(lit(1)).as("n_int"))
-        .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
-      ver
-        .filter(col("n_int").cast(DoubleType) / col("n_uni") >= 0.35)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("n_int").cast(DoubleType) / col("n_uni"), 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
+    ) { (s, dir) => minhashLshPairs(docs(s, dir), tau = 0.35) },
 
     // ---- #32 SimHash 60-bit signature per doc ----------------------------
     // bit i of sig = majority vote of bit i over the doc's distinct token
@@ -521,7 +561,7 @@ object Dedup {
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 2,
       numBands: Int = 3, bandBits: Int = 20,
-      bucketCap: Int = LshBucketCap): DataFrame =
+      bucketCap: Int = 0): DataFrame =
     simhashPairsOf(docs(s, dir), maxHamming, numBands, bandBits, bucketCap)
 
   /** [[simhashPairs]] over an explicit documents frame (`doc_id`, `text`).
@@ -531,12 +571,13 @@ object Dedup {
     * generation — its members still pair through their other bands, and
     * byte-identical docs belong to `dedup_exact` upstream, not here.
     */
-  private[graft] def simhashPairsOf(docsDf: DataFrame, maxHamming: Int = 2,
+  def simhashPairsOf(docsDf: DataFrame, maxHamming: Int = 2,
       numBands: Int = 3, bandBits: Int = 20,
-      bucketCap: Int = LshBucketCap): DataFrame = {
+      bucketCap: Int = 0): DataFrame = {
     require(numBands * bandBits <= 60, "bands must fit the 60-bit signature")
     require(maxHamming <= numBands - 1,
       s"$numBands bands only guarantee recall at radius ${numBands - 1}")
+    val cap = if (bucketCap > 0) bucketCap else lshBucketCap(docsDf.sparkSession)
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val sig = docsDf.select(col("doc_id"),
       call_function("simhash64", array_distinct(split(col("text"), " "))).as("sig"))
@@ -550,7 +591,7 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bb.b").as("b"), col("bb.bkey").as("bkey"))
     val cold = bands.withColumn("_bs",
         count(lit(1)).over(Window.partitionBy("b", "bkey")))
-      .filter(col("_bs") <= bucketCap).drop("_bs")
+      .filter(col("_bs") <= cap).drop("_bs")
     val l = cold.select(col("b"), col("bkey"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val r = cold.select(col("b"), col("bkey"),

@@ -23,7 +23,12 @@ object GraftFunctions {
     "count_in" -> { args => CountIn(args(0), args(1)) },
     // one-pass 16-permutation MinHash signature (aggregate)
     "minhash16" -> { args =>
-      MinHashAgg(args(0), MinHashAgg.defaultA, MinHashAgg.defaultB, MinHashAgg.Prime) }
+      MinHashAgg(args(0), MinHashAgg.defaultA, MinHashAgg.defaultB, MinHashAgg.Prime) },
+    // space-saving heavy hitters: topk_approx(value, k, capacity) (aggregate)
+    "topk_approx" -> { args =>
+      TopKAgg(args(0),
+        k = args(1).eval(null).asInstanceOf[Number].intValue(),
+        capacity = args(2).eval(null).asInstanceOf[Number].intValue()) }
   )
 
   def register(spark: SparkSession): Unit = {

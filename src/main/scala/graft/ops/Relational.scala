@@ -533,6 +533,50 @@ object Relational {
         .agg(max(when(col("event_type") === "purchase" && col("ts") > col("t_click"), 1)
           .otherwise(0)).as("hit"))
         .agg(count(lit(1)).as("n_users"), sum("hit").cast(LongType).as("n_matched"))
+    },
+
+    // ---- #56 heavy hitters (ClickHouse topK surface) ----------------------
+    // Space-saving aggregate ([[graft.functions.TopKAgg]]): O(capacity)
+    // memory per group at any scale. capacity=1024 ≥ the distinct users per
+    // type at the test SFs, where space-saving is EXACT — so the oracle can
+    // pin the result while the same plan caps memory on a 100 TB corpus.
+    // Ties break by (count desc, value asc) — binary string order, both
+    // engines.
+    "topk_approx" -> OpDef(
+      """WITH c AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, u,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt DESC, u) AS rn
+        |  FROM c)
+        |SELECT event_type, list(u ORDER BY rn) AS top_users
+        |FROM r WHERE rn <= 5
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(call_function("topk_approx",
+          col("user_id").cast(StringType), lit(5), lit(1024)).as("top_users"))
+        .orderBy("event_type")
+    },
+
+    // ---- #57 mergeable HLL sketch column (ClickHouse uniqCombined surface)
+    // Datasketches HLL via Spark's native hll_sketch_agg: per-type sketch
+    // BYTES are the aggregation state (re-aggregable at coarser grain
+    // without rescanning — the uniqCombinedState/-Merge pattern), union-
+    // merged into the __all__ roll-up row. Rows-only: estimates are
+    // algorithm-specific; the spec pins accuracy and exact merge identity.
+    "uniq_hll" -> OpDef.rowsOnly { (s, dir) =>
+      val sk = tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val per = sk.select(col("event_type"), hll_sketch_estimate(col("sk")).as("uniq_users"))
+      val all = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("uniq_users"))
+        .select(lit("__all__").as("event_type"), col("uniq_users"))
+      per.unionByName(all).orderBy("event_type")
     }
   )
 }

@@ -82,9 +82,61 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.count() == 0)
   }
 
+  test("hot-key caps are runtime-tunable via spark conf and public API params") {
+    import spark.implicits._
+    val hotNgram = (1L to 40L).map { i =>
+      (i, "en", "web", s"hot hot hot u$i v$i w$i x$i")
+    }.toDF("doc_id", "lang", "source", "text")
+    val hotSim = (1L to 40L)
+      .map(i => (i, "all the same boilerplate text body here"))
+      .toDF("doc_id", "text")
+    try {
+      // conf knob reaches the full public operators without explicit params
+      spark.conf.set(graft.dedup.Dedup.NgramDfCapKey, "8")
+      spark.conf.set(graft.dedup.Dedup.LshBucketCapKey, "8")
+      assert(graft.dedup.Dedup.ngramDfCap(spark) == 8)
+      assert(graft.dedup.Dedup.lshBucketCap(spark) == 8)
+      assert(graft.dedup.Dedup.ngramJaccardPairs(hotNgram, tau = 0.0).count() == 0,
+        "conf-set df-cap must reach ngramJaccardPairs")
+      assert(graft.dedup.Dedup.simhashPairsOf(hotSim).count() == 0,
+        "conf-set bucket cap must reach simhashPairsOf")
+      // explicit param overrides the conf (40 identical docs, cap 100 holds them)
+      assert(graft.dedup.Dedup.simhashPairsOf(hotSim, bucketCap = 100).count()
+        == 40L * 39 / 2)
+    } finally {
+      spark.conf.unset(graft.dedup.Dedup.NgramDfCapKey)
+      spark.conf.unset(graft.dedup.Dedup.LshBucketCapKey)
+    }
+    // defaults restored: conf-free resolution falls back to the constants
+    assert(graft.dedup.Dedup.ngramDfCap(spark) == graft.dedup.Dedup.NgramDfCap)
+    assert(graft.dedup.Dedup.lshBucketCap(spark) == graft.dedup.Dedup.LshBucketCap)
+  }
+
   test("exact dedup emits only non-keeper ids, keeper < dup") {
     val rows = run("dedup_exact").collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(0)))
+  }
+
+  test("normalized exact dedup: non-vacuous at the fixture SF, canonical keys") {
+    val rows = run("dedup_exact_norm").collect()
+    assert(rows.nonEmpty, "normalized dedup must find matches at sf0.001")
+    assert(rows.forall(r => r.getLong(1) < r.getLong(0)))
+    // reordered / re-cased / word-repeated variants collapse to one keeper
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "Gamma ALPHA beta"),
+      (3L, "beta beta gamma alpha"),
+      (4L, "entirely different words")).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, col, concat_ws, lower, md5, min, split}
+    val h = docsDf.select(col("doc_id"),
+      md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(col("text")), " "))))).as("th"))
+    val keep = h.groupBy("th").agg(min("doc_id").as("keep_id"))
+    val got = h.join(keep, "th").filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id", "keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (3L, 1L)))
   }
 
   test("minhash-lsh pairs all meet the jaccard threshold, ordered a<b") {

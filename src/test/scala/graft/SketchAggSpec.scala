@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The ClickHouse-surface sketch aggregates: space-saving topK
+  * (`graft.functions.TopKAgg`) and the mergeable HLL uniq column.
+  */
+class SketchAggSpec extends SparkSpecBase {
+
+  test("topk_approx with ample capacity equals the exact SQL top-k") {
+    val got = run("topk_approx").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+    val exact = ev.groupBy(col("event_type"), col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rows) =>
+        et -> rows.map(r => (r.getString(1), r.getLong(2)))
+          .sortBy { case (u, c) => (-c, u) }.take(5).map(_._1).toSeq
+      }
+    assert(got == exact)
+    assert(got.nonEmpty && got.values.forall(_.size == 5))
+  }
+
+  test("space-saving guarantee under eviction + partial merges") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 500×heavy + 100×mid + 200 singleton fillers, capacity 16 ≪ 202
+    // distinct. Guarantee: any value with count > n/capacity (= 50) is
+    // tracked; overestimates are bounded by the evicted minimum, which never
+    // exceeds n/capacity — so heavy and mid must rank 1 and 2 even after
+    // map-side partial merges (repartition(7) forces them).
+    val rows = Seq.fill(500)("heavy") ++ Seq.fill(100)("mid") ++
+      (1 to 200).map(i => s"filler_$i")
+    val df = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+      .shuffle(rows).toDF("v").repartition(7)
+    val top = df.agg(call_function("topk_approx", col("v"), lit(3), lit(16)))
+      .collect()(0).getSeq[String](0)
+    assert(top.take(2) == Seq("heavy", "mid"), s"got $top")
+  }
+
+  test("uniq_hll: estimates track exact counts; union merge equals direct sketch") {
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val got = run("uniq_hll").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet + "__all__")
+    (exact + ("__all__" -> exactAll)).foreach { case (k, n) =>
+      val est = got(k).toDouble
+      assert(math.abs(est - n) / n <= 0.05, s"$k: est $est vs exact $n")
+    }
+    // merge identity: union of per-type sketches == one global sketch
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .collect()(0).getLong(0)
+    assert(got("__all__") == direct,
+      "union-merged estimate must equal the direct global sketch")
+  }
+}
