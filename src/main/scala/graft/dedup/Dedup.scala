@@ -496,6 +496,12 @@ object Dedup {
     * Input: `a`, `b` columns (one row per undirected edge). Output:
     * (node, component) where component = the minimum node id reachable.
     */
+  /** Plan audit of the last label-propagation round (spec hook — pins the
+    * one-exchange-per-round shape the same way ChangeStreamSink exposes
+    * `lastApplyAudit`).
+    */
+  @volatile private[graft] var lastPropagationAudit: Option[graft.PlanAudit.Audit] = None
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       checkEvery: Int = 2): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
@@ -531,12 +537,14 @@ object Dedup {
       // diameter (chains would otherwise dominate the round count). The
       // lookup side is the CHECKPOINTED previous labels, so the self-join
       // never recomputes `merged`.
-      val next = merged
+      val computed = merged
         .join(labels.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val next = computed.localCheckpoint(true)
+      lastPropagationAudit = Some(graft.PlanAudit.audit(
+        computed.queryExecution.executedPlan))
       labels = next
       iter += 1
       // amortize the convergence action: a changed round and its check can

@@ -577,6 +577,22 @@ object Relational {
       val all = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("uniq_users"))
         .select(lit("__all__").as("event_type"), col("uniq_users"))
       per.unionByName(all).orderBy("event_type")
+    },
+
+    // ---- #58 mergeable approximate quantiles (CH quantileTDigest surface)
+    // percentile_approx is Spark's mergeable quantile sketch (GK-style):
+    // bounded memory per group at any scale, partials merge map-side —
+    // unlike exact percentile_cont (#23), which buffers the group. Rows-only
+    // (sketch values are engine-specific); the spec pins rank-error bounds
+    // against the exact distribution.
+    "quantiles_approx" -> OpDef.rowsOnly { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("q"))
+        .select(col("event_type"),
+          col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
+        .orderBy("event_type")
     }
   )
 }

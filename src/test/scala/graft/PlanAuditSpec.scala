@@ -45,4 +45,25 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(a.fallbackExprs.isEmpty, s"$q has interpreted exprs: ${a.fallbackExprs}")
     }
   }
+
+  // r3 shape: the df-cap window partitions on (lang, source, h) — the pair
+  // join's own key — so the guard must ride the join's shuffle, not add its
+  // own exchange. 6 is the full query's exchange count with the guard fused;
+  // a 7th means the window started repartitioning separately.
+  test("ngram hot-key guard window rides the candidate join's shuffle") {
+    val a = auditOf(run("dedup_ngram_jaccard"))
+    assert(a.shuffles == 6, s"guard window must not add an exchange: $a")
+  }
+
+  // r3 shape: one label-propagation round = the self-label union folded into
+  // the neighbor groupBy (ONE output distribution — two exchange nodes, one
+  // per union branch, feeding the same hash aggregation) + a broadcast
+  // pointer-jump join. A third exchange means the fold regressed to a
+  // separate merge step.
+  test("clusters propagation round: one shuffled distribution, no sort-merge") {
+    run("dedup_clusters").count()
+    val a = graft.dedup.Dedup.lastPropagationAudit.get
+    assert(a.shuffles <= 2, s"propagation round grew extra exchanges: $a")
+    assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
 }

@@ -39,6 +39,25 @@ class SketchAggSpec extends SparkSpecBase {
     assert(top.take(2) == Seq("heavy", "mid"), s"got $top")
   }
 
+  test("quantiles_approx: each estimate sits within the rank-error window") {
+    val got = run("quantiles_approx").collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+    got.foreach { case (et, qs) =>
+      val vals = ev.filter(col("event_type") === et)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      Seq(0.5, 0.95, 0.99).zip(qs).foreach { case (p, est) =>
+        // accuracy 1000 → rank error ≤ n/1000 (+1 slack for discreteness)
+        val eps = n / 1000 + 1
+        val lo = vals(math.max(0, (p * (n - 1)).toInt - eps))
+        val hi = vals(math.min(n - 1, math.ceil(p * (n - 1)).toInt + eps))
+        assert(est >= lo && est <= hi, s"$et p$p: $est outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("uniq_hll: estimates track exact counts; union merge equals direct sketch") {
     val ev = graft.sources.Tables(spark, sfDir, "events")
     val exact = ev.groupBy("event_type")
