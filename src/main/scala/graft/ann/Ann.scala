@@ -153,7 +153,10 @@ object Ann extends Serializable {
     },
 
     // ---- #35 LSH-bucketed ANN (rows-only + recall spec) ------------------
-    "ann_lsh" -> OpDef.rowsOnly { (s, dir) => lshTopK(s, dir) }
+    "ann_lsh" -> OpDef.rowsOnly { (s, dir) => lshTopK(s, dir) },
+
+    // ---- #35b IVF ANN (rows-only + recall spec) --------------------------
+    "ann_ivf" -> OpDef.rowsOnly { (s, dir) => ivfTopK(s, dir) }
   )
 
   /** LSH candidate generation + exact re-rank.
@@ -207,10 +210,17 @@ object Ann extends Serializable {
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
 
-    // Exact re-rank through the native codegen'd cosine_sim expression: the
-    // candidate rows broadcast-join the (tiny) probe VECTORS, so scoring
-    // stays inside whole-stage codegen — no typed ser/de, no per-row probe
-    // scan.
+    rerank(s, dir, cand, probeArr, k)
+  }
+
+  /** Exact re-rank of (probe_id, vec_id) candidates through the native
+    * codegen'd cosine_sim expression: candidate rows broadcast-join the
+    * (tiny) probe VECTORS, so scoring stays inside whole-stage codegen — no
+    * typed ser/de, no per-row probe scan. Shared by the LSH and IVF paths.
+    */
+  private def rerank(s: SparkSession, dir: String, cand: DataFrame,
+      probeArr: Array[(Long, Array[Float])], k: Int): DataFrame = {
+    import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val probeVecs = probeArr.toSeq.map { case (pid, pv) => (pid, pv.toSeq) }
       .toDF("probe_id", "probe_emb")
@@ -226,5 +236,72 @@ object Ann extends Serializable {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rn"), round(col("cos"), 4).as("cosine"))
       .orderBy("probe_id", "rn")
+  }
+
+  // IVF geometry: a coarse quantizer of `Cells` centroids; queries probe the
+  // `NProbe` nearest cells. At these test SFs that is half the corpus; at
+  // 100 TB the same shape runs cells=65536, nprobe=32 — ~0.05% of the
+  // corpus per query, with the centroid table still a broadcast-size array.
+  val Cells = 8
+  val NProbe = 4
+
+  private def cosineD(c: Array[Double], e: Seq[Float]): Double = {
+    var dp = 0.0; var nc = 0.0; var ne = 0.0; var i = 0
+    while (i < e.length) {
+      val ev = e(i).toDouble
+      dp += c(i) * ev; nc += c(i) * c(i); ne += ev * ev; i += 1
+    }
+    dp / (math.sqrt(nc) * math.sqrt(ne))
+  }
+
+  /** Nearest cells by centroid cosine, ties to the lower cell index. */
+  private def nearestCells(cents: Array[Array[Double]], e: Seq[Float],
+      n: Int): Seq[Int] =
+    cents.indices.map(i => (-cosineD(cents(i), e), i)).sorted.take(n).map(_._2)
+
+  /** IVF ANN: deterministic md5-seeded centroids refined by `lloydIters`
+    * distributed Lloyd rounds (assignment is a narrow map over broadcast
+    * centroids; the update is a posexplode + (cell, dim) avg whose result —
+    * cells × Dim doubles — collects to the driver, which loops over
+    * ITERATIONS only). Vectors then land in ONE cell each (vs. L bucket
+    * rows in LSH — IVF's storage advantage), probes fan out to `nprobe`
+    * cells, and candidates re-rank exactly.
+    */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = K, cells: Int = Cells,
+      nprobe: Int = NProbe, lloydIters: Int = 2): DataFrame = {
+    import s.implicits._
+    val emb = embDs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic seeds: the `cells` vectors with smallest md5(vec_id) —
+    // an order-free pseudo-random sample, reproducible across runs
+    var centroids: Array[Array[Double]] = emb.toDF("vec_id", "embedding", "label")
+      .withColumn("h", md5(col("vec_id").cast(StringType)))
+      .orderBy("h").limit(cells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to lloydIters) {
+      val cbc = centroids
+      val means = emb
+        .map(e => (nearestCells(cbc, e.embedding, 1).head, e.embedding.map(_.toDouble)))
+        .toDF("cell", "e")
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty cells keep their centroid
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+    val cbc = centroids
+    val vecCells = emb.map(e => (e.vec_id, nearestCells(cbc, e.embedding, 1).head))
+      .toDF("vec_id", "cell")
+    val probeArr = probes(s, dir)
+    val probeCells = probeArr.toSeq
+      .flatMap { case (pid, pv) => nearestCells(cbc, pv.toSeq, nprobe).map(c => (pid, c)) }
+      .toDF("probe_id", "cell")
+    val cand = vecCells
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    rerank(s, dir, cand, probeArr, k)
   }
 }

@@ -502,10 +502,67 @@ object Dedup {
     */
   @volatile private[graft] var lastPropagationAudit: Option[graft.PlanAudit.Audit] = None
 
+  /** Default edge-count threshold for the small-graph fast path, tunable
+    * per run via this conf key. 2M edges collect to ~100 MB of driver
+    * tuples — comfortably inside any driver that runs a 100 TB job.
+    */
+  val SmallGraphEdgesKey = "spark.graft.dedup.smallGraphEdges"
+  val SmallGraphEdgesDefault = 2000000L
+
+  /** Driver-side union-find (path-halving + union-by-attach-to-min): for a
+    * collected edge list, component = min reachable id — byte-identical
+    * semantics to the distributed propagation.
+    */
+  private def unionFind(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      // attach the larger root under the smaller — roots stay component minima
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val nodes = new java.util.HashSet[Long]()
+    edges.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    val out = Vector.newBuilder[(Long, Long)]
+    val it = nodes.iterator()
+    while (it.hasNext) { val n = it.next(); out += (n -> find(n)) }
+    out.result()
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-      checkEvery: Int = 2): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      checkEvery: Int = 2, smallGraphEdges: Long = -1L): DataFrame = {
+    val s = edges.sparkSession
+    val threshold =
+      if (smallGraphEdges >= 0) smallGraphEdges
+      else s.conf.getOption(SmallGraphEdgesKey).map(_.toLong)
+        .getOrElse(SmallGraphEdgesDefault)
+    val e2 = edges.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hybrid: a dedup pair graph is orders of magnitude smaller than its
+    // corpus (edges exist only between near-dups). When it fits on the
+    // driver, ONE collect + union-find replaces ~log(diameter)×2 Spark jobs
+    // — the rounds, not the data, dominate small-graph wall time. Beyond
+    // the threshold the distributed propagation below is the design that
+    // holds for billion-edge graphs.
+    if (e2.count() <= threshold) {
+      import s.implicits._
+      val comp = unionFind(e2.collect().map(r => (r.getLong(0), r.getLong(1))))
+      e2.unpersist(blocking = false)
+      return comp.toDF("node", "component")
+    }
+    val sym = e2
+      .unionByName(e2.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (eager) truncates the plan lineage every iteration —
     // without it the logical plan doubles per round and planning time,
@@ -556,6 +613,7 @@ object Dedup {
       }
     }
     sym.unpersist()
+    e2.unpersist(blocking = false)
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -35,6 +35,22 @@ class AnnSpec extends SparkSpecBase {
     assert(multi >= single, s"multiprobe $multi must not lose to single $single")
   }
 
+  test("ivf recall@5: nprobe cells beat a single cell; ≥ 0.5 at nprobe=4/8") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(bf)
+    def recallAt(nprobe: Int) = {
+      val approx = pairs(Ann.ivfTopK(spark, sfDir, nprobe = nprobe).collect())
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val one = recallAt(1)
+    val four = recallAt(4)
+    assert(four >= 0.5, s"ivf nprobe=4 recall $four")
+    assert(four >= one, s"more probed cells must not lose recall ($four vs $one)")
+    // vectors store ONE cell row each (vs L bucket rows in LSH)
+    assert(Ann.ivfTopK(spark, sfDir).collect().nonEmpty)
+  }
+
   test("deterministic hyperplanes are reproducible and bounded") {
     val a = Ann.hyperplanes
     assert(a.length == Ann.Tables_ && a(0).length == Ann.Bits && a(0)(0).length == Ann.Dim)

@@ -40,6 +40,16 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("clusters small-graph fast path equals distributed propagation") {
+    val pairs = graft.dedup.Dedup.simhashPairs(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val fast = graft.dedup.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = graft.dedup.Dedup.connectedComponents(pairs, smallGraphEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.nonEmpty && fast == dist)
+  }
+
   test("df-cap drops a hot shingle from ngram candidate generation") {
     import spark.implicits._
     // 40 docs share ONE boilerplate 3-gram ("hot hot hot"); all other

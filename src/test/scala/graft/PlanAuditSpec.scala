@@ -61,7 +61,12 @@ class PlanAuditSpec extends SparkSpecBase {
   // pointer-jump join. A third exchange means the fold regressed to a
   // separate merge step.
   test("clusters propagation round: one shuffled distribution, no sort-merge") {
-    run("dedup_clusters").count()
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.dedup.Dedup.simhashPairs(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // smallGraphEdges = 0 forces the distributed propagation path (the
+    // small-graph union-find would otherwise absorb this fixture)
+    graft.dedup.Dedup.connectedComponents(pairs, smallGraphEdges = 0).count()
     val a = graft.dedup.Dedup.lastPropagationAudit.get
     assert(a.shuffles <= 2, s"propagation round grew extra exchanges: $a")
     assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
