@@ -28,7 +28,13 @@ object GraftFunctions {
     "topk_approx" -> { args =>
       TopKAgg(args(0),
         k = args(1).eval(null).asInstanceOf[Number].intValue(),
-        capacity = args(2).eval(null).asInstanceOf[Number].intValue()) }
+        capacity = args(2).eval(null).asInstanceOf[Number].intValue()) },
+    // weighted variant: topk_weighted(value, weight, k, capacity)
+    "topk_weighted" -> { args =>
+      TopKAgg(args(0),
+        k = args(2).eval(null).asInstanceOf[Number].intValue(),
+        capacity = args(3).eval(null).asInstanceOf[Number].intValue(),
+        weight = Some(args(1))) }
   )
 
   def register(spark: SparkSession): Unit = {

@@ -32,13 +32,17 @@ final case class TopKAgg(
     child: Expression,
     k: Int,
     capacity: Int,
+    /** When set, each row contributes this weight instead of 1 — the
+      * ClickHouse `topKWeighted` surface. Must evaluate to a long.
+      */
+    weight: Option[Expression] = None,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKAgg.State] {
 
   require(k >= 1 && capacity >= k, "need capacity ≥ k ≥ 1")
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -46,7 +50,15 @@ final case class TopKAgg(
 
   override def update(buf: TopKAgg.State, input: InternalRow): TopKAgg.State = {
     val v = child.eval(input)
-    if (v != null) buf.offer(v.asInstanceOf[UTF8String], 1L, 0L, capacity)
+    if (v != null) {
+      val w = weight match {
+        case None => 1L
+        case Some(we) =>
+          val wv = we.eval(input)
+          if (wv == null) 0L else wv.asInstanceOf[Number].longValue()
+      }
+      if (w > 0) buf.offer(v.asInstanceOf[UTF8String], w, 0L, capacity)
+    }
     buf
   }
 
@@ -122,8 +134,9 @@ final case class TopKAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
-  override def prettyName: String = "topk_approx"
+    copy(child = newChildren.head, weight = newChildren.lift(1))
+  override def prettyName: String =
+    if (weight.isDefined) "topk_weighted" else "topk_approx"
 }
 
 object TopKAgg {

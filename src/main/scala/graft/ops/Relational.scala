@@ -593,6 +593,67 @@ object Relational {
         .select(col("event_type"),
           col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
         .orderBy("event_type")
+    },
+
+    // ---- #59 argMin (CH argMin — the #46 mirror) --------------------------
+    "arg_min" -> OpDef(
+      """SELECT user_id, event_type AS bottom_type, value AS bottom_value FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value ASC, event_id ASC) AS rn
+        |  FROM events) q
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min_by(col("event_type"), struct(col("value"), col("event_id"))).as("bottom_type"),
+          min(struct(col("value"), col("event_id"))).getField("value").as("bottom_value"))
+        .orderBy("user_id")
+    },
+
+    // ---- #60 bitwise aggregates (CH groupBitAnd/Or/Xor) -------------------
+    // Pure partial-mergeable aggregates: one shuffle of 3 longs per group.
+    "group_bit_agg" -> OpDef(
+      """SELECT event_type,
+        |  bit_and(user_id) AS b_and,
+        |  bit_or(user_id) AS b_or,
+        |  bit_xor(user_id) AS b_xor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          bit_and(col("user_id")).as("b_and"),
+          bit_or(col("user_id")).as("b_or"),
+          bit_xor(col("user_id")).as("b_xor"))
+        .orderBy("event_type")
+    },
+
+    // ---- #61 weighted heavy hitters (CH topKWeighted) ---------------------
+    // Same space-saving aggregate as #56 with per-row weights (floor(value)
+    // — integral on both engines, so exact-capacity runs hash-match).
+    "topk_weighted" -> OpDef(
+      """WITH c AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+        |    SUM(CAST(floor(value) AS BIGINT)) AS w
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, u,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY w DESC, u) AS rn
+        |  FROM c)
+        |SELECT event_type, list(u ORDER BY rn) AS top_users
+        |FROM r WHERE rn <= 5
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(call_function("topk_weighted",
+          col("user_id").cast(StringType), floor(col("value")).cast(LongType),
+          lit(5), lit(1024)).as("top_users"))
+        .orderBy("event_type")
     }
   )
 }

@@ -22,6 +22,20 @@ class SketchAggSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.values.forall(_.size == 5))
   }
 
+  test("topk_weighted with ample capacity equals the exact weighted top-k") {
+    val got = run("topk_weighted").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+    val exact = ev.groupBy(col("event_type"), col("user_id").cast("string").as("u"))
+      .agg(sum(floor(col("value")).cast("long")).as("w")).collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rows) =>
+        et -> rows.map(r => (r.getString(1), r.getLong(2)))
+          .sortBy { case (u, w) => (-w, u) }.take(5).map(_._1).toSeq
+      }
+    assert(got == exact)
+  }
+
   test("space-saving guarantee under eviction + partial merges") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
