@@ -55,6 +55,13 @@ object StreamQueries {
         |ORDER BY user_id, session_start""".stripMargin
     ) { (s, dir) => StreamOps.sessionize(ev(s, dir)).orderBy("user_id", "session_start") },
 
+    // ---- #62 windowed distinct users (exact, streaming-capable) ----------
+    "stream_uniq" -> OpDef(
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  COUNT(DISTINCT user_id) AS uniq_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) => StreamOps.windowedUniques(ev(s, dir)).orderBy("day", "event_type") },
+
     // ---- #44 stream dedup (batch shape: keep-first per key) --------------
     "stream_dedup" -> OpDef(
       """SELECT user_id, event_type, MIN(event_id) AS event_id

@@ -41,6 +41,28 @@ object StreamOps {
         col("n_events"), col("sum_value"))
   }
 
+  /** #62 — windowed DISTINCT user counts per type (1-day windows): the
+    * streaming shape chains two stateful operators — watermarked
+    * per-window dedup (state: distinct keys inside the watermark) feeding a
+    * windowed count — giving EXACT distinct counts incrementally. The
+    * mergeable-sketch alternative for re-aggregation at rest is `uniq_hll`
+    * (§2.2 #57); this is the live-path twin.
+    */
+  def windowedUniques(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    // Chained windowed aggregations (the Spark 3.5+ multi-stateful pattern:
+    // the inner agg's window carries event time forward via window_time):
+    // inner = one row per (window, type, user) — the distinct set — outer
+    // counts it. Both stateful ops evict by the same watermark.
+    src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(window_time(col("w")), "1 day").as("w2"), col("event_type"))
+      .agg(count(lit(1)).as("uniq_users"))
+      .select(date_format(col("w2.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("uniq_users"))
+  }
+
   /** #44 — drop duplicate (user_id, event_type) arrivals; on streams the
     * watermark bounds the dedup state (dropDuplicatesWithinWatermark), in
     * batch it is an exact keep-first dedup.

@@ -342,4 +342,31 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got.subsetOf(batch)) // emitted = closed windows; all must match batch
   }
+
+  test("windowed DISTINCT users on a stream (chained stateful ops) match batch") {
+    implicit val s = spark
+    import s.implicits._
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value")
+      .as[(Long, Long, String, java.sql.Timestamp, Double)]
+      .collect().sortBy(_._4.getTime)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val q = StreamOps.windowedUniques(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("wu").outputMode("append").start()
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select * from wu").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "no closed windows emitted")
+    val batch = StreamOps.windowedUniques(
+      spark.createDataFrame(ev.toSeq).toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.subsetOf(batch),
+      "streamed distinct counts must equal the batch shape on closed windows")
+  }
 }
