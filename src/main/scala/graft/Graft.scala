@@ -57,9 +57,51 @@ final class Graft(val spark: SparkSession, val dir: String) {
 
   def operators: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
+  // ---- external JDBC target (the reference's live-DB surface) -----------
+  /** First-run bootstrap: execute a DDL schema file against the target and
+    * ensure the reference-shape cursors table (`JdbcSetup`).
+    */
+  def jdbcSetup(url: String, schemaFile: java.nio.file.Path): Unit = {
+    val c = cdc.JdbcFlush.connect(url)
+    try cdc.JdbcSetup.setup(c, schemaFile) finally c.close()
+  }
+
+  /** Introspect every target table (+ cursors validation) — `LoadTables`. */
+  def jdbcLoadTables(url: String): Map[String, cdc.JdbcTableInfo] = {
+    val c = cdc.JdbcFlush.connect(url)
+    try cdc.JdbcCatalog.loadTables(c) finally c.close()
+  }
+
+  /** Streaming sink into a JDBC table whose pk/columns/types come from the
+    * live target schema.
+    */
+  def jdbcSink(url: String, table: String, moduleHash: String): streaming.JdbcChangeSink =
+    streaming.JdbcChangeSink.introspected(url, table, moduleHash)
+
+  /** Live operational counters + rate ticker for a running sink. */
+  def liveStats(moduleHash: String): streaming.LiveSinkStats =
+    streaming.LiveSinkStats.of(moduleHash)
+
+  // ---- dedup (over the `documents` table; caps conf- or param-tunable) --
+  def nearDupNgram(tau: Double = 0.5, dfCap: Int = 0): DataFrame =
+    dedup.Dedup.ngramJaccardPairs(table("documents"), tau, dfCap)
+
+  def nearDupMinhash(tau: Double = 0.35, bucketCap: Int = 0): DataFrame =
+    dedup.Dedup.minhashLshPairs(table("documents"), tau, bucketCap)
+
+  def nearDupSimhash(maxHamming: Int = 2): DataFrame =
+    dedup.Dedup.simhashPairs(spark, dir, maxHamming)
+
+  /** Transitive near-dup clusters from an (a, b) pair frame — hybrid
+    * union-find / distributed label propagation.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    dedup.Dedup.connectedComponents(pairs)
+
   // ---- ANN --------------------------------------------------------------
   def annBruteForce(): DataFrame = run("ann_bruteforce")
   def annLsh(k: Int = ann.Ann.K): DataFrame = ann.Ann.lshTopK(spark, dir, k)
+  def annIvf(k: Int = ann.Ann.K): DataFrame = ann.Ann.ivfTopK(spark, dir, k)
 
   // ---- as-of join --------------------------------------------------------
   /** Union+window composition — no session extensions needed. */

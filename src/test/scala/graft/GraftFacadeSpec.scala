@@ -52,4 +52,25 @@ class GraftFacadeSpec extends SparkSpecBase {
   test("facade registers native functions on construction") {
     assert(!g.spark.sql("SELECT cosine_sim(array(1.0F), array(1.0F)) c").isEmpty)
   }
+
+  test("facade r4 surface: jdbc bootstrap + introspected sink + dedup/ann entries") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:facadedb;create=true"
+    val schema = java.nio.file.Files.createTempFile("facade_schema", ".sql")
+    java.nio.file.Files.write(schema,
+      """CREATE TABLE "acct" ("id" VARCHAR(32) NOT NULL PRIMARY KEY,
+        |"bal" DOUBLE)""".stripMargin.getBytes("UTF-8"))
+    g.jdbcSetup(url, schema)
+    val tables = g.jdbcLoadTables(url)
+    assert(tables.keySet == Set("acct", "cursors"))
+    assert(tables("acct").pkCol == "id" && tables("acct").fieldCols == Seq("bal"))
+    val sink = g.jdbcSink(url, "acct", "mod_facade")
+    assert(sink.processBatch(
+      Seq((1L, "a1", "INSERT", Some("2.5"))).toDF("block", "pk", "op", "bal"), 0))
+    assert(g.liveStats("mod_facade").snapshot().flushes == 1)
+    // dedup + ann entries return live frames over the lake tables
+    assert(g.nearDupSimhash().columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+    assert(g.annIvf().count() > 0)
+    graft.streaming.LiveSinkStats.reset("mod_facade")
+  }
 }
