@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{GraftSession, OpDef}
-import graft.cdc.{MultiTable, TypeNormalizer}
+import graft.cdc.{MaterializedAgg, MultiTable, TypeNormalizer}
 import graft.sources.Changes
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -234,6 +234,48 @@ object CdcQueries {
         }
         .reduce(_ unionByName _)
         .orderBy("tbl", "pk")
+    },
+
+    // ---- #63 incremental materialized-view maintenance -------------------
+    // The ClickHouse MV the reference's users put over the sink table, kept
+    // current with ± delta algebra instead of recompute (MaterializedAgg).
+    // The query SIMULATES a flush boundary at half the block range: the agg
+    // state is built from the first half (the "existing MV"), then the
+    // second half's changes are folded in incrementally — prior rows of
+    // touched pks subtract, post-apply rows add. The DuckDB oracle computes
+    // the rollup DIRECTLY from the final replayed state, so a hash match
+    // proves the incremental path lands bit-identically (exact decimal
+    // sums make the algebra associative).
+    "mv_incremental" -> OpDef(
+      withCh(
+        """, lastst AS (
+          |  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY block DESC) AS rn
+          |  FROM ch),
+          |alive AS (SELECT * FROM lastst WHERE rn = 1 AND op <> 'DELETE')
+          |SELECT note AS module_hash, COUNT(*) AS n_rows,
+          |  CAST(COALESCE(SUM(CAST(amount AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
+          |FROM alive GROUP BY note
+          |ORDER BY module_hash""".stripMargin)
+    ) { (s, dir) =>
+      val mv = MaterializedAgg.MvDef("note", "amount")
+      val c = ch(s, dir)
+      val split = broadcast(c.agg(expr("max(block) div 2").as("b0")))
+      val cs = c.crossJoin(split)
+      def lastState(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy("pk").orderBy(col("block").desc)
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "DELETE")
+          .select("pk", "note", "amount")
+      }
+      val base = lastState(cs.filter(col("block") <= col("b0")))
+      val touched = cs.filter(col("block") > col("b0")).select("pk").distinct()
+      val priorTouched = base.join(touched, Seq("pk"), "left_semi")
+      val newTouched = lastState(c.join(touched, Seq("pk"), "left_semi"))
+      MaterializedAgg.merge(MaterializedAgg.recompute(base, mv),
+          priorTouched, newTouched, mv)
+        .select(col("grp").as("module_hash"), col("n_rows"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy("module_hash")
     }
   )
 }

@@ -100,7 +100,14 @@ final class ChangeStreamSink(
     /** When set, OVERRIDES `compactEvery`: merge-on-read deltas accumulate
       * until the [[CompactionPolicy]]'s count or byte threshold trips.
       */
-    compaction: Option[CompactionPolicy] = None
+    compaction: Option[CompactionPolicy] = None,
+    /** When set, maintain an incremental materialized rollup alongside the
+      * snapshot ([[graft.cdc.MaterializedAgg]]): each flush writes an
+      * O(groups) agg-state version updated from ONLY the batch's pks —
+      * prior rows subtract, post-apply rows add — committed under the same
+      * batchId as the snapshot, so replay/rollback semantics carry over.
+      */
+    mv: Option[graft.cdc.MaterializedAgg.MvDef] = None
 ) {
   require(compactEvery >= 1, "compactEvery must be ≥ 1")
 
@@ -122,6 +129,8 @@ final class ChangeStreamSink(
   @volatile private[graft] var lastApplyAudit: Option[PlanAudit.Audit] = None
 
   private def deltaTable(batchId: Long) = s"${tablePrefix}_d$batchId"
+
+  private def mvTable(batchId: Long) = s"${tablePrefix}_m$batchId"
 
   private def isDelta(spark: SparkSession, batchId: Long): Boolean =
     spark.catalog.tableExists(deltaTable(batchId))
@@ -147,6 +156,18 @@ final class ChangeStreamSink(
   def latestSnapshot(spark: SparkSession): Option[DataFrame] = {
     val store = new CursorStore(s"$baseDir/cursor", spark)
     store.readWithBatch(moduleHash).map { case (_, bid) => snapshotAt(spark, store, bid) }
+  }
+
+  /** The newest committed materialized-rollup state (only when the sink was
+    * constructed with `mv`); [[graft.cdc.MaterializedAgg.view]] for the
+    * reader-facing shape.
+    */
+  def latestMv(spark: SparkSession): Option[DataFrame] = mv.flatMap { _ =>
+    val store = new CursorStore(s"$baseDir/cursor", spark)
+    store.readWithBatch(moduleHash).collect {
+      case (_, bid) if spark.catalog.tableExists(mvTable(bid)) =>
+        spark.table(mvTable(bid))
+    }
   }
 
   /** The snapshot as of a committed version: the version's base table, or —
@@ -231,13 +252,13 @@ final class ChangeStreamSink(
       case None => compactEvery <= 1 || pendingBids.size >= compactEvery - 1
     }
     val tFlush = System.currentTimeMillis()
+    lazy val prior = store.readWithBatch(moduleHash) match {
+      case Some((_, b)) => snapshotAt(spark, store, b)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          collapsed.drop("last_block", "deleted", "revived").schema)
+    }
     if (materialize) {
-      val prior = store.readWithBatch(moduleHash) match {
-        case Some((_, b)) => snapshotAt(spark, store, b)
-        case None =>
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            collapsed.drop("last_block", "deleted", "revived").schema)
-      }
       val next = ChangeLoader.applyBatch(prior, collapsed, fieldCols)
       lastApplyAudit = Some(PlanAudit.audit(next.queryExecution.executedPlan))
       BucketedSnapshot.write(next, snapTable(bid), buckets)
@@ -245,6 +266,22 @@ final class ChangeStreamSink(
       // merge-on-read delta flush: write ONLY the collapsed batch —
       // O(delta) disk, the MergeTree-style write path; readers fold it in
       BucketedSnapshot.write(collapsed, deltaTable(bid), buckets)
+    }
+    // incremental rollup: delta-merge from ONLY the batch's pks (prior rows
+    // via a pk semi-join on the bucketed snapshot), versioned under this
+    // batchId — written BEFORE the cursor commit, same durability order as
+    // the snapshot itself (a crash in between replays into the overwrite)
+    mv.foreach { d =>
+      val priorAgg = store.readWithBatch(moduleHash) match {
+        case Some((_, b)) if spark.catalog.tableExists(mvTable(b)) =>
+          spark.table(mvTable(b))
+        case _ => graft.cdc.MaterializedAgg.empty(collapsed, d)
+      }
+      val touched = collapsed.select("pk")
+      val priorTouched = prior.join(touched, Seq("pk"), "left_semi")
+      val newTouched = ChangeLoader.applyBatch(priorTouched, collapsed, fieldCols)
+      graft.cdc.MaterializedAgg.merge(priorAgg, priorTouched, newTouched, d)
+        .write.mode("overwrite").saveAsTable(mvTable(bid))
     }
     val head = batch
       .agg(max("block"), count(lit(1)), countDistinct(col("pk")), min("block")).collect()(0)
@@ -286,6 +323,13 @@ final class ChangeStreamSink(
     // stays append-only and resolves (by commit order) to the rolled-back
     // state (snapshotAt materializes even if toBatchId was a delta version)
     BucketedSnapshot.write(snapshotAt(spark, store, toBatchId), snapTable(newBatchId), buckets)
+    // the rollup rolls back with the snapshot: re-expose the old version's
+    // agg state under the new batchId (every mv flush wrote one)
+    mv.foreach { _ =>
+      if (spark.catalog.tableExists(mvTable(toBatchId)))
+        spark.table(mvTable(toBatchId)).write.mode("overwrite")
+          .saveAsTable(mvTable(newBatchId))
+    }
     store.commit(Cursor(moduleHash, s"cursor:rollback:${rolled.blockNum}",
       rolled.blockNum, rolled.blockId), newBatchId)
   }
