@@ -654,6 +654,33 @@ object Relational {
           col("user_id").cast(StringType), floor(col("value")).cast(LongType),
           lit(5), lit(1024)).as("top_users"))
         .orderBy("event_type")
+    },
+
+    // ---- #64 per-key map aggregation (CH sumMap) --------------------------
+    // The map-state merge as two levels: a partial-mergeable (group, key)
+    // decimal sum — map-side combine does the heavy lifting — then an
+    // O(keys)-per-group collect into the ([keys], [sums]) shape CH returns.
+    // Never a map-typed shuffle: the per-key sums ride the first shuffle as
+    // scalar rows.
+    "sum_map" -> OpDef(
+      """WITH per AS (
+        |  SELECT user_id, event_type,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  list(event_type ORDER BY event_type) AS map_keys,
+        |  list(CAST(v AS DOUBLE) ORDER BY event_type) AS map_sums
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val per = tbl(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      per.groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("event_type"), col("v")))).as("kv"))
+        .select(col("user_id"),
+          transform(col("kv"), x => x.getField("event_type")).as("map_keys"),
+          transform(col("kv"), x => x.getField("v").cast(DoubleType)).as("map_sums"))
+        .orderBy("user_id")
     }
   )
 }
