@@ -40,6 +40,16 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def streamSink(baseDir: String, moduleHash: String, fields: Seq[String]): ChangeStreamSink =
     new ChangeStreamSink(baseDir, moduleHash, fields)
 
+  /** Sink that ALSO maintains an incremental materialized rollup (the CH
+    * MATERIALIZED VIEW pattern) — `sink.latestMv(spark)` reads it; exact ±
+    * delta maintenance per flush, never a base re-aggregation
+    * ([[graft.cdc.MaterializedAgg]]).
+    */
+  def streamSinkWithMv(baseDir: String, moduleHash: String, fields: Seq[String],
+      groupCol: String, valueCol: String): ChangeStreamSink =
+    new ChangeStreamSink(baseDir, moduleHash, fields,
+      mv = Some(graft.cdc.MaterializedAgg.MvDef(groupCol, valueCol)))
+
   /** The wire-shaped multi-table feed + the reference's full dispatch loop. */
   def multiTableChanges(): DataFrame = Changes.multiTable(spark, dir)
 

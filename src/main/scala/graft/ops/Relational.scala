@@ -681,6 +681,33 @@ object Relational {
           transform(col("kv"), x => x.getField("event_type")).as("map_keys"),
           transform(col("kv"), x => x.getField("v").cast(DoubleType)).as("map_sums"))
         .orderBy("user_id")
+    },
+
+    // ---- #65 deterministic key-sampling (CH SAMPLE BY surface) ------------
+    // CH samples by a hash of the sampling key so a row's inclusion is
+    // stable across queries and ALL rows of a sampled key appear together.
+    // Same here: a cross-engine md5-derived 60-bit hash ([[parity.md5Long]])
+    // mod the sampling denominator — a pure codegen'd per-row filter that
+    // rides the scan (no shuffle, no state), then aggregates scale up by the
+    // denominator. At 100 TB this is the "query 1/10th of the lake,
+    // consistently" knob.
+    "sample_hash" -> OpDef(
+      s"""SELECT event_type,
+         |  COUNT(*) AS n_sampled,
+         |  COUNT(*) * 10 AS n_est,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE ${parity.md5LongSql("CAST(user_id AS VARCHAR)")} % 10 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .filter(md5Long(col("user_id").cast(StringType)) % 10 === 0)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          (count(lit(1)) * 10).as("n_est"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
     }
   )
 }

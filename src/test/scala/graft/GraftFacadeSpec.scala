@@ -73,4 +73,14 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(g.annIvf().count() > 0)
     graft.streaming.LiveSinkStats.reset("mod_facade")
   }
+
+  test("facade mv sink maintains a live rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("facade_mv").toString
+    val sink = g.streamSinkWithMv(dir, "mod_facade_mv",
+      Seq("amount", "kval", "note"), groupCol = "note", valueCol = "amount")
+    sink.processBatch(g.changes().filter(col("block") <= 100), 0)
+    val mv = sink.latestMv(spark).get
+    assert(mv.columns.toSeq == Seq("grp", "n_rows", "n_vals", "total"))
+    assert(mv.count() > 0)
+  }
 }
