@@ -71,4 +71,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.shuffles <= 2, s"propagation round grew extra exchanges: $a")
     assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
   }
+
+  // r4 shape: the sampling predicate is a pure per-row filter fused into the
+  // scan stage — the ONLY exchanges are the distinct-agg pair + the output
+  // sort. A shuffle before the filter would move 10× the data.
+  test("sample_hash: hash filter precedes every exchange, no joins, no fallback") {
+    val a = auditOf(run("sample_hash"))
+    assert(a.scans == 1 && a.shuffles <= 3, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // r4 shape: two-level map aggregation = exactly the two hash-agg
+  // exchanges plus the output sort; no join anywhere. The higher-order
+  // finishers (array_sort/transform) are interpreted but run once per GROUP
+  // after aggregation — never on the per-row input path.
+  test("sum_map: two agg exchanges + sort, zero joins") {
+    val a = auditOf(run("sum_map"))
+    assert(a.scans == 1 && a.shuffles == 3, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+  }
 }
