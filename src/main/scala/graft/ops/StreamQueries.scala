@@ -62,6 +62,25 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) => StreamOps.windowedUniques(ev(s, dir)).orderBy("day", "event_type") },
 
+    // ---- #66 windowed heavy hitters (streaming-capable topK) -------------
+    // Exact at test SF (capacity > distinct users/group), ties broken by
+    // user string ascending on both engines.
+    "stream_topk" -> OpDef(
+      """WITH c AS (
+        |  SELECT date_trunc('day', ts) AS d, event_type,
+        |    CAST(user_id AS VARCHAR) AS u, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT d, event_type, u,
+        |    ROW_NUMBER() OVER (PARTITION BY d, event_type
+        |                       ORDER BY n DESC, u) AS rn
+        |  FROM c)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+        |  list(u ORDER BY rn) AS top_users
+        |FROM r WHERE rn <= 3
+        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+    ) { (s, dir) => StreamOps.windowedTopK(ev(s, dir)).orderBy("day", "event_type") },
+
     // ---- #44 stream dedup (batch shape: keep-first per key) --------------
     "stream_dedup" -> OpDef(
       """SELECT user_id, event_type, MIN(event_id) AS event_id

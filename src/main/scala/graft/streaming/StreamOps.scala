@@ -63,6 +63,25 @@ object StreamOps {
         col("event_type"), col("uniq_users"))
   }
 
+  /** #66 — windowed heavy hitters (CH topK over a live window): top-k users
+    * by event count per (1-day window, type) via the space-saving
+    * `TopKAgg`. State per open (window, type) group is O(capacity) —
+    * constant, NOT O(distinct users) — so a hot window cannot grow state
+    * unboundedly; exact when capacity ≥ the group's distinct users (the
+    * oracle pins that regime at test SF; beyond it space-saving's
+    * guarantee-aware merge bounds apply).
+    */
+  def windowedTopK(events: DataFrame, k: Int = 3, capacity: Int = 4096): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(call_function("topk_approx",
+        col("user_id").cast("string"), lit(k), lit(capacity)).as("top_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("top_users"))
+  }
+
   /** #44 — drop duplicate (user_id, event_type) arrivals; on streams the
     * watermark bounds the dedup state (dropDuplicatesWithinWatermark), in
     * batch it is an exact keep-first dedup.

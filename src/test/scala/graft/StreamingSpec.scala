@@ -369,4 +369,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.subsetOf(batch),
       "streamed distinct counts must equal the batch shape on closed windows")
   }
+
+  test("windowed topK on a stream: typed-imperative agg state survives batches") {
+    implicit val s = spark
+    import s.implicits._
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value")
+      .as[(Long, Long, String, java.sql.Timestamp, Double)]
+      .collect().sortBy(_._4.getTime)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val q = StreamOps.windowedTopK(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("wt").outputMode("append").start()
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select * from wt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2))).toSet
+    assert(got.nonEmpty, "no closed windows emitted")
+    // a closed window's top list must equal the batch shape EXACTLY — the
+    // space-saving buffer merged across micro-batches without approximation
+    // (capacity ≥ distinct users per group at this SF)
+    val batch = StreamOps.windowedTopK(
+      spark.createDataFrame(ev.toSeq).toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2))).toSet
+    assert(got.subsetOf(batch),
+      "streamed topK must equal the batch shape on closed windows")
+  }
 }
