@@ -683,6 +683,57 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // ---- #67 windowed funnel levels (CH windowFunnel surface) -------------
+    // Max step reached per user through signup → click → purchase with the
+    // chain anchored at the user's FIRST signup and every later step bounded
+    // by that anchor + 7 days (the deterministic anchored variant of CH's
+    // windowFunnel; documented difference: CH scans every candidate chain).
+    // Plan: ONE shuffle on user_id — the three chained window passes and the
+    // per-user collapse all reuse the same hash partitioning — then a 4-row
+    // level count.
+    "funnel_window" -> OpDef(
+      """WITH t AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |tt AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+        |                      AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+        |             OVER (PARTITION BY user_id) AS t2 FROM t),
+        |ttt AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                      AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+        |             OVER (PARTITION BY user_id) AS t3 FROM tt),
+        |u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        |      FROM ttt GROUP BY user_id)
+        |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level,
+        |  COUNT(*) AS n_users
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+      val horizon = col("t1") + expr("INTERVAL 7 DAY")
+      tbl(s, dir, "events")
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("t1") && col("ts") <= horizon, col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t2") && col("ts") <= horizon, col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .select(
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1)
+            .otherwise(0).as("level"))
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
+    },
+
     // ---- #65 deterministic key-sampling (CH SAMPLE BY surface) ------------
     // CH samples by a hash of the sampling key so a row's inclusion is
     // stable across queries and ALL rows of a sampled key appear together.
