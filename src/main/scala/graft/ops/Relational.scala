@@ -734,6 +734,38 @@ object Relational {
         .orderBy("level")
     },
 
+    // ---- #68 equi-width histogram w/ data-derived bounds (CH histogram) ---
+    // Data profiling at scale: a column-pruned bounds pass (5 rows,
+    // broadcast) then one binning scan — bin arithmetic is the same IEEE
+    // double expression on both engines, top edge clamped into the last
+    // bin, degenerate (lo = hi) groups collapse to bin 0.
+    "histogram_eq" -> OpDef(
+      """WITH b AS (
+        |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE CAST(LEAST(floor(((value - lo) * 10.0) / (hi - lo)), 9.0)
+        |                 AS INTEGER) END AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val ev = tbl(s, dir, "events")
+      val bounds = ev.groupBy("event_type")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .withColumn("bin",
+          when(col("hi") === col("lo"), 0)
+            .otherwise(least(
+              floor(((col("value") - col("lo")) * 10.0) / (col("hi") - col("lo"))),
+              lit(9.0)).cast(IntegerType)))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("sum_value"))
+        .orderBy("event_type", "bin")
+    },
+
     // ---- #65 deterministic key-sampling (CH SAMPLE BY surface) ------------
     // CH samples by a hash of the sampling key so a row's inclusion is
     // stable across queries and ALL rows of a sampled key appear together.

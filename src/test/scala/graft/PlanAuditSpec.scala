@@ -90,4 +90,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.scans == 1 && a.shuffles == 3, s"$a")
     assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
   }
+
+  // r4 shape: the three chained funnel window passes AND the per-user
+  // collapse all ride ONE user_id exchange (plus the 4-row level agg and
+  // output sort = 3 total). A 4th exchange means the collapse stopped
+  // reusing the window's partitioning.
+  test("funnel_window: chained windows + user collapse share one exchange") {
+    val a = auditOf(run("funnel_window"))
+    assert(a.scans == 1 && a.shuffles == 3, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // r4 shape: histogram bounds broadcast back onto the binning scan — the
+  // per-type join must never sort-merge (that would shuffle the full fact
+  // table to meet a 5-row side).
+  test("histogram_eq: bounds join broadcasts, binning stays codegen") {
+    val a = auditOf(run("histogram_eq"))
+    assert(a.broadcastJoins == 1 && a.sortMergeJoins == 0, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+  }
 }
