@@ -165,6 +165,33 @@ object TextOps {
         .select(col("doc_id"), call_function("md5_chain", words).as("fp"))
         .withColumn("fp_long", conv(substring(col("fp"), 1, 15), 16, 10).cast(LongType))
         .orderBy("doc_id")
+    },
+
+    // ---- #69 corpus token frequency top-k (vocab coverage) ----------------
+    // Tokenizer-vocab analysis over the whole corpus: the space-saving
+    // TopKAgg DIRECTLY on the exploded token stream — one shuffle of
+    // O(partitions × capacity) typed partial buffers per language, never a
+    // materialized (lang, token) count table. Exact while capacity ≥ the
+    // language's vocabulary (pinned by the oracle at test SF); beyond that
+    // the space-saving error bound applies — the right trade at a 100 TB
+    // corpus where the long tail is noise anyway.
+    "tok_topk" -> OpDef(
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS n FROM w GROUP BY 1, 2),
+        |r AS (SELECT lang, tok,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+        |      FROM c)
+        |SELECT lang, list(tok ORDER BY rn) AS top_tokens
+        |FROM r WHERE rn <= 20 GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir)
+        .select(col("lang"), explode(words).as("tok"))
+        .groupBy("lang")
+        .agg(call_function("topk_approx", col("tok"), lit(20), lit(1024))
+          .as("top_tokens"))
+        .orderBy("lang")
     }
   )
 }
