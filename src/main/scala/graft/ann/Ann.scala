@@ -270,33 +270,53 @@ object Ann extends Serializable {
   def ivfTopK(s: SparkSession, dir: String, k: Int = K, cells: Int = Cells,
       nprobe: Int = NProbe, lloydIters: Int = 2): DataFrame = {
     import s.implicits._
-    val emb = embDs(s, dir)
+    graft.functions.GraftFunctions.register(s)
+    val emb = embDs(s, dir).toDF("vec_id", "embedding", "label")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Data-side cell assignment stays inside whole-stage codegen: a
+    // broadcast crossJoin against the `cells`-row centroid table, native
+    // cosine_sim scoring, and a max_by collapse (ties to the LOWER cell
+    // index via the negated-cell tie-break). Centroids round to float so
+    // the driver-side probe assignment (double math in [[nearestCells]])
+    // scores the identical values.
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val centDf = cents.zipWithIndex
+        .map { case (v, i) => (i, v.map(_.toFloat).toSeq) }.toSeq
+        .toDF("cell", "cvec")
+      emb.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          call_function("cosine_sim", col("embedding"), col("cvec")).as("cos"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cell"), col("embedding")),
+          struct(col("cos"), -col("cell"))).as("a"))
+        .select(col("vec_id"), col("a.cell").as("cell"),
+          col("a.embedding").as("embedding"))
+    }
+
     // deterministic seeds: the `cells` vectors with smallest md5(vec_id) —
     // an order-free pseudo-random sample, reproducible across runs
-    var centroids: Array[Array[Double]] = emb.toDF("vec_id", "embedding", "label")
+    var centroids: Array[Array[Double]] = emb
       .withColumn("h", md5(col("vec_id").cast(StringType)))
       .orderBy("h").limit(cells)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 1 to lloydIters) {
-      val cbc = centroids
-      val means = emb
-        .map(e => (nearestCells(cbc, e.embedding, 1).head, e.embedding.map(_.toDouble)))
-        .toDF("cell", "e")
-        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+      val means = assign(centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg("v").as("m"))
         .collect()
       val next = centroids.map(_.clone()) // empty cells keep their centroid
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       centroids = next
     }
-    val cbc = centroids
-    val vecCells = emb.map(e => (e.vec_id, nearestCells(cbc, e.embedding, 1).head))
-      .toDF("vec_id", "cell")
+    // float-rounded final centroids: identical scores on the codegen data
+    // path (float inputs) and the driver probe path (doubles from floats)
+    val cfinal = centroids.map(_.map(_.toFloat.toDouble))
+    val vecCells = assign(cfinal).select("vec_id", "cell")
     val probeArr = probes(s, dir)
     val probeCells = probeArr.toSeq
-      .flatMap { case (pid, pv) => nearestCells(cbc, pv.toSeq, nprobe).map(c => (pid, c)) }
+      .flatMap { case (pid, pv) => nearestCells(cfinal, pv.toSeq, nprobe).map(c => (pid, c)) }
       .toDF("probe_id", "cell")
     val cand = vecCells
       .join(broadcast(probeCells), Seq("cell"))
