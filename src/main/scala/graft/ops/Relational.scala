@@ -734,6 +734,32 @@ object Relational {
         .orderBy("level")
     },
 
+    // ---- #70 positive-delta sum (CH deltaSum) -----------------------------
+    // Per-user sum of INCREASES between consecutive values in (ts, event_id)
+    // order — the counter-reset-tolerant rate primitive. One user_id shuffle
+    // (lag window + collapse reuse it); deltas exact in decimal(18,2).
+    "delta_sum" -> OpDef(
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(value AS DECIMAL(18,2))
+        |      - lag(CAST(value AS DECIMAL(18,2)))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(COALESCE(SUM(CASE WHEN dv > 0 THEN dv END), 0) AS DOUBLE)
+        |    AS delta_sum
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dec = col("value").cast(DecimalType(18, 2))
+      tbl(s, dir, "events")
+        .withColumn("dv", dec - lag(dec, 1).over(w))
+        .groupBy("user_id")
+        .agg(coalesce(sum(when(col("dv") > 0, col("dv"))), lit(0))
+          .cast(DoubleType).as("delta_sum"))
+        .orderBy("user_id")
+    },
+
     // ---- #68 equi-width histogram w/ data-derived bounds (CH histogram) ---
     // Data profiling at scale: a column-pruned bounds pass (5 rows,
     // broadcast) then one binning scan — bin arithmetic is the same IEEE
