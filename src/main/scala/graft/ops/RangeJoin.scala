@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic point-in-interval (range) join — the inequality join Spark's
+  * planner can only execute as a broadcast-nested-loop / cartesian product,
+  * rewritten as the scalable bucketed equi-join:
+  *
+  *   - every interval explodes into the coarse buckets it overlaps
+  *     (`sequence(lo div w, hi div w)` — O(span / width) rows per interval),
+  *   - every point maps to its single bucket,
+  *   - a hash equi-join on the bucket id meets each point with exactly the
+  *     intervals sharing its bucket, and the exact `lo ≤ p ≤ hi` predicate
+  *     filters the remaining false bucket-mates.
+  *
+  * Shuffle volume is O(points + intervals × span/width) — tunable by
+  * `width` (best ≈ the median interval span, one bucket row per interval) —
+  * instead of the nested-loop's O(points × intervals) comparisons. This is
+  * the composition-first answer (SURVEY §4) to the range-join optimization
+  * native engines special-case; at a 100 TB fact side AQE additionally
+  * splits skewed buckets.
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval containing the point, over a LONG
+    * domain (callers map dates/timestamps to day/second numbers first).
+    * Column names must be disjoint; both frames keep all their columns.
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val ib = intervals.withColumn("_bucket",
+      explode(sequence(expr(s"$loCol div $width"), expr(s"$hiCol div $width"))))
+    val pb = points.withColumn("_bucket", expr(s"$pointCol div $width"))
+    pb.join(ib, Seq("_bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bucket")
+  }
+}

@@ -734,6 +734,36 @@ object Relational {
         .orderBy("level")
     },
 
+    // ---- #71 range join: daily active users (point-in-interval) -----------
+    // Each user's activity interval [first day, last day] joined against the
+    // distinct-day series via [[RangeJoin.pointInInterval]] (bucketed
+    // equi-join rewrite, width 16 days) — never a nested-loop; the plan pin
+    // asserts no cartesian/BNLJ node appears.
+    "range_join" -> OpDef(
+      """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+        |iv AS (
+        |  SELECT user_id, date_trunc('day', MIN(ts)) AS lo,
+        |    date_trunc('day', MAX(ts)) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, COUNT(*) AS n_active
+        |FROM days JOIN iv ON d BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      def dayNum(c: org.apache.spark.sql.Column) =
+        datediff(c.cast(DateType), to_date(lit("1970-01-01")))
+      val ev = tbl(s, dir, "events")
+      val days = ev.select(dayNum(col("ts")).as("p")).distinct()
+      val iv = ev.groupBy("user_id")
+        .agg(dayNum(min("ts")).as("lo"), dayNum(max("ts")).as("hi"))
+      RangeJoin.pointInInterval(days, "p", iv, "lo", "hi", width = 16L)
+        .groupBy("p").agg(count(lit(1)).as("n_active"))
+        .select(
+          date_format(date_add(to_date(lit("1970-01-01")), col("p")), "yyyy-MM-dd")
+            .as("day"),
+          col("n_active"))
+        .orderBy("day")
+    },
+
     // ---- #70 positive-delta sum (CH deltaSum) -----------------------------
     // Per-user sum of INCREASES between consecutive values in (ts, event_id)
     // order — the counter-reset-tolerant rate primitive. One user_id shuffle

@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** [[graft.ops.RangeJoin]] — the bucketed equi-join rewrite must match the
+  * naive inequality join exactly, for every bucket width (width only moves
+  * cost, never results), and the planned shape must never be a
+  * nested-loop/cartesian product.
+  */
+class RangeJoinSpec extends SparkSpecBase {
+
+  test("bucketed rewrite equals the naive inequality join across widths") {
+    val s = spark
+    import s.implicits._
+    val points = (0L to 200L by 3).toDF("p")
+    // edge shapes: point-width interval, boundary-straddling, empty overlap
+    val ivs = Seq((1L, 0L, 10L), (2L, 5L, 5L), (3L, 190L, 210L),
+      (4L, 17L, 60L), (5L, 300L, 310L)).toDF("iv_id", "lo", "hi")
+    val naive = points.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    for (w <- Seq(1L, 4L, 16L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, "p", ivs, "lo", "hi", w)
+        .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"width $w diverged")
+    }
+  }
+
+  test("range_join query plans as an equi-join — no nested loop, no cartesian") {
+    val df = run("range_join")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "range join degraded to a nested loop:\n" + plan.take(800))
+  }
+}
