@@ -127,6 +127,15 @@ final class Graft(val spark: SparkSession, val dir: String) {
       leftTime: org.apache.spark.sql.Column, rightTime: org.apache.spark.sql.Column,
       rightPayload: Seq[String], strict: Boolean = false): DataFrame =
     plans.AsofJoinPlan.asof(left, right, keys, leftTime, rightTime, rightPayload, strict)
+
+  // ---- range join --------------------------------------------------------
+  /** Point-in-interval join via the bucketed equi-join rewrite — never a
+    * nested loop ([[ops.RangeJoin]]). Long domain; pick `width` ≈ the
+    * median interval span.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
+      loCol: String, hiCol: String, width: Long): DataFrame =
+    ops.RangeJoin.pointInInterval(points, pointCol, intervals, loCol, hiCol, width)
 }
 
 object Graft {
