@@ -38,4 +38,23 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bucket")
   }
+
+  /** Interval-overlap join (`loL ≤ hiR && loR ≤ hiL`): both sides explode
+    * into their covered buckets, overlapping intervals necessarily share at
+    * least one bucket, and the exact predicate filters bucket-mates that
+    * merely straddle. A pair sharing SEVERAL buckets surfaces once per
+    * shared bucket — deduplicated here over the joined row, so the two
+    * frames' columns together must identify the interval pair (give each
+    * side an id column).
+    */
+  def intervalOverlap(left: DataFrame, loL: String, hiL: String,
+      right: DataFrame, loR: String, hiR: String, width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    def exploded(df: DataFrame, lo: String, hi: String) = df.withColumn("_bucket",
+      explode(sequence(expr(s"$lo div $width"), expr(s"$hi div $width"))))
+    exploded(left, loL, hiL).join(exploded(right, loR, hiR), Seq("_bucket"))
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .drop("_bucket")
+      .dropDuplicates()
+  }
 }

@@ -764,6 +764,32 @@ object Relational {
         .orderBy("day")
     },
 
+    // ---- #72 interval-overlap join: concurrent-activity pairs -------------
+    // Users whose activity intervals overlap, counted — the interval ×
+    // interval variant of #71, same bucketed rewrite on BOTH sides
+    // ([[RangeJoin.intervalOverlap]]).
+    "interval_overlap" -> OpDef(
+      """WITH iv AS (
+        |  SELECT user_id, date_trunc('day', MIN(ts)) AS lo,
+        |    date_trunc('day', MAX(ts)) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_pairs
+        |FROM iv a JOIN iv b
+        |  ON a.lo <= b.hi AND b.lo <= a.hi AND a.user_id < b.user_id""".stripMargin
+    ) { (s, dir) =>
+      def dayNum(c: org.apache.spark.sql.Column) =
+        datediff(c.cast(DateType), to_date(lit("1970-01-01")))
+      val iv = tbl(s, dir, "events").groupBy("user_id")
+        .agg(dayNum(min("ts")).as("lo"), dayNum(max("ts")).as("hi"))
+      val a = iv.select(col("user_id").as("ua"),
+        col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val b = iv.select(col("user_id").as("ub"),
+        col("lo").as("lo_b"), col("hi").as("hi_b"))
+      RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b", width = 16L)
+        .filter(col("ua") < col("ub"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // ---- #70 positive-delta sum (CH deltaSum) -----------------------------
     // Per-user sum of INCREASES between consecutive values in (ts, event_id)
     // order — the counter-reset-tolerant rate primitive. One user_id shuffle

@@ -28,6 +28,24 @@ class RangeJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("interval overlap equals the naive inequality join across widths") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 0L, 10L), (2L, 40L, 45L), (3L, 100L, 200L))
+      .toDF("lid", "lo_l", "hi_l")
+    val r = Seq((7L, 5L, 39L), (8L, 45L, 99L), (9L, 150L, 150L), (10L, 300L, 400L))
+      .toDF("rid", "lo_r", "hi_r")
+    val naive = l.crossJoin(r)
+      .filter(col("lo_l") <= col("hi_r") && col("lo_r") <= col("hi_l"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(naive == Set((1L, 7L), (2L, 8L), (3L, 9L)))
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(l, "lo_l", "hi_l", r, "lo_r", "hi_r", w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == naive, s"width $w diverged")
+    }
+  }
+
   test("range_join query plans as an equi-join — no nested loop, no cartesian") {
     val df = run("range_join")
     df.count()
