@@ -108,6 +108,12 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def dedupClusters(pairs: DataFrame): DataFrame =
     dedup.Dedup.connectedComponents(pairs)
 
+  /** Benchmark decontamination: corpus docs sharing any word-n-gram with
+    * the benchmark frame (both need doc_id + text).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame =
+    dedup.Dedup.contaminationOf(corpus, benchmark, n)
+
   // ---- ANN --------------------------------------------------------------
   def annBruteForce(): DataFrame = run("ann_bruteforce")
   def annLsh(k: Int = ann.Ann.K): DataFrame = ann.Ann.lshTopK(spark, dir, k)

@@ -49,6 +49,21 @@ object Dedup {
 
   private def h32Sql(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
+  /** Distinct (doc_id, word-n-gram h32) rows for arbitrary n — the same
+    * codegen explode + element_at + md5 shape as [[shingleRowsOf]], without
+    * the block columns (decontamination joins globally, not per block).
+    */
+  private[graft] def gramRows(docsDf: DataFrame, n: Int): DataFrame = {
+    val d = docsDf.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    d.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - n)).as("i"))
+      .select(col("doc_id"),
+        h32(concat_ws(" ",
+          (1 to n).map(j => element_at(col("ws"), col("i") + j)): _*)).as("h"))
+      .distinct()
+  }
+
   /** Distinct (doc_id, lang, source, shingle-hash) ROWS.
     *
     * The row form (explode + element_at + md5) stays entirely inside
@@ -421,8 +436,50 @@ object Dedup {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"),
           (col("node") === col("component")).as("is_canonical"))
         .orderBy("doc_id")
+    },
+
+    // ---- #73 benchmark decontamination (8-gram overlap) -------------------
+    // The standard pre-training hygiene pass: flag corpus documents sharing
+    // ANY word 8-gram with a held-out benchmark set (here the deterministic
+    // doc_id % 10 == 0 slice). Long grams make hits evidence of real
+    // contamination, not vocabulary collisions (6 docs / 312 hits at
+    // sf0.01 — all seeded near-dups of benchmark docs). The benchmark
+    // shingle set is small by nature → AQE broadcasts the join side; the
+    // corpus side is one codegen explode+hash scan. BOTH engines join on
+    // the same 32-bit h32 hashes, so hash collisions (possible at corpus
+    // scale) can never diverge the oracle.
+    "contamination" -> OpDef(
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(0, len(ws) - 8),
+         |    i -> ${h32Sql("ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]" +
+            "||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]||' '||ws[i+8]")}))) AS h
+         |  FROM w WHERE len(ws) >= 8),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+         |corp AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_hits
+         |FROM corp JOIN bench USING (h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = docs(s, dir)
+      contaminationOf(d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
     }
   )
+
+  /** PUBLIC decontamination operator: corpus documents sharing at least one
+    * word-`n`-gram with ANY document of `benchmark` (both frames need
+    * doc_id + text), with the count of distinct shared grams. See #73.
+    */
+  def contaminationOf(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame =
+    gramRows(corpus, n)
+      .join(gramRows(benchmark, n).select("h").distinct(), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
 
   /** Candidate near-dup pairs from COLD shingles — document frequency
     * ≤ `dfCap` within the (lang, source) block — with the size-ratio

@@ -182,4 +182,18 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.nonEmpty)
     assert(rows.forall(r => lbl(r.getLong(0)) == lbl(r.getLong(1))))
   }
+
+  test("contamination flags only docs sharing a full 8-gram with the benchmark") {
+    val s = spark
+    import s.implicits._
+    val eight = "a b c d e f g h"
+    val bench = Seq((100L, s"$eight tail words here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix $eight suffix"),        // shares the 8-gram → flagged
+      (2L, "a b c d e f g DIFFERENT"),      // 7-word overlap only → clean
+      (3L, "totally unrelated text with many distinct words")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.contaminationOf(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L))
+  }
 }
