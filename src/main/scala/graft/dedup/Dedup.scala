@@ -467,6 +467,98 @@ object Dedup {
       contaminationOf(d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0))
         .orderBy("doc_id")
+    },
+
+    // ---- #74 end-to-end curation filter (the pipeline, composed) ---------
+    // What a training-data pipeline actually ships: the KEPT document set —
+    // benchmark slice held out, quality ≥ 0.25 (#37's score), exact-dup
+    // non-keepers dropped (#29), near-dup cluster non-canonicals dropped
+    // (#55), contaminated docs dropped (#73). Each stage is itself
+    // oracle-checked; this row proves they COMPOSE — the oracle re-derives
+    // every stage in one WITH-chain and must land on the same kept set.
+    // All four filter feeds are doc_id anti-joins, so the composition adds
+    // no new shuffle shape beyond its parts.
+    "pipeline_filter" -> OpDef(
+      s"""WITH RECURSIVE qt AS (
+         |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |qm AS (
+         |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+         |  FROM qt),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(n_words AS DOUBLE), 100.0) / 100.0
+         |          * (0.5 + 0.5 * (CAST(n_distinct AS DOUBLE) / n_words)), 4)
+         |      AS quality
+         |  FROM qm),
+         |hsh AS (SELECT doc_id, md5(text) AS th FROM documents),
+         |k AS (SELECT th, MIN(doc_id) AS keep_id FROM hsh GROUP BY th),
+         |exdup AS (
+         |  SELECT h.doc_id FROM hsh h JOIN k USING (th)
+         |  WHERE h.doc_id <> k.keep_id),
+         |ct AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(text, ' ')),
+         |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
+         |  FROM documents),
+         |cs AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 59), i ->
+         |      CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+         |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM ct),
+         |cbands AS (
+         |  SELECT doc_id, sig, b, (sig >> (b * 20)) & 1048575 AS bkey
+         |  FROM cs, (SELECT unnest(generate_series(0, 2)) AS b)
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey) <= $LshBucketCap),
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cbands a JOIN cbands b ON a.b = b.b AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sig, b.sig)) <= 2),
+         |cedges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM cpairs),
+         |creach AS (
+         |  SELECT a AS node, a AS label FROM cedges
+         |  UNION
+         |  SELECT e.a, r.label FROM cedges e JOIN creach r ON r.node = e.b),
+         |nc AS (
+         |  SELECT node AS doc_id FROM (
+         |    SELECT node, MIN(label) AS lbl FROM creach GROUP BY node)
+         |  WHERE node <> lbl),
+         |gg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(0, len(ws) - 8),
+         |    i -> ${h32Sql("ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]" +
+            "||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]||' '||ws[i+8]")}))) AS h
+         |  FROM qt WHERE len(ws) >= 8),
+         |bench AS (SELECT DISTINCT h FROM gg WHERE doc_id % 10 = 0),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM gg JOIN bench USING (h)
+         |  WHERE doc_id % 10 <> 0)
+         |SELECT d.doc_id, d.lang, q.quality
+         |FROM documents d JOIN q USING (doc_id)
+         |WHERE d.doc_id % 10 <> 0 AND q.quality >= 0.25
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM exdup)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM nc)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = docs(s, dir)
+      val quality = graft.text.TextOps.defs("text_quality").fn(s, dir)
+        .select(col("doc_id"), col("quality"))
+      val exDup = defs("dedup_exact").fn(s, dir).select("doc_id")
+      val nonCanon = defs("dedup_clusters").fn(s, dir)
+        .filter(!col("is_canonical")).select("doc_id")
+      val contaminated = defs("contamination").fn(s, dir).select("doc_id")
+      d.filter(col("doc_id") % 10 =!= 0)
+        .join(quality, "doc_id").filter(col("quality") >= 0.25)
+        .join(exDup, Seq("doc_id"), "left_anti")
+        .join(nonCanon, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
     }
   )
 
