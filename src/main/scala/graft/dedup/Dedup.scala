@@ -463,9 +463,7 @@ object Dedup {
          |FROM corp JOIN bench USING (h)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      val d = docs(s, dir)
-      contaminationOf(d.filter(col("doc_id") % 10 =!= 0),
-        d.filter(col("doc_id") % 10 === 0))
+      contaminationBySplit(docs(s, dir), col("doc_id") % 10 === 0)
         .orderBy("doc_id")
     },
 
@@ -572,6 +570,21 @@ object Dedup {
       .join(gramRows(benchmark, n).select("h").distinct(), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
+
+  /** [[contaminationOf]] when benchmark and corpus live in ONE frame,
+    * distinguished by a doc_id predicate: the gram scan runs ONCE
+    * (persisted) and both sides filter it — at 100 TB the corpus is read
+    * and shingled once, not twice.
+    */
+  def contaminationBySplit(docsDf: DataFrame, isBenchDoc: Column,
+      n: Int = 8): DataFrame = {
+    val g = gramRows(docsDf, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    g.filter(!isBenchDoc)
+      .join(g.filter(isBenchDoc).select("h").distinct(), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
 
   /** Candidate near-dup pairs from COLD shingles — document frequency
     * ≤ `dfCap` within the (lang, source) block — with the size-ratio
