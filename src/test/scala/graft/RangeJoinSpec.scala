@@ -46,6 +46,30 @@ class RangeJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("property: random points/intervals/widths always equal the naive join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      val points = Seq.fill(40)(rnd.nextLong() % 500).zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+      val ivs = Seq.fill(15) {
+        val lo = rnd.nextLong() % 500
+        (lo, lo + rnd.nextInt(120))
+      }.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iv_id", "lo", "hi")
+      val naive = points.crossJoin(ivs)
+        .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = 1L + rnd.nextInt(200)
+      val got = RangeJoin.pointInInterval(points, "p", ivs, "lo", "hi", w)
+        .select("pid", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"width $w")
+    }
+  }
+
   test("range_join query plans as an equi-join — no nested loop, no cartesian") {
     val df = run("range_join")
     df.count()
