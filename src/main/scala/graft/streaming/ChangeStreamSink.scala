@@ -130,7 +130,7 @@ final class ChangeStreamSink(
 
   private def deltaTable(batchId: Long) = s"${tablePrefix}_d$batchId"
 
-  private def mvTable(batchId: Long) = s"${tablePrefix}_m$batchId"
+  private[graft] def mvTable(batchId: Long) = s"${tablePrefix}_m$batchId"
 
   private def isDelta(spark: SparkSession, batchId: Long): Boolean =
     spark.catalog.tableExists(deltaTable(batchId))

@@ -103,6 +103,21 @@ class MaterializedAggSpec extends SparkSpecBase {
     assertMvMatches(sink) // still consistent with the rolled-back snapshot
   }
 
+  test("crash between mv write and cursor commit: replay overwrites the orphan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mv_crash").toString
+    val sink = new ChangeStreamSink(dir, "mod_mvc", fields, mv = Some(mv))
+    sink.processBatch(batch((1L, 1L, "INSERT", Some(1.00), None, Some("A"))), 0)
+    // simulate a crash AFTER batch 1's mv table landed but BEFORE its cursor
+    // committed: an orphan version with garbage content
+    Seq(("GARBAGE", 99L, 99L, BigDecimal(9.99))).toDF("grp", "n_rows", "n_vals", "total")
+      .write.mode("overwrite").saveAsTable(sink.mvTable(1))
+    // the re-delivered micro-batch must overwrite the orphan, not skip it
+    sink.processBatch(batch((2L, 2L, "INSERT", Some(2.00), None, Some("A"))), 1)
+    assertMvMatches(sink)
+    assert(!sink.latestMv(spark).get.collect().exists(_.getString(0) == "GARBAGE"))
+  }
+
   test("mv_incremental query: split-fold equals direct rollup") {
     val got = run("mv_incremental").collect().map(_.toSeq)
     // direct recompute of the final replayed state (the oracle's shape)
