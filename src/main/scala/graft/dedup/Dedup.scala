@@ -213,9 +213,13 @@ object Dedup {
         |WHERE h.doc_id <> k.keep_id
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
+      // sort_array (SortArray), not array_sort (ArraySort): same ascending
+      // natural order for strings, but SortArray is codegen'd while the
+      // higher-order ArraySort is interpreted — this runs per ROW on the
+      // scan, the one place a fallback expression actually costs.
       val h = docs(s, dir).select(col("doc_id"),
         md5(concat_ws(" ",
-          array_sort(array_distinct(split(lower(col("text")), " "))))).as("th"))
+          sort_array(array_distinct(split(lower(col("text")), " "))))).as("th"))
       val keep = h.groupBy("th").agg(min("doc_id").as("keep_id"))
       h.join(keep, "th")
         .filter(col("doc_id") =!= col("keep_id"))
