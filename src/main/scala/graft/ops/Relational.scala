@@ -408,7 +408,7 @@ object Relational {
         .groupBy("user_id")
         .agg(
           concat_ws(",",
-            transform(array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+            transform(sort_array(collect_list(struct(col("event_id"), col("event_type")))),
               x => x.getField("event_type"))).as("types"),
           count(lit(1)).as("n"))
         .orderBy("user_id")
@@ -676,7 +676,7 @@ object Relational {
         .groupBy("user_id", "event_type")
         .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
       per.groupBy("user_id")
-        .agg(array_sort(collect_list(struct(col("event_type"), col("v")))).as("kv"))
+        .agg(sort_array(collect_list(struct(col("event_type"), col("v")))).as("kv"))
         .select(col("user_id"),
           transform(col("kv"), x => x.getField("event_type")).as("map_keys"),
           transform(col("kv"), x => x.getField("v").cast(DoubleType)).as("map_sums"))
