@@ -63,5 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the custom ASOF JOIN operator's planner strategy + pushdown rule
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+    // BETWEEN-join → bucketed equi-join (armed by spark.graft.rangeJoin.width)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
