@@ -7,17 +7,23 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** SURVEY §2.3 #29-33 — the deduplication family for a training-data
-  * pipeline, each designed to avoid O(n²) at 100 TB:
+/** SURVEY §2.3 #29-33, #55, #73-74 — the deduplication / curation family
+  * for a training-data pipeline, each designed to avoid O(n²) at 100 TB:
   *
-  *   - exact:   shuffle the 16-byte md5 of the text, never the text.
+  *   - exact (+ normalized bag-of-words): shuffle the 16-byte md5 of the
+  *     text (or its canonical word-set form), never the text.
   *   - n-gram:  pairwise verify ONLY within (lang, source) blocks.
   *   - minhash: LSH band → bucket join; candidate pairs, then verify.
   *   - simhash: per-doc 60-bit signature — a narrow zero-shuffle map.
   *   - embedding: cosine pairs within label blocks (IVF-style blocking).
+  *   - clusters: pairs → transitive components (hybrid union-find /
+  *     min-label propagation) → one canonical doc per cluster.
+  *   - contamination: word-8-gram overlap vs a held-out benchmark set.
+  *   - pipeline_filter: the composed KEPT set (quality + all the above).
   *
-  * All hashing is md5-based (bit-identical across engines) so every operator
-  * has a DuckDB oracle.
+  * Hot keys are capped (conf-tunable) so no degenerate shingle/bucket goes
+  * quadratic. All hashing is md5-based (bit-identical across engines) so
+  * every operator has a DuckDB oracle.
   */
 object Dedup {
 

@@ -103,6 +103,27 @@ class MaterializedAggSpec extends SparkSpecBase {
     assertMvMatches(sink) // still consistent with the rolled-back snapshot
   }
 
+  test("mv end-to-end through a real writeStream") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("mv_e2e").toString
+    val rows = Changes(spark, sfDir).collect().toSeq.map {
+      case org.apache.spark.sql.Row(block: Long, pk: Long, op: String, amount, kval, note) =>
+        graft.streaming.ChangeRow(block, pk, op,
+          Option(amount).map(_.asInstanceOf[Double]),
+          Option(kval).map(_.asInstanceOf[Long]),
+          Option(note).map(_.asInstanceOf[String]))
+    }
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.ChangeRow]
+    in.addData(rows)
+    val sink = new ChangeStreamSink(dir, "mod_mve2e", fields, mv = Some(mv))
+    val q = sink.start(in.toDF(), s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assertMvMatches(sink)
+  }
+
   test("crash between mv write and cursor commit: replay overwrites the orphan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mv_crash").toString
