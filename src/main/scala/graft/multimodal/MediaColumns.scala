@@ -18,6 +18,9 @@ final case class MediaMeta(
     n_frames: Int
 )
 
+/** Stub-extracted feature vector (what a real embedding model emits). */
+final case class MediaFeatures(doc_id: Long, feat: Seq[Double])
+
 /** SURVEY §2.3 #40-41 — multimodal column plumbing.
   *
   * Image/audio/video content is carried as an opaque `binary` column with a
@@ -48,6 +51,15 @@ object MediaCodec {
       n_frames = (b(3) % 16) + 1
     )
   }
+
+  /** STUB: a real implementation would run the vision/audio encoder on the
+    * decoded frames. Deterministic 8-dim vector from the payload bytes —
+    * the BATCH SHAPE (per-partition model init, streaming iterator, fixed
+    * output dim) is what a real encoder pass needs.
+    */
+  def features(a: MediaAsset): MediaFeatures =
+    MediaFeatures(a.doc_id,
+      (0 until 8).map(i => (a.payload(i) & 0xFF) / 255.0))
 }
 
 object MediaColumns {
@@ -117,6 +129,50 @@ object MediaColumns {
           md5(concat(col("doc_id").cast(StringType), lit(":"),
             col("frame_idx").cast(StringType))).as("frame_key"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---- #76 resize plan (aspect-preserving fit into 224×224) -------------
+    // The resize PASS stays stubbed (no codecs here) but the target-geometry
+    // computation — what the batch resize UDF consumes — is real and exact:
+    // pure INTEGER arithmetic ((dim × 224) div long-side), so both engines
+    // agree bit-for-bit with no rounding-mode traps. Narrow, zero shuffle.
+    "mm_resize" -> OpDef(
+      s"""WITH meta AS (
+         |  SELECT doc_id,
+         |    ['jpeg', 'png', 'webp'][${byteSql(0)} % 3 + 1] AS fmt,
+         |    64 + (${byteSql(1)} % 64) * 16 AS width,
+         |    64 + (${byteSql(2)} % 64) * 16 AS height
+         |  FROM documents)
+         |SELECT doc_id, fmt,
+         |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         |  CAST(width * 224 // greatest(width, height) AS INT) AS out_w,
+         |  CAST(height * 224 // greatest(width, height) AS INT) AS out_h
+         |FROM meta WHERE fmt <> 'webp'
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      decodeMeta(s, dir)
+        .filter(col("fmt") =!= "webp") // stills only; video goes to #41
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          expr("CAST(width * 224 div greatest(width, height) AS INT)").as("out_w"),
+          expr("CAST(height * 224 div greatest(width, height) AS INT)").as("out_h"))
+        .orderBy("doc_id")
+    },
+
+    // ---- #77 feature extraction (stub encoder, real batch shape) ----------
+    // Typed mapPartitions: per-partition "model init", streaming iterator,
+    // fixed-dim vector out — the exact plumbing a real encoder pass uses;
+    // the oracle reproduces the stub from the md5 hex.
+    "mm_feature_extract" -> OpDef(
+      s"""SELECT doc_id,
+         |  list_transform(generate_series(0, 7),
+         |    i -> ('0x' || substr(md5(text), 2 * i + 1, 2))::INT / 255.0) AS feat
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      assets(s, dir).as[MediaAsset]
+        .mapPartitions(_.map(MediaCodec.features))
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 }
