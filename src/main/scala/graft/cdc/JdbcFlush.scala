@@ -131,8 +131,19 @@ object JdbcFlush {
       cursor: Cursor, batchId: Long): Boolean =
     execFlush(conn, typedStatements(info, rows), cursor, batchId)
 
-  private def execFlush(conn: Connection, stmts: Seq[String],
-      cursor: Cursor, batchId: Long): Boolean = {
+  /** Extra work carried inside the flush transaction: `beforeOps` runs
+    * after the replay check and before the op statements, `afterOps`
+    * between the ops and the cursor advance. Neither runs on a replayed
+    * batch, and a failure in either rolls the whole flush back —
+    * [[JdbcMv]] rides this to keep an on-target rollup exactly-once.
+    */
+  private[cdc] trait TxnHook {
+    def beforeOps(conn: Connection): Unit
+    def afterOps(conn: Connection): Unit
+  }
+
+  private[cdc] def execFlush(conn: Connection, stmts: Seq[String],
+      cursor: Cursor, batchId: Long, hook: Option[TxnHook] = None): Boolean = {
     val prevAutoCommit = conn.getAutoCommit
     conn.setAutoCommit(false)
     try {
@@ -145,9 +156,11 @@ object JdbcFlush {
       rs.close(); check.close()
       if (existing.exists(_ >= batchId)) { conn.rollback(); return false }
 
+      hook.foreach(_.beforeOps(conn))
       val st = conn.createStatement()
       try stmts.foreach(sql => st.execute(sql.stripSuffix(";")))
       finally st.close()
+      hook.foreach(_.afterOps(conn))
 
       val upd = conn.prepareStatement(
         s"UPDATE $CursorTable SET cursor_v = ?, block_num = ?, block_id = ?, " +
