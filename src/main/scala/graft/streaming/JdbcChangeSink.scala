@@ -22,8 +22,15 @@ final class JdbcChangeSink(
     pkCol: String,
     moduleHash: String,
     fieldCols: Seq[String],
-    typedInfo: Option[graft.cdc.JdbcTableInfo] = None
+    typedInfo: Option[graft.cdc.JdbcTableInfo] = None,
+    /** When set (typed sinks only), maintain an on-target rollup table in
+      * the same flush transaction ([[graft.cdc.JdbcMv]]) — the streaming
+      * twin of [[ChangeStreamSink]]'s lake-side `mv`.
+      */
+    mv: Option[graft.cdc.JdbcMv.MvSpec] = None
 ) {
+  require(mv.isEmpty || typedInfo.nonEmpty,
+    "on-target rollup maintenance needs the introspected (typed) sink")
 
   def processBatch(batch: DataFrame, batchId: Long): Boolean = {
     if (batch.isEmpty) return false
@@ -34,9 +41,11 @@ final class JdbcChangeSink(
     val t0 = System.nanoTime()
     val conn = JdbcFlush.connect(url)
     val flushed =
-      try typedInfo match {
-        case Some(info) => JdbcFlush.flushTyped(conn, info, rows, cur, batchId)
-        case None       => JdbcFlush.flush(conn, table, pkCol, rows, cur, batchId)
+      try (typedInfo, mv) match {
+        case (Some(info), Some(spec)) =>
+          graft.cdc.JdbcMv.flushTypedWithMv(conn, info, rows, cur, batchId, spec)
+        case (Some(info), None) => JdbcFlush.flushTyped(conn, info, rows, cur, batchId)
+        case _ => JdbcFlush.flush(conn, table, pkCol, rows, cur, batchId)
       }
       finally conn.close()
     if (flushed)
@@ -63,11 +72,13 @@ object JdbcChangeSink {
     * with statements rendered through the introspected column types
     * ([[graft.cdc.JdbcFlush.typedStatements]]).
     */
-  def introspected(url: String, table: String, moduleHash: String): JdbcChangeSink = {
+  def introspected(url: String, table: String, moduleHash: String,
+      mv: Option[graft.cdc.JdbcMv.MvSpec] = None): JdbcChangeSink = {
     val conn = JdbcFlush.connect(url)
     val info =
       try graft.cdc.JdbcCatalog.tableInfo(conn, table)
       finally conn.close()
-    new JdbcChangeSink(url, table, info.pkCol, moduleHash, info.fieldCols, Some(info))
+    new JdbcChangeSink(url, table, info.pkCol, moduleHash, info.fieldCols,
+      Some(info), mv)
   }
 }

@@ -86,6 +86,23 @@ class JdbcMvSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming sink path: introspected JdbcChangeSink maintains the rollup") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:mvstream;create=true"
+    withConn("mvstream") { conn => setup(conn) }
+    val sink = graft.streaming.JdbcChangeSink.introspected(
+      url, "acct", "mod_stream", mv = Some(spec))
+    assert(sink.processBatch(Seq(
+      (1L, "s1", "INSERT", Some("g1"), Some(2.5)),
+      (2L, "s2", "INSERT", Some("g2"), Some(3.5)),
+      (3L, "s1", "UPDATE", None, Some(4.5))).toDF("block", "pk", "op", "grp", "bal"), 0))
+    assert(sink.processBatch(Seq(
+      (10L, "s2", "DELETE", None: Option[String], None: Option[Double]))
+      .toDF("block", "pk", "op", "grp", "bal"), 1))
+    withConn("mvstream")(assertMvMatches)
+    graft.streaming.LiveSinkStats.reset("mod_stream")
+  }
+
   test("failed flush rolls back ops, rollup and cursor together") {
     withConn("mvcrash") { conn =>
       val info = setup(conn)
