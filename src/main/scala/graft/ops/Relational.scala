@@ -407,9 +407,11 @@ object Relational {
       tbl(s, dir, "events")
         .groupBy("user_id")
         .agg(
+          // .getField on the struct array = GetArrayStructFields (codegen);
+          // a transform() lambda here would run interpreted per group
           concat_ws(",",
-            transform(sort_array(collect_list(struct(col("event_id"), col("event_type")))),
-              x => x.getField("event_type"))).as("types"),
+            sort_array(collect_list(struct(col("event_id"), col("event_type"))))
+              .getField("event_type")).as("types"),
           count(lit(1)).as("n"))
         .orderBy("user_id")
     },
@@ -677,9 +679,11 @@ object Relational {
         .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
       per.groupBy("user_id")
         .agg(sort_array(collect_list(struct(col("event_type"), col("v")))).as("kv"))
+        // array-of-struct field access (GetArrayStructFields) + array cast:
+        // both codegen'd, unlike transform() lambdas
         .select(col("user_id"),
-          transform(col("kv"), x => x.getField("event_type")).as("map_keys"),
-          transform(col("kv"), x => x.getField("v").cast(DoubleType)).as("map_sums"))
+          col("kv.event_type").as("map_keys"),
+          col("kv.v").cast(ArrayType(DoubleType)).as("map_sums"))
         .orderBy("user_id")
     },
 

@@ -82,13 +82,19 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   // r4 shape: two-level map aggregation = exactly the two hash-agg
-  // exchanges plus the output sort; no join anywhere. The higher-order
-  // finishers (array_sort/transform) are interpreted but run once per GROUP
-  // after aggregation — never on the per-row input path.
-  test("sum_map: two agg exchanges + sort, zero joins") {
+  // exchanges plus the output sort; no join anywhere; finishers all codegen
+  // (sort_array + GetArrayStructFields — a transform() lambda would be the
+  // interpreted regression this guards against).
+  test("sum_map: two agg exchanges + sort, zero joins, zero fallback exprs") {
     val a = auditOf(run("sum_map"))
     assert(a.scans == 1 && a.shuffles == 3, s"$a")
     assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"interpreted finisher crept in: $a")
+  }
+
+  test("group_array finishers stay codegen") {
+    val a = auditOf(run("group_array"))
+    assert(a.fallbackExprs.isEmpty, s"interpreted finisher crept in: $a")
   }
 
   // r4 shape: the three chained funnel window passes AND the per-user
