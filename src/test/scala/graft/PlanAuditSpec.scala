@@ -97,6 +97,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.fallbackExprs.isEmpty, s"interpreted finisher crept in: $a")
   }
 
+  // Whole-bank sweep — every SparkEntry query runs at sf0.001 and must
+  // plan with (a) no sort-merge join, except the full-outer CDC applies
+  // (full-outer can't broadcast — SMJ is the correct plan there), and
+  // (b) no interpreted expression, except uniq_hll's per-group sketch
+  // finisher. Any new query that regresses either property fails here.
+  test("whole-bank sweep: no unexpected sort-merge joins or interpreted exprs") {
+    val fullOuterApplies = Set("cdc_multi_table", "cdc_snapshot_apply", "mv_incremental")
+    val finisherFallbacks = Map("uniq_hll" -> Set("hll_sketch_estimate"))
+    for (name <- SparkEntry.allDefs.keys.toSeq.sorted) {
+      val a = auditOf(run(name))
+      if (!fullOuterApplies(name))
+        assert(a.sortMergeJoins == 0, s"$name grew a sort-merge join: $a")
+      val allowed = finisherFallbacks.getOrElse(name, Set.empty[String])
+      assert(a.fallbackExprs.toSet.subsetOf(allowed),
+        s"$name has interpreted exprs: ${a.fallbackExprs}")
+    }
+  }
+
   // r4 shape: the three chained funnel window passes AND the per-user
   // collapse all ride ONE user_id exchange (plus the 4-row level agg and
   // output sort = 3 total). A 4th exchange means the collapse stopped
