@@ -88,6 +88,15 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def jdbcSink(url: String, table: String, moduleHash: String): streaming.JdbcChangeSink =
     streaming.JdbcChangeSink.introspected(url, table, moduleHash)
 
+  /** [[jdbcSink]] that ALSO maintains an on-target rollup table inside
+    * every flush transaction ([[graft.cdc.JdbcMv]]) — the JDBC twin of
+    * [[streamSinkWithMv]].
+    */
+  def jdbcSinkWithMv(url: String, table: String, moduleHash: String,
+      mvTable: String, groupCol: String, valueCol: String): streaming.JdbcChangeSink =
+    streaming.JdbcChangeSink.introspected(url, table, moduleHash,
+      Some(cdc.JdbcMv.MvSpec(mvTable, groupCol, valueCol)))
+
   /** Live operational counters + rate ticker for a running sink. */
   def liveStats(moduleHash: String): streaming.LiveSinkStats =
     streaming.LiveSinkStats.of(moduleHash)
