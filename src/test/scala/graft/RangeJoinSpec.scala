@@ -78,4 +78,13 @@ class RangeJoinSpec extends SparkSpecBase {
       !plan.contains("BroadcastNestedLoopJoin"),
       "range join degraded to a nested loop:\n" + plan.take(800))
   }
+
+  test("interval_overlap query plans as an equi-join too") {
+    val df = run("interval_overlap")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "overlap join degraded to a nested loop:\n" + plan.take(800))
+  }
 }
