@@ -103,6 +103,32 @@ class JdbcMvSpec extends SparkSpecBase {
     graft.streaming.LiveSinkStats.reset("mod_stream")
   }
 
+  test("property: random op sequences keep the rollup equal to recompute") {
+    val rnd = new scala.util.Random(3)
+    withConn("mvprop") { conn =>
+      val info = setup(conn)
+      val livePks = scala.collection.mutable.Set.empty[String]
+      var batchId = 0L
+      for (_ <- 1 to 12) {
+        // one op per DISTINCT pk per flush (the collapsed-batch precondition)
+        val pks = Seq.fill(1 + rnd.nextInt(6))(s"p${rnd.nextInt(8)}").distinct
+        val collapsed = pks.map { pk =>
+          val grp = if (rnd.nextInt(5) == 0) None else Some(s"g${rnd.nextInt(3)}")
+          val bal = if (rnd.nextInt(5) == 0) None else Some(s"${rnd.nextInt(400) / 4.0}")
+          val fields = grp.map("grp" -> _).toSeq ++ bal.map("bal" -> _).toSeq
+          if (livePks(pk) && rnd.nextInt(4) == 0) {
+            livePks -= pk; PendingRow(pk, "DELETE", Seq.empty)
+          } else if (livePks(pk)) PendingRow(pk, "UPDATE", fields)
+          else { livePks += pk; PendingRow(pk, "INSERT", fields) }
+        }
+        batchId += 1
+        JdbcMv.flushTypedWithMv(conn, info, collapsed,
+          Cursor("mod", s"c$batchId", batchId * 10, s"b$batchId"), batchId, spec)
+        assertMvMatches(conn)
+      }
+    }
+  }
+
   test("failed flush rolls back ops, rollup and cursor together") {
     withConn("mvcrash") { conn =>
       val info = setup(conn)
