@@ -33,6 +33,19 @@ def norm_cell(v):
 def frame(con, rel):
     df = rel.fetchdf()
     df = df[sorted(df.columns)]
+    # The driver's comparator sorts RAW columns (pandas sort_values), which
+    # crashes on array cells ("unhashable type: numpy.ndarray"). Refuse them
+    # here too, so this local gate can never pass what the driver rejects
+    # (the r4 divergence: str() used to hide array columns).
+    for c in df.columns:
+        non_null = df[c].dropna()
+        if len(non_null):
+            v0 = non_null.iloc[0]
+            if isinstance(v0, (list, tuple, dict)) or \
+                    type(v0).__name__ == "ndarray":
+                raise TypeError(
+                    f"column {c!r} is array-typed — driver-incomparable; "
+                    "emit concat_ws/scalar columns instead")
     rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
     rows.sort()
     return list(df.columns), [str(t) for t in df.dtypes], rows

@@ -81,6 +81,16 @@ object MediaColumns {
       .toDF()
   }
 
+  /** doc → stub-extracted feature vectors (8-dim `feat` array), via the
+    * typed mapPartitions encoder path — the array-typed public API a
+    * downstream consumer (e.g. [[graft.ann.Ann]]) would read.
+    */
+  def featureDs(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import s.implicits._
+    assets(s, dir).as[MediaAsset]
+      .mapPartitions(_.map(MediaCodec.features))
+  }
+
   /** DuckDB byte-k-of-md5 helper: payload byte k as 0-255 int. */
   private def byteSql(k: Int): String =
     s"('0x' || substr(md5(text), ${2 * k + 1}, 2))::INT"
@@ -161,17 +171,19 @@ object MediaColumns {
     // ---- #77 feature extraction (stub encoder, real batch shape) ----------
     // Typed mapPartitions: per-partition "model init", streaming iterator,
     // fixed-dim vector out — the exact plumbing a real encoder pass uses;
-    // the oracle reproduces the stub from the md5 hex.
+    // the oracle reproduces the stub from the md5 hex. The 8 dims are
+    // projected to scalar columns f0..f7 (byte/255.0 is one IEEE-754 double
+    // division — bit-identical in both engines) so the output is
+    // comparator-hashable; real consumers take the array via `featureDs`.
     "mm_feature_extract" -> OpDef(
-      s"""SELECT doc_id,
-         |  list_transform(generate_series(0, 7),
-         |    i -> ('0x' || substr(md5(text), 2 * i + 1, 2))::INT / 255.0) AS feat
-         |FROM documents ORDER BY doc_id""".stripMargin
+      (s"""SELECT doc_id,
+          |""" + (0 until 8).map(i =>
+              s"  ('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT / 255.0 AS f$i")
+              .mkString(",\n") + """
+         |FROM documents ORDER BY doc_id""").stripMargin
     ) { (s, dir) =>
-      import s.implicits._
-      assets(s, dir).as[MediaAsset]
-        .mapPartitions(_.map(MediaCodec.features))
-        .toDF()
+      featureDs(s, dir).toDF()
+        .select(col("doc_id") +: (0 until 8).map(i => col("feat")(i).as(s"f$i")): _*)
         .orderBy("doc_id")
     }
   )

@@ -543,7 +543,9 @@ object Relational {
     // type at the test SFs, where space-saving is EXACT — so the oracle can
     // pin the result while the same plan caps memory on a 100 TB corpus.
     // Ties break by (count desc, value asc) — binary string order, both
-    // engines.
+    // engines. Output is the rank-ordered list joined with "," (the
+    // group_array pattern): scalar strings hash identically in every
+    // comparator, where raw arrays do not.
     "topk_approx" -> OpDef(
       """WITH c AS (
         |  SELECT event_type, CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt
@@ -553,15 +555,15 @@ object Relational {
         |    ROW_NUMBER() OVER (PARTITION BY event_type
         |                       ORDER BY cnt DESC, u) AS rn
         |  FROM c)
-        |SELECT event_type, list(u ORDER BY rn) AS top_users
+        |SELECT event_type, string_agg(u, ',' ORDER BY rn) AS top_users
         |FROM r WHERE rn <= 5
         |GROUP BY event_type ORDER BY event_type""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       tbl(s, dir, "events")
         .groupBy("event_type")
-        .agg(call_function("topk_approx",
-          col("user_id").cast(StringType), lit(5), lit(1024)).as("top_users"))
+        .agg(concat_ws(",", call_function("topk_approx",
+          col("user_id").cast(StringType), lit(5), lit(1024))).as("top_users"))
         .orderBy("event_type")
     },
 
@@ -645,16 +647,16 @@ object Relational {
         |    ROW_NUMBER() OVER (PARTITION BY event_type
         |                       ORDER BY w DESC, u) AS rn
         |  FROM c)
-        |SELECT event_type, list(u ORDER BY rn) AS top_users
+        |SELECT event_type, string_agg(u, ',' ORDER BY rn) AS top_users
         |FROM r WHERE rn <= 5
         |GROUP BY event_type ORDER BY event_type""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       tbl(s, dir, "events")
         .groupBy("event_type")
-        .agg(call_function("topk_weighted",
+        .agg(concat_ws(",", call_function("topk_weighted",
           col("user_id").cast(StringType), floor(col("value")).cast(LongType),
-          lit(5), lit(1024)).as("top_users"))
+          lit(5), lit(1024))).as("top_users"))
         .orderBy("event_type")
     },
 
@@ -663,15 +665,17 @@ object Relational {
     // decimal sum — map-side combine does the heavy lifting — then an
     // O(keys)-per-group collect into the ([keys], [sums]) shape CH returns.
     // Never a map-typed shuffle: the per-key sums ride the first shuffle as
-    // scalar rows.
+    // scalar rows. Both parallel arrays are emitted ","-joined (keys as-is,
+    // sums in DECIMAL(18,2)'s fixed 2-dp rendering — identical in Spark and
+    // DuckDB) so the result is scalar-hashable by any comparator.
     "sum_map" -> OpDef(
       """WITH per AS (
         |  SELECT user_id, event_type,
         |    SUM(CAST(value AS DECIMAL(18,2))) AS v
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id,
-        |  list(event_type ORDER BY event_type) AS map_keys,
-        |  list(CAST(v AS DOUBLE) ORDER BY event_type) AS map_sums
+        |  string_agg(event_type, ',' ORDER BY event_type) AS map_keys,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY event_type) AS map_sums
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
     ) { (s, dir) =>
       val per = tbl(s, dir, "events")
@@ -682,8 +686,8 @@ object Relational {
         // array-of-struct field access (GetArrayStructFields) + array cast:
         // both codegen'd, unlike transform() lambdas
         .select(col("user_id"),
-          col("kv.event_type").as("map_keys"),
-          col("kv.v").cast(ArrayType(DoubleType)).as("map_sums"))
+          concat_ws(",", col("kv.event_type")).as("map_keys"),
+          concat_ws(",", col("kv.v").cast(ArrayType(StringType))).as("map_sums"))
         .orderBy("user_id")
     },
 

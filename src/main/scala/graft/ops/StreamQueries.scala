@@ -64,7 +64,9 @@ object StreamQueries {
 
     // ---- #66 windowed heavy hitters (streaming-capable topK) -------------
     // Exact at test SF (capacity > distinct users/group), ties broken by
-    // user string ascending on both engines.
+    // user string ascending on both engines. The streaming transform keeps
+    // its array shape (callers consume it typed); the batch query joins it
+    // with "," so the output is scalar-hashable by any comparator.
     "stream_topk" -> OpDef(
       """WITH c AS (
         |  SELECT date_trunc('day', ts) AS d, event_type,
@@ -76,10 +78,14 @@ object StreamQueries {
         |                       ORDER BY n DESC, u) AS rn
         |  FROM c)
         |SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
-        |  list(u ORDER BY rn) AS top_users
+        |  string_agg(u, ',' ORDER BY rn) AS top_users
         |FROM r WHERE rn <= 3
         |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
-    ) { (s, dir) => StreamOps.windowedTopK(ev(s, dir)).orderBy("day", "event_type") },
+    ) { (s, dir) =>
+      StreamOps.windowedTopK(ev(s, dir))
+        .withColumn("top_users", concat_ws(",", col("top_users")))
+        .orderBy("day", "event_type")
+    },
 
     // ---- #44 stream dedup (batch shape: keep-first per key) --------------
     "stream_dedup" -> OpDef(

@@ -182,14 +182,16 @@ object TextOps {
         |r AS (SELECT lang, tok,
         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
         |      FROM c)
-        |SELECT lang, list(tok ORDER BY rn) AS top_tokens
+        |SELECT lang, string_agg(tok, ',' ORDER BY rn) AS top_tokens
         |FROM r WHERE rn <= 20 GROUP BY lang ORDER BY lang""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       docs(s, dir)
         .select(col("lang"), explode(words).as("tok"))
         .groupBy("lang")
-        .agg(call_function("topk_approx", col("tok"), lit(20), lit(1024))
+        // rank-ordered list joined with "," — scalar-hashable output
+        .agg(concat_ws(",",
+          call_function("topk_approx", col("tok"), lit(20), lit(1024)))
           .as("top_tokens"))
         .orderBy("lang")
     }

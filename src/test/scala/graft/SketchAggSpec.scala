@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 class SketchAggSpec extends SparkSpecBase {
 
   test("topk_approx with ample capacity equals the exact SQL top-k") {
+    // output is the rank-ordered ","-joined list (scalar-hashable form)
     val got = run("topk_approx").collect()
-      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      .map(r => r.getString(0) -> r.getString(1).split(",").toSeq).toMap
     val ev = graft.sources.Tables(spark, sfDir, "events")
     val exact = ev.groupBy(col("event_type"), col("user_id").cast("string").as("u"))
       .agg(count(lit(1)).as("cnt")).collect()
@@ -24,7 +25,7 @@ class SketchAggSpec extends SparkSpecBase {
 
   test("topk_weighted with ample capacity equals the exact weighted top-k") {
     val got = run("topk_weighted").collect()
-      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      .map(r => r.getString(0) -> r.getString(1).split(",").toSeq).toMap
     val ev = graft.sources.Tables(spark, sfDir, "events")
     val exact = ev.groupBy(col("event_type"), col("user_id").cast("string").as("u"))
       .agg(sum(floor(col("value")).cast("long")).as("w")).collect()
