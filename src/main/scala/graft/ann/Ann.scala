@@ -313,7 +313,13 @@ object Ann extends Serializable {
     // float-rounded final centroids: identical scores on the codegen data
     // path (float inputs) and the driver probe path (doubles from floats)
     val cfinal = centroids.map(_.map(_.toFloat.toDouble))
+    // Materialize the (vec_id, cell) index — IVF's build product, 2 narrow
+    // columns per vector — then free the persisted embeddings: rerank
+    // re-reads vectors from source for candidates only, so nothing after
+    // this point needs the corpus-sized cache entry.
     val vecCells = assign(cfinal).select("vec_id", "cell")
+      .localCheckpoint(eager = true)
+    emb.unpersist(blocking = false)
     val probeArr = probes(s, dir)
     val probeCells = probeArr.toSeq
       .flatMap { case (pid, pv) => nearestCells(cfinal, pv.toSeq, nprobe).map(c => (pid, c)) }

@@ -166,6 +166,12 @@ object Dedup {
   def ngramJaccardPairs(docsDf: DataFrame, tau: Double = 0.5,
       dfCap: Int = 0): DataFrame = {
     val cap = if (dfCap > 0) dfCap else ngramDfCap(docsDf.sparkSession)
+    // persist justification: the shingle rows feed candidate generation AND
+    // the exact verify inside the ONE action the caller runs; the result
+    // stays lazy (callers push filters / choose the action), so the cache
+    // entry lives until the session drops it — MEMORY_AND_DISK is
+    // LRU-evictable and the correctness/bench harnesses clearCache between
+    // queries. Eagerly-freeing here would force the query at build time.
     val e = shingleRowsOf(docsDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(ngramCandidates(e, tau, cap), e.select("doc_id", "h"), tau)
@@ -178,6 +184,9 @@ object Dedup {
       bucketCap: Int = 0): DataFrame = {
     val s = docsDf.sparkSession
     val cap = if (bucketCap > 0) bucketCap else lshBucketCap(s)
+    // persist justification: same double-use-in-one-action shape as
+    // [[ngramJaccardPairs]] (signatures + exact verify); kept lazy for the
+    // same reason.
     val e = shingleRowsOf(docsDf).select("doc_id", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(minhashCandidates(s, e, cap), e, tau)
@@ -590,10 +599,16 @@ object Dedup {
       n: Int = 8): DataFrame = {
     val g = gramRows(docsDf, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    g.filter(!isBenchDoc)
+    val hits = g.filter(!isBenchDoc)
       .join(g.filter(isBenchDoc).select("h").distinct(), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
+    // Force both consumers while g is cached (the per-contaminated-doc
+    // aggregate is tiny next to the gram scan), then free the corpus-sized
+    // cache entry — a long-lived session must not retain one per call.
+    val out = hits.localCheckpoint(eager = true)
+    g.unpersist(blocking = false)
+    out
   }
 
   /** Candidate near-dup pairs from COLD shingles — document frequency

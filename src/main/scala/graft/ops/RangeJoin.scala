@@ -42,10 +42,13 @@ object RangeJoin {
   /** Interval-overlap join (`loL ≤ hiR && loR ≤ hiL`): both sides explode
     * into their covered buckets, overlapping intervals necessarily share at
     * least one bucket, and the exact predicate filters bucket-mates that
-    * merely straddle. A pair sharing SEVERAL buckets surfaces once per
-    * shared bucket — deduplicated here over the joined row, so the two
-    * frames' columns together must identify the interval pair (give each
-    * side an id column).
+    * merely straddle. A pair sharing SEVERAL buckets would surface once per
+    * shared bucket; instead of a full-row distinct (an extra shuffle +
+    * exact-dedup of the entire join output — the dominant exchange at scale
+    * for wide intervals) each pair is emitted in exactly ONE bucket: the
+    * bucket of `greatest(loL, loR)`, the overlap's start, which both sides
+    * necessarily cover. A codegen filter riding the join — zero extra
+    * shuffle, identical result.
     */
   def intervalOverlap(left: DataFrame, loL: String, hiL: String,
       right: DataFrame, loR: String, hiR: String, width: Long): DataFrame = {
@@ -53,8 +56,8 @@ object RangeJoin {
     def exploded(df: DataFrame, lo: String, hi: String) = df.withColumn("_bucket",
       explode(sequence(expr(s"$lo div $width"), expr(s"$hi div $width"))))
     exploded(left, loL, hiL).join(exploded(right, loR, hiR), Seq("_bucket"))
-      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        col("_bucket") === expr(s"greatest($loL, $loR) div $width"))
       .drop("_bucket")
-      .dropDuplicates()
   }
 }

@@ -46,6 +46,25 @@ class RangeJoinSpec extends SparkSpecBase {
     }
   }
 
+  // r5 shape: a pair sharing several buckets is emitted only in the bucket
+  // of greatest(loL, loR) — a codegen filter on the joined row — so the
+  // plan must contain NO dedup aggregate and no exchange beyond the bucket
+  // join itself (the old dropDuplicates added a full-output shuffle +
+  // exact-distinct, the dominant exchange at scale for wide intervals).
+  test("interval overlap: first-bucket emission — no dedup aggregate, no extra exchange") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 0L, 100L), (2L, 40L, 145L)).toDF("lid", "lo_l", "hi_l")
+    val r = Seq((7L, 5L, 139L), (8L, 45L, 99L)).toDF("rid", "lo_r", "hi_r")
+    val df = RangeJoin.intervalOverlap(l, "lo_l", "hi_l", r, "lo_r", "hi_r", 7L)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Aggregate"),
+      "first-bucket emission must not need a dedup aggregate:\n" + plan.take(800))
+    val a = PlanAudit.audit(df.queryExecution.executedPlan)
+    assert(a.shuffles <= 2, s"extra exchange beyond the bucket join: $a")
+  }
+
   test("property: random points/intervals/widths always equal the naive join") {
     val s = spark
     import s.implicits._
