@@ -34,7 +34,11 @@ object GraftFunctions {
       TopKAgg(args(0),
         k = args(2).eval(null).asInstanceOf[Number].intValue(),
         capacity = args(3).eval(null).asInstanceOf[Number].intValue(),
-        weight = Some(args(1))) }
+        weight = Some(args(1))) },
+    // capped exact distinct: uniq_upto(value, n) (aggregate)
+    "uniq_upto" -> { args =>
+      UniqUpToAgg(args(0),
+        n = args(1).eval(null).asInstanceOf[Number].intValue()) }
   )
 
   def register(spark: SparkSession): Unit = {

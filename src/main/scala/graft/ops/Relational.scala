@@ -881,6 +881,110 @@ object Relational {
           (count(lit(1)) * 10).as("n_est"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
+    },
+
+    // ---- #79 non-overlapping sequence count (CH sequenceCount surface) ----
+    // sequenceCount('(?1).*(?2).*(?3)') = greedy non-overlapping state-machine
+    // matches of signup→click→purchase per user. One shuffle on user_id; the
+    // per-user ordered event-letter string is built by a single sorted
+    // collect (state bounded by one user's history, exactly the per-group
+    // buffer CH's sequenceCount keeps), then counted with regexp_count —
+    // leftmost-lazy `s.*?c.*?p` scanning is precisely the greedy automaton:
+    // first match anchors at the first viable s and closes at the earliest
+    // p after the earliest c, then scanning resumes past the match.
+    "sequence_count" -> OpDef(
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+        |                    WHEN 'purchase' THEN 'p' ELSE 'x' END AS ch
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS str
+        |  FROM m GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(len(regexp_extract_all(str, 's.*?c.*?p')) AS BIGINT) AS n_seq
+        |FROM s ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          when(col("event_type") === "signup", "s")
+            .when(col("event_type") === "click", "c")
+            .when(col("event_type") === "purchase", "p")
+            .otherwise("x").as("ch")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("user_id"),
+          // GetArrayStructFields, not a transform() lambda — stays codegen
+          regexp_count(
+            concat_ws("", col("es").getField("ch")),
+            lit("s.*?c.*?p")).cast(LongType).as("n_seq"))
+        .orderBy("user_id")
+    },
+
+    // ---- #80 capped distinct count (CH uniqUpTo(N) surface) ---------------
+    // [[graft.functions.UniqUpToAgg]]: exact while ≤ N, sentinel N+1 after —
+    // with the tracked set FREED at overflow, so per-group state is
+    // O(min(distinct, N)) and partials merge map-side. Both regimes
+    // exercised: n=10 overflows for every event_type at every SF, n=10^6
+    // stays exact — so the oracle (min(count distinct, N+1)) pins both the
+    // overflow sentinel and the exact path byte-for-byte.
+    "uniq_upto" -> OpDef(
+      """SELECT event_type,
+        |  CASE WHEN COUNT(DISTINCT user_id) > 10 THEN 11
+        |       ELSE COUNT(DISTINCT user_id) END AS uniq_capped,
+        |  COUNT(DISTINCT user_id) AS uniq_wide
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          call_function("uniq_upto",
+            col("user_id").cast(StringType), lit(10)).as("uniq_capped"),
+          call_function("uniq_upto",
+            col("user_id").cast(StringType), lit(1000000)).as("uniq_wide"))
+        .orderBy("event_type")
+    },
+
+    // ---- #81 exact weighted quantiles (CH quantileExactWeighted surface) --
+    // Smallest value whose cumulative weight reaches p·total — CH's exact
+    // weighted definition. Pre-aggregating to (group, value) first bounds
+    // the per-group sort to DISTINCT values (the only inherent cost of an
+    // exact quantile), then one window pass computes every level. Threshold
+    // tests use cross-multiplied integer weights (cum·4 ≥ 3·tot), never
+    // p·total floating-point — no boundary drift between engines.
+    "quantiles_exact_weighted" -> OpDef(
+      """WITH w AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |    SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |    SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM w)
+        |SELECT l_returnflag,
+        |  MIN(v) FILTER (WHERE cum * 4 >= tot) AS p25,
+        |  MIN(v) FILTER (WHERE cum * 2 >= tot) AS p50,
+        |  MIN(v) FILTER (WHERE cum * 4 >= 3 * tot) AS p75,
+        |  MIN(v) FILTER (WHERE cum * 10 >= 9 * tot) AS p90
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val byValue = tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("wt"))
+      val ordered = Window.partitionBy("l_returnflag").orderBy("v")
+      val whole = Window.partitionBy("l_returnflag")
+      byValue
+        .withColumn("cum", sum("wt").over(ordered))
+        .withColumn("tot", sum("wt").over(whole))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("cum") * 4 >= col("tot"), col("v"))).as("p25"),
+          min(when(col("cum") * 2 >= col("tot"), col("v"))).as("p50"),
+          min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as("p75"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("v"))).as("p90"))
+        .orderBy("l_returnflag")
     }
   )
 }

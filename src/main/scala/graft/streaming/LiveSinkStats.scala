@@ -43,6 +43,11 @@ final class LiveSinkStats(val moduleHash: String) {
   def recordBlock(blockNum: Long): Unit =
     if (blockNum > lastBlockNum) lastBlockNum = blockNum
 
+  /** Raw flush-duration counter in nanoseconds — the unit the reference
+    * exports (`metrics.go:15`: "time spent flushing ... (in nanoseconds)").
+    */
+  def flushDurationNanosTotal: Long = flushDurationNanos.get()
+
   def snapshot(flushRatePerSec: Double = Double.NaN): LiveSinkStats.Progress =
     LiveSinkStats.Progress(
       moduleHash = moduleHash,
@@ -122,4 +127,58 @@ object LiveSinkStats {
 
   /** Drop a module's counters (tests / sink teardown). */
   def reset(moduleHash: String): Unit = { registry.remove(moduleHash); () }
+
+  /** All registered module stats, ordered by module hash (stable scrapes). */
+  def modules(): Seq[LiveSinkStats] = {
+    import scala.jdk.CollectionConverters._
+    registry.values().asScala.toSeq.sortBy(_.moduleHash)
+  }
+
+  // The reference's three registered metrics (`sinker/metrics.go:13-15`),
+  // same names / types / help text, keyed here by a `module` label since one
+  // JVM may run several sinks where the reference process runs one.
+  private val MetricFamilies: Seq[(String, String, String, LiveSinkStats => Long)] = Seq(
+    ("substreams_sink_clickhouse_store_flush_count", "counter",
+      "The amount of flush that happened so far", _.snapshot().flushes),
+    ("substreams_sink_clickhouse_flushed_entries_count", "gauge",
+      "The number of flushed entries so far", _.snapshot().flushedEntries),
+    ("substreams_sink_clickhouse_store_flush_duration", "counter",
+      "The amount of time spent flushing cache to db (in nanoseconds)",
+      _.flushDurationNanosTotal))
+
+  /** Pull/export hook: render every registered module's counters in the
+    * Prometheus text exposition format (v0.0.4) — the scrapeable surface the
+    * reference gets from its dmetrics registry (`sinker/metrics.go:11-15`).
+    * Serve this string from any HTTP endpoint (or dump it on a timer) and an
+    * unmodified reference dashboard reads it: names, types and help text
+    * match the reference registration exactly.
+    */
+  def scrape(): String = {
+    val mods = modules()
+    val sb = new StringBuilder
+    MetricFamilies.foreach { case (name, kind, help, value) =>
+      sb.append(s"# HELP $name $help\n")
+      sb.append(s"# TYPE $name $kind\n")
+      mods.foreach { m =>
+        sb.append(s"""$name{module="${m.moduleHash}"} ${value(m)}""").append('\n')
+      }
+    }
+    sb.toString
+  }
+
+  /** Bridge to Spark's own monitoring bus: a [[org.apache.spark.sql.streaming.StreamingQueryListener]]
+    * that emits a fresh counter snapshot after every micro-batch of the
+    * module's sink query — the event-driven alternative to the [[LiveSinkStats#start]]
+    * ticker (reference `stats.go:38-60`), with zero extra threads. Register
+    * with `spark.streams.addListener(...)`; pair with [[scrape]] for pull.
+    */
+  def listener(moduleHash: String,
+      emit: Progress => Unit = logLine): org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(event: QueryProgressEvent): Unit =
+        emit(of(moduleHash).snapshot())
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    }
 }

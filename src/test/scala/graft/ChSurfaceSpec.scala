@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The r5 ClickHouse-surface additions: sequenceCount, uniqUpTo(N) and
+  * quantileExactWeighted — each checked against an independent Scala
+  * re-derivation of the reference semantics (not against the oracle SQL,
+  * which the driver gate already runs).
+  */
+class ChSurfaceSpec extends SparkSpecBase {
+
+  test("sequence_count equals the greedy non-overlapping automaton per user") {
+    val got = run("sequence_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val events = graft.sources.Tables(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val exp = events.groupBy(_._1).map { case (u, rows) =>
+      val seq = rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).map(_._4)
+      // greedy state machine: signup → click → purchase, count + reset
+      var stage = 0; var n = 0L
+      seq.foreach {
+        case "signup" if stage == 0 => stage = 1
+        case "click" if stage == 1 => stage = 2
+        case "purchase" if stage == 2 => n += 1; stage = 0
+        case _ => ()
+      }
+      u -> n
+    }
+    assert(got == exp)
+    assert(got.values.exists(_ > 0), "no user ever completed the sequence — vacuous")
+    assert(got.values.toSet.size > 1, "constant match count — degenerate fixture")
+  }
+
+  test("uniq_upto: sentinel in the overflow regime, exact below it") {
+    val got = run("uniq_upto").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = graft.sources.Tables(spark, sfDir, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (et, d) =>
+      val (capped, wide) = got(et)
+      assert(capped == math.min(d, 11L), s"$et: capped=$capped d=$d")
+      assert(wide == d, s"$et: wide=$wide d=$d")
+    }
+    // both regimes must actually occur at this SF
+    assert(exact.values.exists(_ > 10), "overflow regime never exercised")
+  }
+
+  test("uniq_upto state frees its tracked set at overflow and merge is sticky") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val a = graft.functions.UniqUpToAgg(
+      BoundReference(0, StringType, nullable = true), n = 5)
+    val st = a.createAggregationBuffer()
+    (1 to 5).foreach(i => a.update(st, InternalRow(UTF8String.fromString(s"v$i"))))
+    assert(!st.overflowed && a.eval(st) == 5L)
+    // serialized small state round-trips
+    assert(a.eval(a.deserialize(a.serialize(st))) == 5L)
+    a.update(st, InternalRow(UTF8String.fromString("v6")))
+    assert(st.overflowed && st.seen.isEmpty, "overflow must drop the tracked set")
+    assert(a.eval(st) == 6L) // sentinel n+1
+    // duplicates never overflow
+    val dup = a.createAggregationBuffer()
+    (1 to 100).foreach(_ => a.update(dup, InternalRow(UTF8String.fromString("same"))))
+    assert(a.eval(dup) == 1L)
+    // merge: small∪small exact; anything ∪ overflowed stays the sentinel
+    val b1 = a.createAggregationBuffer(); val b2 = a.createAggregationBuffer()
+    Seq("a", "b", "c").foreach(v => a.update(b1, InternalRow(UTF8String.fromString(v))))
+    Seq("c", "d").foreach(v => a.update(b2, InternalRow(UTF8String.fromString(v))))
+    assert(a.eval(a.merge(b1, b2)) == 4L)
+    assert(a.eval(a.merge(b1, st)) == 6L)
+    assert(a.eval(a.deserialize(a.serialize(st))) == 6L)
+  }
+
+  test("quantiles_exact_weighted matches the cumulative-weight definition") {
+    val got = run("quantiles_exact_weighted").collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    val li = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2).toLong))
+    val exp = li.groupBy(_._1).map { case (rf, rows) =>
+      val byV = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      def q(num: Long, den: Long): Double = {
+        var cum = 0L
+        byV.find { case (_, w) => cum += w; cum * den >= num * tot }.get._1
+      }
+      rf -> Seq(q(1, 4), q(1, 2), q(3, 4), q(9, 10))
+    }
+    assert(got == exp)
+    got.values.foreach(qs => assert(qs == qs.sorted, "quantiles must be monotone"))
+  }
+}

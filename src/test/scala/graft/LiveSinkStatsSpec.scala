@@ -64,4 +64,65 @@ class LiveSinkStatsSpec extends SparkSpecBase {
       "monitor did not capture the sink's progress")
     LiveSinkStats.reset("mod_live_s")
   }
+
+  test("prometheus scrape exports the reference counter set from a running sink") {
+    LiveSinkStats.reset("mod_live_p")
+    val dir = Files.createTempDirectory("livescrape").toString
+    val sink = new ChangeStreamSink(dir, "mod_live_p", Seq("amount", "kval", "note"))
+    val ch = Changes(spark, sfDir)
+    sink.processBatch(ch.filter(col("block") <= 500), 0)
+    sink.processBatch(ch.filter(col("block") > 500), 1)
+    val text = LiveSinkStats.scrape()
+    // names / types / help exactly as registered in sinker/metrics.go:13-15
+    assert(text.contains(
+      "# TYPE substreams_sink_clickhouse_store_flush_count counter"))
+    assert(text.contains(
+      "# TYPE substreams_sink_clickhouse_flushed_entries_count gauge"))
+    assert(text.contains(
+      "# TYPE substreams_sink_clickhouse_store_flush_duration counter"))
+    assert(text.contains(
+      "# HELP substreams_sink_clickhouse_store_flush_count The amount of flush that happened so far"))
+    assert(text.contains(
+      """substreams_sink_clickhouse_store_flush_count{module="mod_live_p"} 2"""))
+    assert(text.contains(
+      s"""substreams_sink_clickhouse_flushed_entries_count{module="mod_live_p"} ${ch.count()}"""))
+    val dur = text.linesIterator.find(
+      _.startsWith("""substreams_sink_clickhouse_store_flush_duration{module="mod_live_p"}"""))
+    assert(dur.exists(_.split(' ').last.toLong > 0), s"duration sample missing/zero: $dur")
+    LiveSinkStats.reset("mod_live_p")
+  }
+
+  test("StreamingQueryListener bridge emits snapshots per micro-batch of a real stream") {
+    implicit val s = spark
+    import s.implicits._
+    LiveSinkStats.reset("mod_live_l")
+    val dir = Files.createTempDirectory("livelisten").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.ChangeRow]
+    val ch = Changes(spark, sfDir).limit(200).collect().toSeq.map {
+      case org.apache.spark.sql.Row(block: Long, pk: Long, op: String, amount, kval, note) =>
+        graft.streaming.ChangeRow(block, pk, op,
+          Option(amount).map(_.asInstanceOf[Double]),
+          Option(kval).map(_.asInstanceOf[Long]),
+          Option(note).map(_.asInstanceOf[String]))
+    }
+    in.addData(ch)
+    val seen = new ConcurrentLinkedQueue[LiveSinkStats.Progress]()
+    val listener = LiveSinkStats.listener("mod_live_l", emit = seen.add(_))
+    spark.streams.addListener(listener)
+    try {
+      val sink = new ChangeStreamSink(dir, "mod_live_l", Seq("amount", "kval", "note"))
+      val q = sink.start(in.toDF(), s"$dir/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(60000)
+      // listener events are delivered async on the bus thread
+      val deadline = System.nanoTime() + 10000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+    } finally spark.streams.removeListener(listener)
+    val rows = seen.toArray(Array.empty[LiveSinkStats.Progress])
+    assert(rows.nonEmpty, "listener bridge emitted nothing for a completed query")
+    assert(rows.last.flushes >= 1 && rows.last.flushedEntries == 200,
+      s"unexpected final snapshot: ${rows.last}")
+    LiveSinkStats.reset("mod_live_l")
+  }
 }

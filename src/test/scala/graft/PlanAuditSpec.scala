@@ -97,6 +97,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.fallbackExprs.isEmpty, s"interpreted finisher crept in: $a")
   }
 
+  // r5 shape: per-user letter-string agg + regex count = the user_id agg
+  // exchange plus the output sort; no joins; the letter extraction is
+  // GetArrayStructFields (codegen), never a transform() lambda.
+  test("sequence_count: one agg exchange + sort, zero joins, zero fallback exprs") {
+    val a = auditOf(run("sequence_count"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"interpreted finisher crept in: $a")
+  }
+
+  // r5 shape: (group, value) pre-agg exchange → ONE l_returnflag exchange
+  // shared by both windows AND the final group agg (same partitioning) →
+  // output sort. A 4th exchange means a window or the collapse stopped
+  // reusing the rf distribution.
+  test("quantiles_exact_weighted: windows and collapse share one rf exchange") {
+    val a = auditOf(run("quantiles_exact_weighted"))
+    assert(a.scans == 1 && a.shuffles <= 3, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
   // Whole-bank sweep — every SparkEntry query runs at sf0.001 and must
   // plan with (a) no sort-merge join, except the full-outer CDC applies
   // (full-outer can't broadcast — SMJ is the correct plan there), and
