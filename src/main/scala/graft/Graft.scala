@@ -4,6 +4,7 @@ import graft.cdc.{Catalog, ChangeLoader, CursorStore, MultiTable}
 import graft.sources.{Changes, Tables}
 import graft.streaming.{ChangeStreamSink, MultiTableChangeSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The library facade — what a user of the reference sink programs against
   * after switching to graft.
@@ -122,6 +123,38 @@ final class Graft(val spark: SparkSession, val dir: String) {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame =
     dedup.Dedup.contaminationOf(corpus, benchmark, n)
+
+  /** The `pipeline_filter` (#74) composition in its PRODUCTION shape: each
+    * stage (quality scores, exact-dup drop list, near-dup non-canonicals,
+    * contamination list) is materialized to parquet under `outDir` exactly
+    * once, then the kept set is derived from the materialized stages —
+    * instead of re-deriving every stage lazily inside one plan, which is
+    * what the oracle row does to prove composition. At 100 TB the stage
+    * outputs are also the AUDIT artifacts a curation run must keep
+    * (why was each doc dropped), so the writes aren't overhead. Returns the
+    * kept frame read back from `outDir/kept`; bit-equal to
+    * `run("pipeline_filter")` (spec-pinned).
+    */
+  def curate(outDir: String, minQuality: Double = 0.25): DataFrame = {
+    val stage = (name: String, df: DataFrame) => {
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.read.parquet(s"$outDir/$name")
+    }
+    val quality = stage("quality",
+      run("text_quality").select(col("doc_id"), col("quality")))
+    val exDup = stage("exact_dups", run("dedup_exact").select("doc_id"))
+    val nonCanon = stage("near_dup_non_canonical",
+      run("dedup_clusters").filter(!col("is_canonical")).select("doc_id"))
+    val contaminated = stage("contaminated", run("contamination").select("doc_id"))
+    val kept = table("documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(quality, "doc_id").filter(col("quality") >= minQuality)
+      .join(exDup, Seq("doc_id"), "left_anti")
+      .join(nonCanon, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("quality"))
+    stage("kept", kept).orderBy("doc_id")
+  }
 
   // ---- ANN --------------------------------------------------------------
   def annBruteForce(): DataFrame = run("ann_bruteforce")

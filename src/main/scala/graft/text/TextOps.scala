@@ -194,6 +194,43 @@ object TextOps {
           call_function("topk_approx", col("tok"), lit(20), lit(1024)))
           .as("top_tokens"))
         .orderBy("lang")
+    },
+
+    // ---- #83 repetition signal (Gopher/RefinedWeb dup-ngram quality rule)
+    // Fraction of duplicate word-2-grams and duplicate words per document —
+    // the "repetitious text" filters LLM curation pipelines cut on. Pure
+    // per-row collection expressions (slice + arrays_zip + array_distinct,
+    // all codegen, no lambda): ZERO shuffle at any scale, scan-bound like
+    // the rest of the text family. Ratios are single IEEE divisions of
+    // exact integer counts — bit-identical across engines. Struct-pair
+    // grams here vs 'w1 w2' string grams in the oracle count the same sets
+    // (words contain no spaces, so the concat is injective).
+    "doc_repetition" -> OpDef(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(ws) AS n,
+        |    len(list_distinct(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i+1]))) AS dg,
+        |    len(list_distinct(ws)) AS dw
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN n > 1 THEN CAST(n - 1 - dg AS DOUBLE) / (n - 1)
+        |       ELSE 0.0 END AS dup_2gram_ratio,
+        |  CAST(n - dw AS DOUBLE) / n AS dup_word_ratio
+        |FROM g ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ws = split(lower(col("text")), " ")
+      val n = size(ws)
+      val dg = size(array_distinct(arrays_zip(
+        slice(ws, lit(1), n - 1), slice(ws, lit(2), n - 1))))
+      val dw = size(array_distinct(ws))
+      docs(s, dir)
+        .select(col("doc_id"),
+          when(n > 1, (n - 1 - dg).cast(DoubleType) / (n - 1))
+            .otherwise(0.0).as("dup_2gram_ratio"),
+          (n - dw).cast(DoubleType).divide(n).as("dup_word_ratio"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -74,6 +74,31 @@ class GraftFacadeSpec extends SparkSpecBase {
     graft.streaming.LiveSinkStats.reset("mod_facade")
   }
 
+  test("curate materializes every stage once and matches pipeline_filter") {
+    val out = java.nio.file.Files.createTempDirectory("curate").toString
+    val kept = g.curate(out)
+    val exp = run("pipeline_filter")
+    assert(kept.collect().map(_.toSeq).toSeq == exp.collect().map(_.toSeq).toSeq)
+    // every stage artifact is on disk (the audit trail a curation run keeps)
+    for (stage <- Seq("quality", "exact_dups", "near_dup_non_canonical",
+        "contaminated", "kept")) {
+      val p = java.nio.file.Paths.get(out, stage)
+      assert(java.nio.file.Files.exists(p), s"stage $stage not materialized")
+      assert(spark.read.parquet(p.toString).count() >= 0)
+    }
+    // the kept frame is served FROM the materialized stage, not recomputed
+    val roots = kept.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("curate")),
+      s"kept must read back the materialized parquet, scans: $roots")
+  }
+
   test("facade mv sink maintains a live rollup") {
     val dir = java.nio.file.Files.createTempDirectory("facade_mv").toString
     val sink = g.streamSinkWithMv(dir, "mod_facade_mv",

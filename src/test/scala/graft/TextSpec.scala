@@ -35,4 +35,20 @@ class TextSpec extends SparkSpecBase {
     assert(rows.forall(r => langs(r.getString(1))))
     assert(rows.forall(r => (r.getString(1) == "und") == (r.getLong(2) == 0L)))
   }
+
+  test("doc_repetition equals a direct distinct-gram recompute") {
+    val got = run("doc_repetition").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exp = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map { r =>
+        val ws = r.getString(1).toLowerCase.split(" ", -1).toSeq
+        val n = ws.size
+        val grams = ws.zip(ws.tail)
+        val g = if (n > 1) (grams.size - grams.distinct.size).toDouble / grams.size else 0.0
+        r.getLong(0) -> ((g, (n - ws.distinct.size).toDouble / n))
+      }.toMap
+    assert(got == exp)
+    assert(got.values.exists(_._1 > 0), "no doc has any duplicate 2-gram — vacuous")
+    assert(got.values.forall { case (a, b) => a >= 0 && a <= 1 && b >= 0 && b <= 1 })
+  }
 }
