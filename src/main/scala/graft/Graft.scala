@@ -102,6 +102,11 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def liveStats(moduleHash: String): streaming.LiveSinkStats =
     streaming.LiveSinkStats.of(moduleHash)
 
+  /** Prometheus text-exposition render of every module's sink counters —
+    * serve from any HTTP endpoint to scrape (`sinker/metrics.go` parity).
+    */
+  def scrapeMetrics(): String = streaming.LiveSinkStats.scrape()
+
   // ---- dedup (over the `documents` table; caps conf- or param-tunable) --
   def nearDupNgram(tau: Double = 0.5, dfCap: Int = 0): DataFrame =
     dedup.Dedup.ngramJaccardPairs(table("documents"), tau, dfCap)

@@ -68,6 +68,8 @@ class GraftFacadeSpec extends SparkSpecBase {
     assert(sink.processBatch(
       Seq((1L, "a1", "INSERT", Some("2.5"))).toDF("block", "pk", "op", "bal"), 0))
     assert(g.liveStats("mod_facade").snapshot().flushes == 1)
+    assert(g.scrapeMetrics()
+      .contains("""substreams_sink_clickhouse_store_flush_count{module="mod_facade"} 1"""))
     // dedup + ann entries return live frames over the lake tables
     assert(g.nearDupSimhash().columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
     assert(g.annIvf().count() > 0)

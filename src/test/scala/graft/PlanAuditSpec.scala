@@ -117,6 +117,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
   }
 
+  // r5 shape: the repetition ratios are pure per-row expressions — the ONLY
+  // exchange is the output sort. A second exchange means a ratio stopped
+  // being a scan-local computation.
+  test("doc_repetition: zero shuffle beyond the output sort, no joins") {
+    val a = auditOf(run("doc_repetition"))
+    assert(a.scans == 1 && a.shuffles <= 1, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
   // Whole-bank sweep — every SparkEntry query runs at sf0.001 and must
   // plan with (a) no sort-merge join, except the full-outer CDC applies
   // (full-outer can't broadcast — SMJ is the correct plan there), and

@@ -114,6 +114,25 @@ class TopKAggPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("uniq_upto equals min(exact distinct, n+1) under random splits (25 trials)") {
+    val a = graft.functions.UniqUpToAgg(
+      BoundReference(0, StringType, nullable = true), n = 10)
+    (1 to 25).foreach { trial =>
+      val xs = stream(50 + rng.nextInt(500), 5 + rng.nextInt(40))
+      val truth = xs.distinct.size.toLong
+      val parts = 1 + rng.nextInt(5)
+      val chunks = xs.grouped(math.max(1, (xs.size + parts - 1) / parts)).toSeq
+      val merged = chunks.map { c =>
+        val st = a.createAggregationBuffer()
+        c.foreach(v => a.update(st, InternalRow(UTF8String.fromString(v))))
+        // ser/de between partial and final, as a real exchange would
+        a.deserialize(a.serialize(st))
+      }.reduceLeft(a.merge)
+      assert(a.eval(merged) == math.min(truth, 11L),
+        s"trial=$trial distinct=$truth parts=${chunks.size}")
+    }
+  }
+
   test("serialize/deserialize round-trips mid-aggregation state losslessly") {
     (1 to 10).foreach { _ =>
       val capacity = 4 + rng.nextInt(13)
