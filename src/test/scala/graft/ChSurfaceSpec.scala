@@ -33,6 +33,27 @@ class ChSurfaceSpec extends SparkSpecBase {
     assert(got.values.toSet.size > 1, "constant match count — degenerate fixture")
   }
 
+  test("leftmost-lazy regex count ≡ greedy automaton on random event strings") {
+    // the equivalence sequence_count rests on: java.util.regex find() with
+    // s.*?c.*?p counts exactly what the reset-on-match state machine counts
+    val rng = new scala.util.Random(7L)
+    val pat = java.util.regex.Pattern.compile("s.*?c.*?p")
+    (1 to 500).foreach { trial =>
+      val str = Seq.fill(rng.nextInt(60))("scpx" (rng.nextInt(4))).mkString
+      var stage = 0; var n = 0
+      str.foreach {
+        case 's' if stage == 0 => stage = 1
+        case 'c' if stage == 1 => stage = 2
+        case 'p' if stage == 2 => n += 1; stage = 0
+        case _ => ()
+      }
+      val m = pat.matcher(str)
+      var re = 0
+      while (m.find()) re += 1
+      assert(re == n, s"trial=$trial str=$str regex=$re automaton=$n")
+    }
+  }
+
   test("uniq_upto: sentinel in the overflow regime, exact below it") {
     val got = run("uniq_upto").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
