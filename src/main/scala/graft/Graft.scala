@@ -151,13 +151,8 @@ final class Graft(val spark: SparkSession, val dir: String) {
     val nonCanon = stage("near_dup_non_canonical",
       run("dedup_clusters").filter(!col("is_canonical")).select("doc_id"))
     val contaminated = stage("contaminated", run("contamination").select("doc_id"))
-    val kept = table("documents")
-      .filter(col("doc_id") % 10 =!= 0)
-      .join(quality, "doc_id").filter(col("quality") >= minQuality)
-      .join(exDup, Seq("doc_id"), "left_anti")
-      .join(nonCanon, Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("quality"))
+    val kept = dedup.Dedup.keptSet(table("documents"),
+      quality, exDup, nonCanon, contaminated, minQuality)
     stage("kept", kept).orderBy("doc_id")
   }
 

@@ -562,22 +562,32 @@ object Dedup {
          |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
          |ORDER BY d.doc_id""".stripMargin
     ) { (s, dir) =>
-      val d = docs(s, dir)
       val quality = graft.text.TextOps.defs("text_quality").fn(s, dir)
         .select(col("doc_id"), col("quality"))
       val exDup = defs("dedup_exact").fn(s, dir).select("doc_id")
       val nonCanon = defs("dedup_clusters").fn(s, dir)
         .filter(!col("is_canonical")).select("doc_id")
       val contaminated = defs("contamination").fn(s, dir).select("doc_id")
-      d.filter(col("doc_id") % 10 =!= 0)
-        .join(quality, "doc_id").filter(col("quality") >= 0.25)
-        .join(exDup, Seq("doc_id"), "left_anti")
-        .join(nonCanon, Seq("doc_id"), "left_anti")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("quality"))
+      keptSet(docs(s, dir), quality, exDup, nonCanon, contaminated, 0.25)
         .orderBy("doc_id")
     }
   )
+
+  /** The curation composition itself — ONE definition shared by the
+    * `pipeline_filter` oracle row (lazy, all stages re-derived in-plan) and
+    * `Graft.curate` (stages materialized to parquet first): held-out slice
+    * + quality ≥ τ + three doc_id anti-joins. Keeping it in one place means
+    * a stage added or reordered cannot silently diverge the two paths.
+    */
+  def keptSet(d: DataFrame, quality: DataFrame, exDup: DataFrame,
+      nonCanon: DataFrame, contaminated: DataFrame,
+      minQuality: Double): DataFrame =
+    d.filter(col("doc_id") % 10 =!= 0)
+      .join(quality, "doc_id").filter(col("quality") >= minQuality)
+      .join(exDup, Seq("doc_id"), "left_anti")
+      .join(nonCanon, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("quality"))
 
   /** PUBLIC decontamination operator: corpus documents sharing at least one
     * word-`n`-gram with ANY document of `benchmark` (both frames need
@@ -597,18 +607,20 @@ object Dedup {
     */
   def contaminationBySplit(docsDf: DataFrame, isBenchDoc: Column,
       n: Int = 8): DataFrame = {
+    // persist justification: the gram scan feeds BOTH join sides inside the
+    // one action the caller runs; kept LAZY (same shape as
+    // [[ngramJaccardPairs]]) so construction never executes a job and the
+    // returned plan stays auditable end-to-end. MEMORY_AND_DISK is
+    // LRU-evictable and the harnesses clearCache between queries; an eager
+    // force-then-unpersist here (tried in r5) ran the gram job at
+    // DataFrame-CONSTRUCTION time and replaced the auditable join plan with
+    // a checkpoint scan — the worse trade.
     val g = gramRows(docsDf, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hits = g.filter(!isBenchDoc)
+    g.filter(!isBenchDoc)
       .join(g.filter(isBenchDoc).select("h").distinct(), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
-    // Force both consumers while g is cached (the per-contaminated-doc
-    // aggregate is tiny next to the gram scan), then free the corpus-sized
-    // cache entry — a long-lived session must not retain one per call.
-    val out = hits.localCheckpoint(eager = true)
-    g.unpersist(blocking = false)
-    out
   }
 
   /** Candidate near-dup pairs from COLD shingles — document frequency

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -38,11 +38,15 @@ final case class TopKAgg(
     weight: Option[Expression] = None,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKAgg.State] {
+  extends TypedImperativeAggregate[TopKAgg.State] with ImplicitCastInputTypes {
 
   require(k >= 1 && capacity >= k, "need capacity ≥ k ≥ 1")
 
   override def children: Seq[Expression] = child +: weight.toSeq
+  // analysis-time contract: child auto-casts to string, weight to long —
+  // never a runtime ClassCastException in update()
+  override def inputTypes: Seq[DataType] =
+    StringType +: weight.map(_ => LongType: DataType).toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,11 +24,14 @@ final case class UniqUpToAgg(
     n: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[UniqUpToAgg.State] {
+  extends TypedImperativeAggregate[UniqUpToAgg.State] with ImplicitCastInputTypes {
 
   require(n >= 1, "need N ≥ 1")
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time contract: a non-string child is auto-cast (or rejected),
+  // never a runtime ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 

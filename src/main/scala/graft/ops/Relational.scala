@@ -956,7 +956,7 @@ object Relational {
     "quantiles_exact_weighted" -> OpDef(
       """WITH w AS (
         |  SELECT l_returnflag, l_extendedprice AS v,
-        |         SUM(CAST(l_quantity AS BIGINT)) AS wt
+        |         SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS wt
         |  FROM lineitem GROUP BY 1, 2),
         |c AS (
         |  SELECT l_returnflag, v,
@@ -970,9 +970,12 @@ object Relational {
         |  MIN(v) FILTER (WHERE cum * 10 >= 9 * tot) AS p90
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     ) { (s, dir) =>
+      // floor() before the long cast on BOTH engines: Spark's double→long
+      // truncates toward zero, DuckDB's rounds half-to-even — floor makes
+      // fractional quantities agree (the topk_weighted convention)
       val byValue = tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .agg(sum(col("l_quantity").cast(LongType)).as("wt"))
+        .agg(sum(floor(col("l_quantity")).cast(LongType)).as("wt"))
       val ordered = Window.partitionBy("l_returnflag").orderBy("v")
       val whole = Window.partitionBy("l_returnflag")
       byValue

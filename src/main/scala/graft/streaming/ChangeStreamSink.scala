@@ -341,6 +341,9 @@ final class ChangeStreamSink(
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
+      // named after the module so LiveSinkStats.listener(queryName = ...)
+      // can pick this query's progress events off the session-global bus
+      .queryName(moduleHash)
       .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
       .start()
 }

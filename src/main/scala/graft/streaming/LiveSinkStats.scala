@@ -160,25 +160,39 @@ object LiveSinkStats {
       sb.append(s"# HELP $name $help\n")
       sb.append(s"# TYPE $name $kind\n")
       mods.foreach { m =>
-        sb.append(s"""$name{module="${m.moduleHash}"} ${value(m)}""").append('\n')
+        val label = escapeLabel(m.moduleHash)
+        sb.append(s"""$name{module="$label"} ${value(m)}""").append('\n')
       }
     }
     sb.toString
   }
+
+  // exposition-format label escaping: \ " and newline must be escaped or a
+  // scraper rejects the whole payload (module hashes are arbitrary strings)
+  private def escapeLabel(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
   /** Bridge to Spark's own monitoring bus: a [[org.apache.spark.sql.streaming.StreamingQueryListener]]
     * that emits a fresh counter snapshot after every micro-batch of the
     * module's sink query — the event-driven alternative to the [[LiveSinkStats#start]]
     * ticker (reference `stats.go:38-60`), with zero extra threads. Register
     * with `spark.streams.addListener(...)`; pair with [[scrape]] for pull.
+    *
+    * The bus is session-global, so the listener must pick out ITS query:
+    * `queryName` filters progress events by `StreamingQuery.name` (set
+    * `.queryName(...)` on the sink query — the sinks here default it to the
+    * module hash). `None` emits on every query's progress — only correct in
+    * single-query sessions.
     */
   def listener(moduleHash: String,
-      emit: Progress => Unit = logLine): org.apache.spark.sql.streaming.StreamingQueryListener =
+      emit: Progress => Unit = logLine,
+      queryName: Option[String] = None): org.apache.spark.sql.streaming.StreamingQueryListener =
     new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(event: QueryStartedEvent): Unit = ()
       override def onQueryProgress(event: QueryProgressEvent): Unit =
-        emit(of(moduleHash).snapshot())
+        if (queryName.forall(_ == event.progress.name))
+          emit(of(moduleHash).snapshot())
       override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
     }
 }

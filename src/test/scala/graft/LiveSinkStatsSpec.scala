@@ -108,8 +108,15 @@ class LiveSinkStatsSpec extends SparkSpecBase {
     }
     in.addData(ch)
     val seen = new ConcurrentLinkedQueue[LiveSinkStats.Progress]()
-    val listener = LiveSinkStats.listener("mod_live_l", emit = seen.add(_))
+    val other = new ConcurrentLinkedQueue[LiveSinkStats.Progress]()
+    // sink queries are named after their module, so the filter picks this
+    // query's events off the session-global bus; the decoy must stay silent
+    val listener = LiveSinkStats.listener("mod_live_l", emit = seen.add(_),
+      queryName = Some("mod_live_l"))
+    val decoy = LiveSinkStats.listener("mod_live_l", emit = other.add(_),
+      queryName = Some("some_other_module"))
     spark.streams.addListener(listener)
+    spark.streams.addListener(decoy)
     try {
       val sink = new ChangeStreamSink(dir, "mod_live_l", Seq("amount", "kval", "note"))
       val q = sink.start(in.toDF(), s"$dir/ckpt",
@@ -118,11 +125,15 @@ class LiveSinkStatsSpec extends SparkSpecBase {
       // listener events are delivered async on the bus thread
       val deadline = System.nanoTime() + 10000000000L
       while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
-    } finally spark.streams.removeListener(listener)
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.streams.removeListener(decoy)
+    }
     val rows = seen.toArray(Array.empty[LiveSinkStats.Progress])
     assert(rows.nonEmpty, "listener bridge emitted nothing for a completed query")
     assert(rows.last.flushes >= 1 && rows.last.flushedEntries == 200,
       s"unexpected final snapshot: ${rows.last}")
+    assert(other.isEmpty, "queryName filter leaked another query's events")
     LiveSinkStats.reset("mod_live_l")
   }
 }
