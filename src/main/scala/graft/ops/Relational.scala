@@ -539,9 +539,11 @@ object Relational {
 
     // ---- #56 heavy hitters (ClickHouse topK surface) ----------------------
     // Space-saving aggregate ([[graft.functions.TopKAgg]]): O(capacity)
-    // memory per group at any scale. capacity=1024 ≥ the distinct users per
-    // type at the test SFs, where space-saving is EXACT — so the oracle can
-    // pin the result while the same plan caps memory on a 100 TB corpus.
+    // memory per group at any scale. capacity=8192 ≥ the distinct users per
+    // type at every gate SF (sf0.1 has ~1500 users/type — 1024 silently left
+    // the exact regime there, caught by an off-gate sf0.1 sweep), so
+    // space-saving is EXACT and the oracle can pin the result while the
+    // same plan caps memory on a 100 TB corpus.
     // Ties break by (count desc, value asc) — binary string order, both
     // engines. Output is the rank-ordered list joined with "," (the
     // group_array pattern): scalar strings hash identically in every
@@ -563,7 +565,7 @@ object Relational {
       tbl(s, dir, "events")
         .groupBy("event_type")
         .agg(concat_ws(",", call_function("topk_approx",
-          col("user_id").cast(StringType), lit(5), lit(1024))).as("top_users"))
+          col("user_id").cast(StringType), lit(5), lit(8192))).as("top_users"))
         .orderBy("event_type")
     },
 
@@ -656,7 +658,7 @@ object Relational {
         .groupBy("event_type")
         .agg(concat_ws(",", call_function("topk_weighted",
           col("user_id").cast(StringType), floor(col("value")).cast(LongType),
-          lit(5), lit(1024))).as("top_users"))
+          lit(5), lit(8192))).as("top_users"))
         .orderBy("event_type")
     },
 

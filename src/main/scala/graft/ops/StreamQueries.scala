@@ -87,6 +87,13 @@ object StreamQueries {
         .orderBy("day", "event_type")
     },
 
+    // ---- #84 windowed approx quantiles (streaming-capable sketch) --------
+    // Rows-only like #58: sketch values are merge-order-dependent; the
+    // streaming spec pins the rank-error window vs the exact distribution.
+    "stream_quantiles" -> OpDef.rowsOnly { (s, dir) =>
+      StreamOps.windowedQuantiles(ev(s, dir)).orderBy("day", "event_type")
+    },
+
     // ---- #44 stream dedup (batch shape: keep-first per key) --------------
     "stream_dedup" -> OpDef(
       """SELECT user_id, event_type, MIN(event_id) AS event_id

@@ -82,6 +82,25 @@ object StreamOps {
         col("event_type"), col("top_users"))
   }
 
+  /** #84 — windowed approximate quantiles per type (1-day windows): the
+    * live-path twin of `quantiles_approx` (§2.2 #58). percentile_approx is
+    * Spark's mergeable GK-style sketch, so state per open (window, type)
+    * group is O(accuracy) — bounded however many events a hot window sees —
+    * and partials merge map-side; the watermark closes windows. Sketch
+    * results are merge-order-dependent, so the pin is a rank-error window
+    * against the exact distribution (streaming spec), not a hash oracle —
+    * the same contract #58 carries.
+    */
+  def windowedQuantiles(events: DataFrame, accuracy: Int = 1000): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.95)), lit(accuracy)).as("q"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("q")(0).as("p50"), col("q")(1).as("p95"))
+  }
+
   /** #44 — drop duplicate (user_id, event_type) arrivals; on streams the
     * watermark bounds the dedup state (dropDuplicatesWithinWatermark), in
     * batch it is an exact keep-first dedup.

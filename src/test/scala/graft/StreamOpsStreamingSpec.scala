@@ -45,6 +45,38 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed quantile sketches on a stream sit in the rank-error window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = eventRows()
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.windowedQuantiles(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("wq").outputMode("append").start()
+    try {
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val got = spark.sql("select * from wq").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      assert(got.nonEmpty, "no window closed — watermark never advanced")
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val exact = ev.groupBy(e => (fmt.format(e._4), e._3))
+        .view.mapValues(_.map(_._5).sorted).toMap
+      got.foreach { case (day, et, p50, p95) =>
+        val vals = exact((day, et))
+        val n = vals.length
+        val eps = n / 1000 + 1 // accuracy 1000 → rank error ≤ n/1000
+        Seq(0.5 -> p50, 0.95 -> p95).foreach { case (p, est) =>
+          val lo = vals(math.max(0, (p * (n - 1)).toInt - eps))
+          val hi = vals(math.min(n - 1, math.ceil(p * (n - 1)).toInt + eps))
+          assert(est >= lo && est <= hi, s"$day/$et p$p: $est outside [$lo, $hi] (n=$n)")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("batch shape of stream_dedup matches distinct keys of the feed") {
     val ev = eventRows()
     val keys = ev.map(e => (e._2, e._3)).distinct
