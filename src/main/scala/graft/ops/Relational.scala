@@ -885,6 +885,36 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // ---- #85 conditional aggregates (the CH -If combinator family) --------
+    // countIf / sumIf / avgIf / maxIf / uniqIf as predicate-gated aggregates
+    // in ONE pass — Spark's count_if + FILTER-style conditional aggs compile
+    // to the same partial-mergeable hash agg as their unconditional twins
+    // (no second scan, no join). Decimal-exact conditional sum for float
+    // parity; avgIf NULL on empty predicate groups in both engines.
+    "agg_if" -> OpDef(
+      """SELECT event_type,
+        |  COUNT(*) FILTER (WHERE value > 5.0) AS n_big,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 5.0)
+        |       AS DOUBLE) AS sum_big,
+        |  round(AVG(value) FILTER (WHERE event_type <> 'error'), 4) AS avg_ok,
+        |  MAX(value) FILTER (WHERE user_id % 2 = 0) AS max_even_user,
+        |  COUNT(DISTINCT user_id) FILTER (WHERE value > 5.0) AS uniq_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val big = col("value") > 5.0
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count_if(big).as("n_big"),
+          sum(when(big, col("value")).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_big"),
+          round(avg(when(col("event_type") =!= "error", col("value"))), 4)
+            .as("avg_ok"),
+          max(when(col("user_id") % 2 === 0, col("value"))).as("max_even_user"),
+          countDistinct(when(big, col("user_id"))).as("uniq_big"))
+        .orderBy("event_type")
+    },
+
     // ---- #79 non-overlapping sequence count (CH sequenceCount surface) ----
     // sequenceCount('(?1).*(?2).*(?3)') = greedy non-overlapping state-machine
     // matches of signup→click→purchase per user. One shuffle on user_id; the
