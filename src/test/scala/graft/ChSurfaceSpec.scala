@@ -98,6 +98,28 @@ class ChSurfaceSpec extends SparkSpecBase {
     assert(a.eval(a.deserialize(a.serialize(st))) == 6L)
   }
 
+  test("agg_if equals the same aggregates over pre-filtered frames") {
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+    val got = run("agg_if").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0))
+    assert(got.keySet == types.toSet)
+    types.foreach { et =>
+      val all = ev.filter(col("event_type") === et)
+      val big = all.filter(col("value") > 5.0)
+      val r = got(et)
+      assert(r.getLong(1) == big.count(), s"$et n_big")
+      assert(r.getLong(5) == big.select("user_id").distinct().count(), s"$et uniq_big")
+      // maxIf over even users only
+      val even = all.filter(col("user_id") % 2 === 0)
+      val expMax = even.agg(max("value")).collect()(0)
+      assert((r.isNullAt(4) && expMax.isNullAt(0)) ||
+        r.getDouble(4) == expMax.getDouble(0), s"$et max_even_user")
+      // avgIf: NULL exactly for the error group (predicate empties it)
+      assert(r.isNullAt(3) == (et == "error"), s"$et avg_ok nullness")
+    }
+  }
+
   test("quantiles_exact_weighted matches the cumulative-weight definition") {
     val got = run("quantiles_exact_weighted").collect()
       .map(r => r.getString(0) ->
