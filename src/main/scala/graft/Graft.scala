@@ -161,6 +161,24 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def annLsh(k: Int = ann.Ann.K): DataFrame = ann.Ann.lshTopK(spark, dir, k)
   def annIvf(k: Int = ann.Ann.K): DataFrame = ann.Ann.ivfTopK(spark, dir, k)
 
+  /** Offline IVF index build — run once per corpus version; persists the
+    * coarse quantizer + (vec_id, cell) assignments as parquet under
+    * `outDir` ([[graft.ann.Ann.buildIvfIndex]]).
+    */
+  def buildIvfIndex(outDir: String, cells: Int = ann.Ann.Cells,
+      lloydIters: Int = 2): ann.IvfIndex =
+    ann.Ann.buildIvfIndex(spark, dir, outDir, cells, lloydIters)
+
+  /** Reload a persisted index built by [[buildIvfIndex]]. */
+  def loadIvfIndex(indexDir: String): ann.IvfIndex =
+    ann.Ann.loadIvfIndex(spark, indexDir)
+
+  /** The pure online IVF query path against a prebuilt index — zero
+    * training jobs ([[graft.ann.Ann.ivfQuery]]).
+    */
+  def annIvf(index: ann.IvfIndex, k: Int, nprobe: Int): DataFrame =
+    ann.Ann.ivfQuery(spark, dir, index, k, nprobe)
+
   // ---- as-of join --------------------------------------------------------
   /** Union+window composition — no session extensions needed. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],

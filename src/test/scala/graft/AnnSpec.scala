@@ -51,6 +51,58 @@ class AnnSpec extends SparkSpecBase {
     assert(Ann.ivfTopK(spark, sfDir).collect().nonEmpty)
   }
 
+  test("exact-regime rows (exhaustive probing) equal brute force row-for-row") {
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val exact = key(bf)
+    assert(key(run("ann_lsh_exact").collect()) == exact, "ann_lsh_exact != bruteforce")
+    assert(key(run("ann_ivf_exact").collect()) == exact, "ann_ivf_exact != bruteforce")
+  }
+
+  test("ivf online query path: zero training jobs, reads the prebuilt index") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+      Ann.buildIvfIndex(spark, sfDir, idxDir)
+      Thread.sleep(1000) // listener bus delivery is async
+      val buildJobs = jobs.get()
+      val idx = Ann.loadIvfIndex(spark, idxDir)
+      assert(idx.centroids.length == Ann.Cells && idx.centroids.head.length == Ann.Dim)
+
+      jobs.set(0)
+      val df = Ann.ivfQuery(spark, sfDir, idx)
+      Thread.sleep(1000)
+      // The query path's only eager work is the probe collect + parquet
+      // footer reads (≤ 5 metadata-scale jobs). Lloyd training — the seed
+      // collect, an assignment agg per iteration, the index writes — ran
+      // `buildJobs` jobs; the online path must be nowhere near it.
+      val queryJobs = jobs.get()
+      assert(queryJobs <= 5, s"query-path construction ran $queryJobs jobs")
+      assert(queryJobs < buildJobs / 2,
+        s"query path ($queryJobs jobs) is not clearly cheaper than the build ($buildJobs)")
+      // the candidate side reads the persisted (vec_id, cell) index parquet
+      val paths = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+      assert(paths.exists(_.contains(idxDir)), s"no index scan in $paths")
+      // recall of the prebuilt-index query path matches the inline path
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.intersect(exact).size.toDouble / exact.size >= 0.5)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("deterministic hyperplanes are reproducible and bounded") {
     val a = Ann.hyperplanes
     assert(a.length == Ann.Tables_ && a(0).length == Ann.Bits && a(0)(0).length == Ann.Dim)
