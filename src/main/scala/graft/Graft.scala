@@ -151,10 +151,20 @@ final class Graft(val spark: SparkSession, val dir: String) {
     val nonCanon = stage("near_dup_non_canonical",
       run("dedup_clusters").filter(!col("is_canonical")).select("doc_id"))
     val contaminated = stage("contaminated", run("contamination").select("doc_id"))
+    // every stage is now parquet on disk — free the shingle/gram caches the
+    // dedup operators persisted while deriving them (a long-lived session
+    // would otherwise keep one corpus-scale entry per curate call)
+    dedup.Dedup.releaseCaches()
     val kept = dedup.Dedup.keptSet(table("documents"),
       quality, exDup, nonCanon, contaminated, minQuality)
     stage("kept", kept).orderBy("doc_id")
   }
+
+  /** Free the lazy intermediate caches the dedup/contamination operators
+    * register ([[graft.dedup.Dedup.releaseCaches]]) — call once the action
+    * consuming their result has completed.
+    */
+  def releaseCaches(): Unit = dedup.Dedup.releaseCaches()
 
   // ---- ANN --------------------------------------------------------------
   def annBruteForce(): DataFrame = run("ann_bruteforce")

@@ -142,6 +142,27 @@ object Dedup {
   def ngramDfCap(s: SparkSession): Int = capFromConf(s, NgramDfCapKey, NgramDfCap)
   def lshBucketCap(s: SparkSession): Int = capFromConf(s, LshBucketCapKey, LshBucketCap)
 
+  // Every LAZY persist this module hands out (shingle/gram scans feeding two
+  // join sides of one action) is registered here so long-lived sessions have
+  // an explicit cleanup path: memory blocks are LRU-evictable but
+  // DISK-spilled blocks are not, so "the session will evict it" is only half
+  // true. `Graft.curate` releases after materializing its stages; any other
+  // production caller does the same via [[releaseCaches]] once its action
+  // completes. Harnesses clearCache between queries, which is equivalent.
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def trackCache(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
+
+  /** Unpersist every intermediate cache a dedup/contamination operator
+    * registered since the last release (no-op on never-materialized
+    * entries).
+    */
+  def releaseCaches(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = trackedCaches.poll() }
+  }
+
   /** Exact-Jaccard verification of candidate pairs: re-join the FULL
     * shingle rows on both sides and count shared hashes (codegen equi-join
     * + agg). `cand` carries (doc_a, doc_b, n_a, n_b); `e` is (doc_id, h).
@@ -172,8 +193,8 @@ object Dedup {
     // entry lives until the session drops it — MEMORY_AND_DISK is
     // LRU-evictable and the correctness/bench harnesses clearCache between
     // queries. Eagerly-freeing here would force the query at build time.
-    val e = shingleRowsOf(docsDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = trackCache(shingleRowsOf(docsDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     verifyJaccard(ngramCandidates(e, tau, cap), e.select("doc_id", "h"), tau)
   }
 
@@ -187,8 +208,8 @@ object Dedup {
     // persist justification: same double-use-in-one-action shape as
     // [[ngramJaccardPairs]] (signatures + exact verify); kept lazy for the
     // same reason.
-    val e = shingleRowsOf(docsDf).select("doc_id", "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = trackCache(shingleRowsOf(docsDf).select("doc_id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     verifyJaccard(minhashCandidates(s, e, cap), e, tau)
   }
 
@@ -610,13 +631,14 @@ object Dedup {
     // persist justification: the gram scan feeds BOTH join sides inside the
     // one action the caller runs; kept LAZY (same shape as
     // [[ngramJaccardPairs]]) so construction never executes a job and the
-    // returned plan stays auditable end-to-end. MEMORY_AND_DISK is
-    // LRU-evictable and the harnesses clearCache between queries; an eager
+    // returned plan stays auditable end-to-end. An eager
     // force-then-unpersist here (tried in r5) ran the gram job at
     // DataFrame-CONSTRUCTION time and replaced the auditable join plan with
-    // a checkpoint scan — the worse trade.
-    val g = gramRows(docsDf, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a checkpoint scan — the worse trade. Long-lived sessions free the
+    // entry (disk-spilled blocks are NOT LRU-evicted) via [[releaseCaches]];
+    // `Graft.curate` does so after materializing its stages.
+    val g = trackCache(gramRows(docsDf, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     g.filter(!isBenchDoc)
       .join(g.filter(isBenchDoc).select("h").distinct(), "h")
       .groupBy("doc_id")

@@ -41,8 +41,14 @@ final case class UniqUpToAgg(
     if (!buf.overflowed) {
       val v = child.eval(input)
       if (v != null) {
-        buf.seen.add(v.asInstanceOf[UTF8String].clone())
-        if (buf.seen.size() > n) buf.overflow()
+        // membership test on the (possibly unsafe-buffer-backed) input value
+        // first; clone only on actual insert — duplicate rows are the common
+        // case near the cap and must not allocate
+        val u = v.asInstanceOf[UTF8String]
+        if (!buf.seen.contains(u)) {
+          buf.seen.add(u.clone())
+          if (buf.seen.size() > n) buf.overflow()
+        }
       }
     }
     buf

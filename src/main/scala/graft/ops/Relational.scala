@@ -964,7 +964,8 @@ object Relational {
       """SELECT event_type,
         |  CASE WHEN COUNT(DISTINCT user_id) > 10 THEN 11
         |       ELSE COUNT(DISTINCT user_id) END AS uniq_capped,
-        |  COUNT(DISTINCT user_id) AS uniq_wide
+        |  CASE WHEN COUNT(DISTINCT user_id) > 1000000 THEN 1000001
+        |       ELSE COUNT(DISTINCT user_id) END AS uniq_wide
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)

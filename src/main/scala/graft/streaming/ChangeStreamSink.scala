@@ -342,8 +342,12 @@ final class ChangeStreamSink(
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       // named after the module so LiveSinkStats.listener(queryName = ...)
-      // can pick this query's progress events off the session-global bus
-      .queryName(moduleHash)
+      // can pick this query's progress events off the session-global bus.
+      // A per-start nonce keeps active-query names unique: Spark rejects two
+      // live queries with the same name, so a bare moduleHash would make
+      // restart-while-prior-query-still-active (or two sinks sharing a
+      // hash) throw. The listener matches on the moduleHash PREFIX.
+      .queryName(s"$moduleHash-${java.util.UUID.randomUUID().toString.take(8)}")
       .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
       .start()
 }

@@ -179,10 +179,11 @@ object LiveSinkStats {
     * with `spark.streams.addListener(...)`; pair with [[scrape]] for pull.
     *
     * The bus is session-global, so the listener must pick out ITS query:
-    * `queryName` filters progress events by `StreamingQuery.name` (set
-    * `.queryName(...)` on the sink query — the sinks here default it to the
-    * module hash). `None` emits on every query's progress — only correct in
-    * single-query sessions.
+    * `queryName` filters progress events by `StreamingQuery.name` — exact,
+    * or the name plus a `-nonce` suffix ([[ChangeStreamSink]] names its
+    * queries `moduleHash-<nonce>` so restarts never collide with a
+    * still-active prior query). `None` emits on every query's progress —
+    * only correct in single-query sessions.
     */
   def listener(moduleHash: String,
       emit: Progress => Unit = logLine,
@@ -190,9 +191,11 @@ object LiveSinkStats {
     new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(event: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(event: QueryProgressEvent): Unit =
-        if (queryName.forall(_ == event.progress.name))
+      override def onQueryProgress(event: QueryProgressEvent): Unit = {
+        val n = event.progress.name
+        if (queryName.forall(q => n == q || (n != null && n.startsWith(q + "-"))))
           emit(of(moduleHash).snapshot())
+      }
       override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
     }
 }

@@ -317,6 +317,27 @@ class StreamingSpec extends SparkSpecBase {
     intercept[IllegalStateException](store.readWithMismatch("hash_y", "error"))
   }
 
+  test("two active sinks sharing a module hash start without name collision") {
+    // Spark rejects duplicate ACTIVE query names; the per-start nonce in
+    // ChangeStreamSink.start must keep restart-while-prior-active legal.
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = changeRows(maxBlock = 100)
+    val in1 = MemoryStream[ChangeRow]
+    val in2 = MemoryStream[ChangeRow]
+    in1.addData(rows); in2.addData(rows)
+    val d1 = Files.createTempDirectory("sink-nonce1").toString
+    val d2 = Files.createTempDirectory("sink-nonce2").toString
+    val sink1 = new ChangeStreamSink(d1, "mod_shared", Seq("amount", "kval", "note"))
+    val sink2 = new ChangeStreamSink(d2, "mod_shared", Seq("amount", "kval", "note"))
+    val q1 = sink1.start(in1.toDF(), s"$d1/ckpt", Trigger.AvailableNow())
+    val q2 = sink2.start(in2.toDF(), s"$d2/ckpt", Trigger.AvailableNow()) // must not throw
+    assert(q1.name.startsWith("mod_shared-") && q2.name.startsWith("mod_shared-"))
+    assert(q1.name != q2.name)
+    q1.awaitTermination(60000); q2.awaitTermination(60000)
+  }
+
   test("windowed counts on a stream emit watermark-closed windows matching batch") {
     implicit val s = spark
     import s.implicits._
