@@ -1,0 +1,93 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The exact-regime contracts behind every capacity-pinned query in the
+  * bank, declared next to their constants so the regime can be AUDITED
+  * instead of assumed.
+  *
+  * Several operators are sketches that are provably exact while their
+  * capacity covers the true cardinality (space-saving topK with
+  * capacity ≥ distinct keys per group; uniqUpTo below its cap). Their
+  * oracles are exact SQL, so the driver gate only stays green while the
+  * data is inside the regime — and cardinalities GROW with SF. Round 5
+  * caught `topk_approx` silently leaving its regime at sf0.1 (capacity
+  * 1024 < ~1500 distinct users) in an off-gate sweep; this registry turns
+  * that one-time catch into a permanent gate: `CapacityRegimeSpec` fails
+  * loudly at every local SF the moment any pin is violated, naming the
+  * constant to bump.
+  *
+  * `audit` returns one row per pin per violation-free check; a violated
+  * pin raises with the measured cardinality.
+  */
+object CapacityPins {
+
+  /** One exact-regime premise: `query` is exact while `capacity` ≥ the
+    * value measured by `measure` (the max distinct cardinality any single
+    * aggregation group sees at that SF).
+    */
+  final case class Pin(
+      query: String,
+      capacity: Long,
+      what: String,
+      measure: (SparkSession, String) => Long)
+
+  private def maxDistinctPerGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column): Long =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(valueCol).as("d"))
+      .agg(max("d")).collect()(0).getLong(0)
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+  private def docsT(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** capacity ≥ measured ⟺ the query is in its exact regime. */
+  val pins: Seq[Pin] = Seq(
+    Pin("topk_approx", 8192, "distinct users per event_type",
+      (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id"))),
+    Pin("topk_weighted", 8192, "distinct users per event_type",
+      (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id"))),
+    Pin("stream_topk", 4096, "distinct users per (day, event_type)",
+      (s, dir) => maxDistinctPerGroup(
+        events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq("day", "event_type"), col("user_id"))),
+    Pin("tok_topk", 1024, "distinct tokens per lang",
+      (s, dir) => maxDistinctPerGroup(
+        docsT(s, dir).select(col("lang"), explode(text.TextOps.words).as("tok")),
+        Seq("lang"), col("tok"))),
+    Pin("uniq_upto(wide)", 1000000, "distinct users per event_type",
+      (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id")))
+  )
+
+  /** The inverse pins: premises of the form "the data EXCEEDS a bound",
+    * guaranteeing an overflow/approximate regime is genuinely exercised
+    * (a vacuous regime is the quieter way for a spec to rot).
+    */
+  val floorPins: Seq[Pin] = Seq(
+    Pin("uniq_upto(capped)", 10, "distinct users per event_type must EXCEED cap",
+      (s, dir) => events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("d"))
+        .agg(min("d")).collect()(0).getLong(0))
+  )
+
+  /** Check every pin at `dir`; returns (query, capacity, measured) rows and
+    * throws on the first violation.
+    */
+  def audit(s: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+    val ok = pins.map { p =>
+      val m = p.measure(s, dir)
+      require(p.capacity >= m,
+        s"${p.query} OFF-REGIME at $dir: capacity ${p.capacity} < $m (${p.what}) — bump the constant")
+      (p.query, p.capacity, m)
+    }
+    val floors = floorPins.map { p =>
+      val m = p.measure(s, dir)
+      require(m > p.capacity,
+        s"${p.query} regime VACUOUS at $dir: ${p.what} (${p.capacity}) but measured $m")
+      (p.query, p.capacity, m)
+    }
+    ok ++ floors
+  }
+}

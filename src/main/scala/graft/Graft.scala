@@ -107,6 +107,13 @@ final class Graft(val spark: SparkSession, val dir: String) {
     */
   def scrapeMetrics(): String = streaming.LiveSinkStats.scrape()
 
+  /** Serve [[scrapeMetrics]] over HTTP at `addr` — the reference's
+    * `--metrics-listen-addr` surface (default `localhost:9102`); `stop()`
+    * the returned server on shutdown.
+    */
+  def serveMetrics(addr: String = "localhost:9102"): streaming.MetricsHttpServer =
+    streaming.MetricsHttpServer.start(addr)
+
   // ---- dedup (over the `documents` table; caps conf- or param-tunable) --
   def nearDupNgram(tau: Double = 0.5, dfCap: Int = 0): DataFrame =
     dedup.Dedup.ngramJaccardPairs(table("documents"), tau, dfCap)

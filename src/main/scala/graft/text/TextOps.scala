@@ -32,7 +32,9 @@ object TextOps {
 
   private def sqlList(ws: Seq[String]): String = ws.mkString("['", "', '", "']")
 
-  private val words: Column = split(col("text"), " ")
+  // whitespace tokenizer shared by every text query (and the capacity-regime
+  // guard, which must count distinct tokens with the SAME tokenization)
+  private[graft] val words: Column = split(col("text"), " ")
 
   val defs: Map[String, OpDef] = Map(
     // ---- #36 language ID: stopword-hit argmax ----------------------------

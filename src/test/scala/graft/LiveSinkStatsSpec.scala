@@ -92,6 +92,33 @@ class LiveSinkStatsSpec extends SparkSpecBase {
     LiveSinkStats.reset("mod_live_p")
   }
 
+  test("HTTP metrics endpoint serves the scrape — --metrics-listen-addr parity") {
+    LiveSinkStats.reset("mod_live_h")
+    val dir = Files.createTempDirectory("livehttp").toString
+    val sink = new ChangeStreamSink(dir, "mod_live_h", Seq("amount", "kval", "note"))
+    val ch = Changes(spark, sfDir)
+    sink.processBatch(ch.filter(col("block") <= 500), 0)
+    sink.processBatch(ch.filter(col("block") > 500), 1)
+    val srv = graft.streaming.MetricsHttpServer.start("localhost:0") // ephemeral port
+    try {
+      val conn = new java.net.URL(s"http://localhost:${srv.port}/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/plain"))
+      val text = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      conn.disconnect()
+      // all three reference metric families present, with this module sampled
+      Seq("substreams_sink_clickhouse_store_flush_count",
+          "substreams_sink_clickhouse_flushed_entries_count",
+          "substreams_sink_clickhouse_store_flush_duration").foreach { fam =>
+        assert(text.contains(s"# TYPE $fam"), s"family $fam missing")
+      }
+      assert(text.contains(
+        """substreams_sink_clickhouse_store_flush_count{module="mod_live_h"} 2"""))
+    } finally srv.stop()
+    LiveSinkStats.reset("mod_live_h")
+  }
+
   test("StreamingQueryListener bridge emits snapshots per micro-batch of a real stream") {
     implicit val s = spark
     import s.implicits._
