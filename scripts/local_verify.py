@@ -14,6 +14,7 @@ no DuckDB dependency.
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -55,8 +56,13 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        # driver SFs are flat files; locally-generated probe SFs
+        # (graft.GenTestData) are Spark output directories
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):

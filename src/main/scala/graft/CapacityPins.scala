@@ -45,11 +45,11 @@ object CapacityPins {
 
   /** capacity ≥ measured ⟺ the query is in its exact regime. */
   val pins: Seq[Pin] = Seq(
-    Pin("topk_approx", 8192, "distinct users per event_type",
+    Pin("topk_approx", 16384, "distinct users per event_type",
       (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id"))),
-    Pin("topk_weighted", 8192, "distinct users per event_type",
+    Pin("topk_weighted", 16384, "distinct users per event_type",
       (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id"))),
-    Pin("stream_topk", 4096, "distinct users per (day, event_type)",
+    Pin("stream_topk", 8192, "distinct users per (day, event_type)",
       (s, dir) => maxDistinctPerGroup(
         events(s, dir).withColumn("day", to_date(col("ts"))),
         Seq("day", "event_type"), col("user_id"))),

@@ -17,8 +17,15 @@ object Tables {
     // (`div` keeps the arithmetic in longs — nanos overflow a double).
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // locally-generated probe SFs (graft.GenTestData) write ts as
+      // TIMESTAMP_MICROS directly — only the driver's NANOS files arrive
+      // as raw longs needing the truncating conversion
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -71,7 +71,7 @@ object StreamOps {
     * oracle pins that regime at test SF; beyond it space-saving's
     * guarantee-aware merge bounds apply).
     */
-  def windowedTopK(events: DataFrame, k: Int = 3, capacity: Int = 4096): DataFrame = {
+  def windowedTopK(events: DataFrame, k: Int = 3, capacity: Int = 8192): DataFrame = {
     graft.functions.GraftFunctions.register(events.sparkSession)
     val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
     src

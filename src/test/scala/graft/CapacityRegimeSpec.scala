@@ -10,11 +10,12 @@ package graft
 class CapacityRegimeSpec extends SparkSpecBase {
 
   private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1",
+      "/root/repo/testdata-local/sf1") // 10× probe from graft.GenTestData
     .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
 
-  test("fixture sanity: all three local SFs are present") {
-    assert(sfDirs.size == 3, s"expected 3 SF dirs, found $sfDirs")
+  test("fixture sanity: the three driver SFs are present") {
+    assert(sfDirs.size >= 3, s"expected >= 3 SF dirs, found $sfDirs")
   }
 
   sfDirs.foreach { dir =>
