@@ -38,7 +38,16 @@ object GraftFunctions {
     // capped exact distinct: uniq_upto(value, n) (aggregate)
     "uniq_upto" -> { args =>
       UniqUpToAgg(args(0),
-        n = args(1).eval(null).asInstanceOf[Number].intValue()) }
+        n = args(1).eval(null).asInstanceOf[Number].intValue()) },
+    // CH -State/-Merge combinators over the space-saving state:
+    // topk_state(value, capacity) → binary cell; topk_merge(state, k, cap)
+    "topk_state" -> { args =>
+      TopKStateAgg(args(0),
+        capacity = args(1).eval(null).asInstanceOf[Number].intValue()) },
+    "topk_merge" -> { args =>
+      TopKMergeAgg(args(0),
+        k = args(1).eval(null).asInstanceOf[Number].intValue(),
+        capacity = args(2).eval(null).asInstanceOf[Number].intValue()) }
   )
 
   def register(spark: SparkSession): Unit = {

@@ -66,10 +66,35 @@ final case class TopKAgg(
     buf
   }
 
-  override def merge(b1: TopKAgg.State, b2: TopKAgg.State): TopKAgg.State = {
-    // conservative union (preserves the overestimate-only invariant):
-    // an item one side never tracked could have had up to that side's
-    // minimum count before eviction — credit it and flag it as error
+  override def merge(b1: TopKAgg.State, b2: TopKAgg.State): TopKAgg.State =
+    TopKAgg.union(b1, b2, capacity)
+
+  override def eval(buf: TopKAgg.State): Any = TopKAgg.evalTopK(buf, k)
+
+  override def serialize(buf: TopKAgg.State): Array[Byte] = TopKAgg.write(buf)
+
+  override def deserialize(bytes: Array[Byte]): TopKAgg.State = TopKAgg.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head, weight = newChildren.lift(1))
+  override def prettyName: String =
+    if (weight.isDefined) "topk_weighted" else "topk_approx"
+}
+
+object TopKAgg {
+
+  /** Conservative union (preserves the overestimate-only invariant): an
+    * item one side never tracked could have had up to that side's minimum
+    * count before eviction — credit it and flag it as error. Shared by
+    * in-query partial merges AND the `-Merge` combinator re-aggregating
+    * persisted `-State` cells.
+    */
+  def union(b1: State, b2: State, capacity: Int): State = {
     val m1 = b1.minIfFull(capacity)
     val m2 = b2.minIfFull(capacity)
     val it = b2.items.entrySet().iterator()
@@ -91,7 +116,8 @@ final case class TopKAgg(
     b1
   }
 
-  override def eval(buf: TopKAgg.State): Any = {
+  /** Top `k` by (count desc, value asc) — deterministic under ties. */
+  def evalTopK(buf: State, k: Int): GenericArrayData = {
     val arr = new Array[(UTF8String, Long)](buf.items.size())
     val it = buf.items.entrySet().iterator()
     var i = 0
@@ -102,7 +128,11 @@ final case class TopKAgg(
     new GenericArrayData(top)
   }
 
-  override def serialize(buf: TopKAgg.State): Array[Byte] = {
+  /** State wire format: count, then (len, bytes, count, error) per item —
+    * the SAME encoding for shuffle partials and persisted `-State` cells,
+    * so a stored state column re-aggregates bit-compatibly.
+    */
+  def write(buf: State): Array[Byte] = {
     var size = 4
     val it0 = buf.items.keySet().iterator()
     while (it0.hasNext) size += 4 + it0.next().numBytes() + 16
@@ -118,9 +148,9 @@ final case class TopKAgg(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): TopKAgg.State = {
+  def read(bytes: Array[Byte]): State = {
     val bb = ByteBuffer.wrap(bytes)
-    val st = new TopKAgg.State()
+    val st = new State()
     val n = bb.getInt
     var i = 0
     while (i < n) {
@@ -131,19 +161,6 @@ final case class TopKAgg(
     }
     st
   }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head, weight = newChildren.lift(1))
-  override def prettyName: String =
-    if (weight.isDefined) "topk_weighted" else "topk_approx"
-}
-
-object TopKAgg {
 
   /** Counter table: value → [count, error]. Eviction scans for the minimum
     * (O(capacity), but only on a miss with a full table — the cold path).

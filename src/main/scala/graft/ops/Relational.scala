@@ -539,9 +539,10 @@ object Relational {
 
     // ---- #56 heavy hitters (ClickHouse topK surface) ----------------------
     // Space-saving aggregate ([[graft.functions.TopKAgg]]): O(capacity)
-    // memory per group at any scale. capacity=8192 ≥ the distinct users per
-    // type at every gate SF (sf0.1 has ~1500 users/type — 1024 silently left
-    // the exact regime there, caught by an off-gate sf0.1 sweep), so
+    // memory per group at any scale. capacity=16384 ≥ the distinct users per
+    // type at every LOCAL SF including the sf1 probe (15000 users/type;
+    // 1024 silently left the exact regime at sf0.1 in r5 — now pinned
+    // permanently by graft.CapacityPins / CapacityRegimeSpec), so
     // space-saving is EXACT and the oracle can pin the result while the
     // same plan caps memory on a 100 TB corpus.
     // Ties break by (count desc, value asc) — binary string order, both
@@ -565,7 +566,92 @@ object Relational {
       tbl(s, dir, "events")
         .groupBy("event_type")
         .agg(concat_ws(",", call_function("topk_approx",
-          col("user_id").cast(StringType), lit(5), lit(8192))).as("top_users"))
+          col("user_id").cast(StringType), lit(5), lit(16384))).as("top_users"))
+        .orderBy("event_type")
+    },
+
+    // ---- #86 topK -State/-Merge re-aggregation (CH topKState/topKMerge) ---
+    // The store-partials-merge-later pattern with the CUSTOM sketch (the
+    // bank already proves it for HLL in #57 with Spark's native pair):
+    // fine-grain (type, day) `topk_state` binary cells — what a rollup
+    // table would persist — re-aggregate per type via `topk_merge` WITHOUT
+    // rescanning events. Same wire format + conservative union as the
+    // in-query shuffle partials, so in the exact regime the two-level
+    // result is bit-identical to one-pass topK and the #56 oracle pins it.
+    "topk_reagg" -> OpDef(
+      """WITH c AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, u,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt DESC, u) AS rn
+        |  FROM c)
+        |SELECT event_type, string_agg(u, ',' ORDER BY rn) AS top_users
+        |FROM r WHERE rn <= 5
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val cells = tbl(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(call_function("topk_state",
+          col("user_id").cast(StringType), lit(16384)).as("st"))
+      cells
+        .groupBy("event_type")
+        .agg(concat_ws(",", call_function("topk_merge",
+          col("st"), lit(5), lit(16384))).as("top_users"))
+        .orderBy("event_type")
+    },
+
+    // ---- #87 per-group running-sum array (CH groupArrayMovingSum) ---------
+    // The window shares ONE user_id shuffle with the collapse; the ordered
+    // array materializes via the codegen group_array pattern (sort_array on
+    // (event_id, run) structs + GetArrayStructFields — no lambda HOF), and
+    // joins with "," for a scalar-hashable cell. Integer running sums
+    // (floor → BIGINT) render identically in both engines.
+    "group_array_moving_sum" -> OpDef(
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    SUM(CAST(FLOOR(value) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS run
+        |  FROM events)
+        |SELECT user_id, string_agg(CAST(run AS VARCHAR), ',' ORDER BY event_id) AS moving_sum
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          sum(floor(col("value")).cast(LongType)).over(w).as("run"))
+        .groupBy("user_id")
+        .agg(concat_ws(",",
+          sort_array(collect_list(struct(col("event_id"), col("run"))))
+            .getField("run").cast(ArrayType(StringType))).as("moving_sum"))
+        .orderBy("user_id")
+    },
+
+    // ---- #88 bounded-memory modal value (CH anyHeavy) ---------------------
+    // The space-saving state at k=1: O(capacity) memory per group returns
+    // the heaviest value (deterministic ties: count desc, value asc as
+    // STRINGS — the #56 convention both engines share). Exact regime at
+    // every local SF via the same capacity pin as topK.
+    "any_heavy" -> OpDef(
+      """WITH c AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, u, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt DESC, u) AS rn
+        |  FROM c)
+        |SELECT event_type, u AS heavy_user FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(element_at(call_function("topk_approx",
+          col("user_id").cast(StringType), lit(1), lit(16384)), 1)
+          .as("heavy_user"))
         .orderBy("event_type")
     },
 
@@ -658,7 +744,7 @@ object Relational {
         .groupBy("event_type")
         .agg(concat_ws(",", call_function("topk_weighted",
           col("user_id").cast(StringType), floor(col("value")).cast(LongType),
-          lit(5), lit(8192))).as("top_users"))
+          lit(5), lit(16384))).as("top_users"))
         .orderBy("event_type")
     },
 

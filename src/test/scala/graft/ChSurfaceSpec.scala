@@ -141,4 +141,62 @@ class ChSurfaceSpec extends SparkSpecBase {
     assert(got == exp)
     got.values.foreach(qs => assert(qs == qs.sorted, "quantiles must be monotone"))
   }
+
+  test("topk_reagg: merged day-grain state cells equal one-pass topK exactly") {
+    val onePass = run("topk_approx").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val reagg = run("topk_reagg").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(reagg == onePass,
+      "state-cell re-aggregation diverged from the one-pass aggregate")
+  }
+
+  test("topk state cells survive serialization and union under eviction pressure") {
+    import graft.functions.TopKAgg
+    // tiny capacity forces evictions; the union of restored cells must keep
+    // the space-saving overestimate-only guarantee for a clear heavy hitter
+    val mkState = (vals: Seq[String], cap: Int) => {
+      val st = new TopKAgg.State()
+      vals.foreach(v => st.offer(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v), 1L, 0L, cap))
+      st
+    }
+    val a = mkState(Seq.fill(50)("hot") ++ (1 to 6).map("a" + _), 4)
+    val b = mkState(Seq.fill(30)("hot") ++ (1 to 6).map("b" + _), 4)
+    val merged = TopKAgg.union(
+      TopKAgg.read(TopKAgg.write(a)), TopKAgg.read(TopKAgg.write(b)), 4)
+    val top = TopKAgg.evalTopK(merged, 1)
+    assert(top.numElements() == 1 && top.getUTF8String(0).toString == "hot",
+      "a 80-count heavy hitter must survive merge of evicting cells")
+    val hotCount = merged.items.get(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hot"))(0)
+    assert(hotCount >= 80, s"count $hotCount underestimates true 80")
+  }
+
+  test("group_array_moving_sum equals per-user prefix sums") {
+    val got = run("group_array_moving_sum").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exp = ev.groupBy(_._1).map { case (u, rows) =>
+      val sums = rows.sortBy(_._2).map(r => math.floor(r._3).toLong)
+        .scanLeft(0L)(_ + _).drop(1)
+      u -> sums.mkString(",")
+    }
+    assert(got == exp)
+  }
+
+  test("any_heavy is the modal user with (count desc, string asc) ties") {
+    val got = run("any_heavy").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1).toString))
+    val exp = ev.groupBy(_._1).map { case (t, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.size).toSeq
+      t -> counts.minBy { case (u, c) => (-c, u) }._1
+    }
+    assert(got == exp)
+  }
 }
