@@ -64,8 +64,22 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional subsetting for big probe SFs where some oracles (the dedup
+    # WITH-chains) dominate wall time: --only a,b / --skip c,d
+    only = skip = None
+    argv = sys.argv[3:]
+    while argv:
+        if argv[0] == "--only":
+            only = set(argv[1].split(","))
+        elif argv[0] == "--skip":
+            skip = set(argv[1].split(","))
+        argv = argv[2:]
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
+        if skip is not None and name in skip:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
