@@ -47,7 +47,14 @@ object GraftFunctions {
     "topk_merge" -> { args =>
       TopKMergeAgg(args(0),
         k = args(1).eval(null).asInstanceOf[Number].intValue(),
-        capacity = args(2).eval(null).asInstanceOf[Number].intValue()) }
+        capacity = args(2).eval(null).asInstanceOf[Number].intValue()) },
+    // uniqUpTo -State/-Merge: exact capped-distinct re-aggregation
+    "uniq_upto_state" -> { args =>
+      UniqUpToStateAgg(args(0),
+        n = args(1).eval(null).asInstanceOf[Number].intValue()) },
+    "uniq_upto_merge" -> { args =>
+      UniqUpToMergeAgg(args(0),
+        n = args(1).eval(null).asInstanceOf[Number].intValue()) }
   )
 
   def register(spark: SparkSession): Unit = {

@@ -54,7 +54,34 @@ final case class UniqUpToAgg(
     buf
   }
 
-  override def merge(b1: UniqUpToAgg.State, b2: UniqUpToAgg.State): UniqUpToAgg.State = {
+  override def merge(b1: UniqUpToAgg.State, b2: UniqUpToAgg.State): UniqUpToAgg.State =
+    UniqUpToAgg.union(b1, b2, n)
+
+  override def eval(buf: UniqUpToAgg.State): Any =
+    if (buf.overflowed) (n + 1).toLong else buf.seen.size().toLong
+
+  override def serialize(buf: UniqUpToAgg.State): Array[Byte] = UniqUpToAgg.write(buf)
+
+  override def deserialize(bytes: Array[Byte]): UniqUpToAgg.State = UniqUpToAgg.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): UniqUpToAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): UniqUpToAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "uniq_upto"
+}
+
+object UniqUpToAgg {
+
+  /** Sticky-overflow set union — in-query partial merges AND the `-Merge`
+    * combinator re-aggregating persisted `-State` cells use this one rule,
+    * so merging stored cells is semantically exact: union of exact sets is
+    * the exact distinct set, and any overflowed input forces overflow.
+    */
+  def union(b1: State, b2: State, n: Int): State = {
     if (b1.overflowed || b2.overflowed) { b1.overflow(); b1 }
     else {
       b1.seen.addAll(b2.seen)
@@ -63,10 +90,10 @@ final case class UniqUpToAgg(
     }
   }
 
-  override def eval(buf: UniqUpToAgg.State): Any =
-    if (buf.overflowed) (n + 1).toLong else buf.seen.size().toLong
-
-  override def serialize(buf: UniqUpToAgg.State): Array[Byte] = {
+  /** State wire format: overflow flag byte, else (count, (len, bytes)*) —
+    * shared by shuffle partials and persisted `-State` cells.
+    */
+  def write(buf: State): Array[Byte] = {
     if (buf.overflowed) Array[Byte](1)
     else {
       var size = 1 + 4
@@ -84,8 +111,8 @@ final case class UniqUpToAgg(
     }
   }
 
-  override def deserialize(bytes: Array[Byte]): UniqUpToAgg.State = {
-    val st = new UniqUpToAgg.State()
+  def read(bytes: Array[Byte]): State = {
+    val st = new State()
     val bb = ByteBuffer.wrap(bytes)
     if (bb.get() == (1: Byte)) st.overflow()
     else {
@@ -100,18 +127,6 @@ final case class UniqUpToAgg(
     }
     st
   }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): UniqUpToAgg =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): UniqUpToAgg =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
-  override def prettyName: String = "uniq_upto"
-}
-
-object UniqUpToAgg {
 
   /** Distinct set until overflow; after overflow the set is freed and only
     * the flag survives (the state CH keeps for uniqUpTo past N).

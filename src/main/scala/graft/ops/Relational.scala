@@ -1065,6 +1065,36 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // ---- #89 uniqUpTo -State/-Merge re-aggregation ------------------------
+    // The [[#86 topk_reagg]] pattern for the EXACT capped distinct: (type,
+    // day) `uniq_upto_state` binary cells union per type via
+    // `uniq_upto_merge` — set union of exact sets is exact and overflow is
+    // sticky, so BOTH regimes re-aggregate to exactly the one-pass answer
+    // and the #80 oracle pins them (same capacity-proof CASE caps).
+    "uniq_reagg" -> OpDef(
+      """SELECT event_type,
+        |  CASE WHEN COUNT(DISTINCT user_id) > 10 THEN 11
+        |       ELSE COUNT(DISTINCT user_id) END AS uniq_capped,
+        |  CASE WHEN COUNT(DISTINCT user_id) > 1000000 THEN 1000001
+        |       ELSE COUNT(DISTINCT user_id) END AS uniq_wide
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val cells = tbl(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(
+          call_function("uniq_upto_state",
+            col("user_id").cast(StringType), lit(10)).as("st_capped"),
+          call_function("uniq_upto_state",
+            col("user_id").cast(StringType), lit(1000000)).as("st_wide"))
+      cells
+        .groupBy("event_type")
+        .agg(
+          call_function("uniq_upto_merge", col("st_capped"), lit(10)).as("uniq_capped"),
+          call_function("uniq_upto_merge", col("st_wide"), lit(1000000)).as("uniq_wide"))
+        .orderBy("event_type")
+    },
+
     // ---- #81 exact weighted quantiles (CH quantileExactWeighted surface) --
     // Smallest value whose cumulative weight reaches p·total — CH's exact
     // weighted definition. Pre-aggregating to (group, value) first bounds

@@ -173,6 +173,45 @@ class ChSurfaceSpec extends SparkSpecBase {
     assert(hotCount >= 80, s"count $hotCount underestimates true 80")
   }
 
+  test("uniq_reagg: merged day-grain cells equal one-pass uniq_upto in both regimes") {
+    val onePass = run("uniq_upto").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val reagg = run("uniq_reagg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(reagg == onePass)
+    // the capped regime must actually be overflowed, or the sticky-overflow
+    // path of the merge went unexercised
+    assert(reagg.forall(_._2 == 11L), "capped regime not overflowed — vacuous")
+  }
+
+  test("uniq_upto state cells: union exactness and sticky overflow survive the wire") {
+    import graft.functions.UniqUpToAgg
+    import org.apache.spark.unsafe.types.UTF8String
+    val mk = (vals: Seq[String]) => {
+      val st = new UniqUpToAgg.State()
+      vals.foreach { v =>
+        val u = UTF8String.fromString(v)
+        if (!st.overflowed && !st.seen.contains(u)) {
+          st.seen.add(u.clone()); if (st.seen.size() > 5) st.overflow()
+        }
+      }
+      st
+    }
+    // exact union below the cap, dedup across cells
+    val a = UniqUpToAgg.read(UniqUpToAgg.write(mk(Seq("x", "y", "z"))))
+    val b = UniqUpToAgg.read(UniqUpToAgg.write(mk(Seq("y", "z", "w"))))
+    assert(UniqUpToAgg.union(a, b, 5).seen.size() == 4)
+    // union crossing the cap overflows
+    val c = UniqUpToAgg.read(UniqUpToAgg.write(mk(Seq("1", "2", "3"))))
+    val c2 = UniqUpToAgg.read(UniqUpToAgg.write(mk(Seq("4", "5", "6"))))
+    assert(UniqUpToAgg.union(c, c2, 5).overflowed, "6 distinct past n=5 must overflow")
+    // an overflowed cell survives the wire and stays sticky in any union
+    val d = UniqUpToAgg.read(UniqUpToAgg.write(mk((1 to 6).map(_.toString))))
+    assert(d.overflowed, "6 distinct past n=5 must overflow at build")
+    val u = UniqUpToAgg.union(UniqUpToAgg.read(UniqUpToAgg.write(mk(Seq("x")))), d, 5)
+    assert(u.overflowed && u.seen.isEmpty, "overflow must be sticky and free the set")
+  }
+
   test("group_array_moving_sum equals per-user prefix sums") {
     val got = run("group_array_moving_sum").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
