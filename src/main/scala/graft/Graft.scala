@@ -136,6 +136,13 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame =
     dedup.Dedup.contaminationOf(corpus, benchmark, n)
 
+  /** Span-level dedup signal: per doc, the fraction of its word-n-grams
+    * that also occur in another document
+    * ([[graft.dedup.Dedup.substringDupStats]]).
+    */
+  def spanDupStats(docsDf: DataFrame, n: Int = 8): DataFrame =
+    dedup.Dedup.substringDupStats(docsDf, n)
+
   /** The `pipeline_filter` (#74) composition in its PRODUCTION shape: each
     * stage (quality scores, exact-dup drop list, near-dup non-canonicals,
     * contamination list) is materialized to parquet under `outDir` exactly

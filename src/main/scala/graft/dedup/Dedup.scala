@@ -507,6 +507,35 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- #90 span-level exact-substring dedup (the Lee et al. 2022
+    // "Deduplicating Training Data" pattern): per document, how much of it
+    // is an exact ≥8-word run that also appears in ANOTHER document —
+    // the cross-doc complement of #83's within-doc repetition signal.
+    // Rolling 8-word grams (the contamination machinery), document
+    // frequency as ONE count window riding the gram shuffle (no self-join,
+    // no second scan), then a doc_id collapse: two shuffles total, both
+    // key-bounded. Both engines hash the same h32 grams, so collisions
+    // cannot diverge the oracle.
+    "dedup_substring" -> OpDef(
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(0, len(ws) - 8),
+         |    i -> ${h32Sql("ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]" +
+            "||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]||' '||ws[i+8]")}))) AS h
+         |  FROM w WHERE len(ws) >= 8),
+         |d AS (
+         |  SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM g)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         |  round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / COUNT(*), 4) AS dup_fraction
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      substringDupStats(docs(s, dir), 8).orderBy("doc_id")
+    },
+
     // ---- #74 end-to-end curation filter (the pipeline, composed) ---------
     // What a training-data pipeline actually ships: the KEPT document set —
     // benchmark slice held out, quality ≥ 0.25 (#37's score), exact-dup
@@ -609,6 +638,24 @@ object Dedup {
       .join(nonCanon, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("quality"))
+
+  /** PUBLIC span-level dedup stats (#90): per document of a (doc_id, text)
+    * frame, the number of distinct word-`n`-grams and how many of them also
+    * occur in ANOTHER document — the Lee-et-al-style "how much of this doc
+    * is an exact cross-document substring" signal. One count window riding
+    * the gram shuffle, then a doc collapse: two shuffles, no self-join.
+    */
+  def substringDupStats(docsDf: DataFrame, n: Int = 8): DataFrame = {
+    val g = gramRows(docsDf, n)
+    val dup = when(count(lit(1))
+      .over(Window.partitionBy("h")) >= 2, 1L).otherwise(0L)
+    g.withColumn("dup", dup)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("dup")).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast(DoubleType) / col("n_grams"), 4)
+          .as("dup_fraction"))
+  }
 
   /** PUBLIC decontamination operator: corpus documents sharing at least one
     * word-`n`-gram with ANY document of `benchmark` (both frames need

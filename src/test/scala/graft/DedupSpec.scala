@@ -196,4 +196,34 @@ class DedupSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L))
   }
+
+  test("dedup_substring: fractions bounded and non-vacuous on the fixture") {
+    val rows = run("dedup_substring").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall { case (_, n, d, f) => d <= n && f >= 0.0 && f <= 1.0 })
+    assert(rows.exists(_._3 > 0), "no duplicated spans anywhere — vacuous fixture")
+    assert(rows.exists(_._3 == 0), "every doc duplicated — degenerate fixture")
+  }
+
+  test("substringDupStats ground truth: full copies, partial overlap, clean docs") {
+    val s = spark
+    import s.implicits._
+    val run8 = "q w e r t y u i" // one shared 8-gram
+    val docsDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // original
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // exact copy
+      (3L, s"own prefix words here then $run8"),                  // shares 1 gram w/ 4
+      (4L, s"$run8 and then its very own suffix"),
+      (5L, "completely unrelated text with eight distinct words present")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.substringDupStats(docsDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // exact copies: every gram duplicated in the twin
+    assert(got(1L)._3 == 1.0 && got(2L)._3 == 1.0)
+    // partial overlap: exactly the one shared 8-gram
+    assert(got(3L)._2 == 1L && got(4L)._2 == 1L)
+    assert(got(3L)._3 > 0.0 && got(3L)._3 < 1.0)
+    // clean doc: zero duplicated spans
+    assert(got(5L)._2 == 0L && got(5L)._3 == 0.0)
+  }
 }
