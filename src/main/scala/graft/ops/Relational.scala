@@ -1065,7 +1065,7 @@ object Relational {
         .orderBy("event_type")
     },
 
-    // ---- #89 uniqUpTo -State/-Merge re-aggregation ------------------------
+    // ---- #91 uniqUpTo -State/-Merge re-aggregation ------------------------
     // The [[#86 topk_reagg]] pattern for the EXACT capped distinct: (type,
     // day) `uniq_upto_state` binary cells union per type via
     // `uniq_upto_merge` — set union of exact sets is exact and overflow is

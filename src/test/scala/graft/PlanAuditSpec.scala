@@ -117,6 +117,38 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
   }
 
+  // r6 shapes: the -State/-Merge re-aggregations are two agg exchanges + the
+  // output sort, zero joins (cells shuffle once to build, once to merge);
+  // moving-sum and substring-dup ride ONE key shuffle into their collapse.
+  test("reagg rows: two agg exchanges + sort, zero joins") {
+    Seq("topk_reagg", "uniq_reagg").foreach { q =>
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= 3, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$q: $a")
+    }
+  }
+
+  test("group_array_moving_sum: window and collapse share the user shuffle") {
+    val a = auditOf(run("group_array_moving_sum"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  test("dedup_substring: df window rides the gram shuffle, no self-join") {
+    val a = auditOf(run("dedup_substring"))
+    // 4 narrow-row exchanges: per-doc gram distinct, the h window, the doc
+    // collapse, the output sort. The property that matters at scale is the
+    // ABSENCE of a join (the naive df formulation self-joins the gram scan).
+    assert(a.scans == 1 && a.shuffles <= 4, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+  }
+
+  test("any_heavy: one agg exchange + sort, zero joins") {
+    val a = auditOf(run("any_heavy"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+  }
+
   // r5 shape: the repetition ratios are pure per-row expressions — the ONLY
   // exchange is the output sort. A second exchange means a ratio stopped
   // being a scan-local computation.
