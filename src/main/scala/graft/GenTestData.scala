@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{FloatType, IntegerType, LongType, TimestampNTZType}
 
 /** Local scale-probe data generator (build-loop tooling, not library
   * surface): emits the TESTDATA.md schema at an arbitrary scale factor so
@@ -95,13 +95,15 @@ object GenTestData {
       (lit(900.0) + (id % 1000).cast("double") / 10).as("p_retailprice")),
       "part", 1)
 
-    // o_orderdate: 1995-01-01 + U·2400 days (driver span 1995→2001)
+    // o_orderdate: 1995-01-01 + U·2400 days (driver span 1995→2001).
+    // TIMESTAMP_NTZ like the driver files (they load as TimestampNTZType).
     write(spark.range(nOrders).select(id.as("o_orderkey"),
       pmod(xxhash64(id, lit(11)), lit(nCust)).as("o_custkey"),
       pick(id, 12, Seq("O", "O", "F", "F", "P")).as("o_orderstatus"),
       round(u(id, 13) * 499000 + 1000, 2).as("o_totalprice"),
-      to_timestamp(date_add(lit(java.sql.Date.valueOf("1995-01-01")),
-        (u(id, 14) * 2400).cast(IntegerType))).as("o_orderdate"),
+      date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+        (u(id, 14) * 2400).cast(IntegerType))
+        .cast(TimestampNTZType).as("o_orderdate"),
       pick(id, 15, Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
         "5-LOW")).as("o_orderpriority")), "orders", math.max(1, (4 * sf).toInt))
 
@@ -116,8 +118,9 @@ object GenTestData {
       (floor(u(id, 23) * 9) / 100).as("l_tax"),
       pick(id, 24, Seq("A", "N", "R")).as("l_returnflag"),
       pick(id, 25, Seq("F", "O")).as("l_linestatus"),
-      to_timestamp(date_add(lit(java.sql.Date.valueOf("1995-01-02")),
-        (u(id, 26) * 2500).cast(IntegerType))).as("l_shipdate")),
+      date_add(lit(java.sql.Date.valueOf("1995-01-02")),
+        (u(id, 26) * 2500).cast(IntegerType))
+        .cast(TimestampNTZType).as("l_shipdate")),
       "lineitem", math.max(1, (16 * sf).toInt))
 
     // a time-ordered stream over 30 days of Jan 2024 (ts monotone in
