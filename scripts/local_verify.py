@@ -65,14 +65,24 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # optional subsetting for big probe SFs where some oracles (the dedup
-    # WITH-chains) dominate wall time: --only a,b / --skip c,d
+    # WITH-chains) dominate wall time: --only a,b / --skip c,d.
+    # Names are validated against the oracle keys: a typo must be a loud
+    # error, never a silent 0-query "0 fail" green.
     only = skip = None
     argv = sys.argv[3:]
     while argv:
+        if argv[0] not in ("--only", "--skip"):
+            sys.exit(f"unknown argument: {argv[0]}")
+        if len(argv) < 2:
+            sys.exit(f"{argv[0]} needs a comma-separated query list")
+        names = set(argv[1].split(","))
+        unknown = names - set(oracle)
+        if unknown:
+            sys.exit(f"{argv[0]}: unknown queries {sorted(unknown)}")
         if argv[0] == "--only":
-            only = set(argv[1].split(","))
-        elif argv[0] == "--skip":
-            skip = set(argv[1].split(","))
+            only = names
+        else:
+            skip = names
         argv = argv[2:]
     n_pass = n_fail = 0
     for name in sorted(oracle):

@@ -36,19 +36,24 @@ object CapacityPins {
 
   private def maxDistinctPerGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: org.apache.spark.sql.Column): Long =
+    // coalesce: an empty/half-generated table must surface as the pin's
+    // named diagnostic (measured 0), not a bare NPE from a null max
     df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(valueCol).as("d"))
-      .agg(max("d")).collect()(0).getLong(0)
+      .agg(coalesce(max("d"), lit(0L))).collect()(0).getLong(0)
 
   private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
   private def docsT(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  // one shared measurement for the three pins over the same cardinality —
+  // audit() memoizes by function identity, so the Spark job runs once per SF
+  private val usersPerType: (SparkSession, String) => Long =
+    (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id"))
+
   /** capacity ≥ measured ⟺ the query is in its exact regime. */
   val pins: Seq[Pin] = Seq(
-    Pin("topk_approx", 16384, "distinct users per event_type",
-      (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id"))),
-    Pin("topk_weighted", 16384, "distinct users per event_type",
-      (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id"))),
+    Pin("topk_approx", 16384, "distinct users per event_type", usersPerType),
+    Pin("topk_weighted", 16384, "distinct users per event_type", usersPerType),
     Pin("stream_topk", 8192, "distinct users per (day, event_type)",
       (s, dir) => maxDistinctPerGroup(
         events(s, dir).withColumn("day", to_date(col("ts"))),
@@ -57,8 +62,7 @@ object CapacityPins {
       (s, dir) => maxDistinctPerGroup(
         docsT(s, dir).select(col("lang"), explode(text.TextOps.words).as("tok")),
         Seq("lang"), col("tok"))),
-    Pin("uniq_upto(wide)", 1000000, "distinct users per event_type",
-      (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id")))
+    Pin("uniq_upto(wide)", 1000000, "distinct users per event_type", usersPerType)
   )
 
   /** The inverse pins: premises of the form "the data EXCEEDS a bound",
@@ -76,14 +80,16 @@ object CapacityPins {
     * throws on the first violation.
     */
   def audit(s: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+    val memo = scala.collection.mutable.Map.empty[AnyRef, Long]
+    def measured(p: Pin): Long = memo.getOrElseUpdate(p.measure, p.measure(s, dir))
     val ok = pins.map { p =>
-      val m = p.measure(s, dir)
+      val m = measured(p)
       require(p.capacity >= m,
         s"${p.query} OFF-REGIME at $dir: capacity ${p.capacity} < $m (${p.what}) — bump the constant")
       (p.query, p.capacity, m)
     }
     val floors = floorPins.map { p =>
-      val m = p.measure(s, dir)
+      val m = measured(p)
       require(m > p.capacity,
         s"${p.query} regime VACUOUS at $dir: ${p.what} (${p.capacity}) but measured $m")
       (p.query, p.capacity, m)

@@ -140,17 +140,21 @@ object GenTestData {
     // documents: 10-100 words sampled from the driver's 31-word vocab.
     // Dup structure via a TEMPLATE id: ~0.2% of docs reuse the text of
     // doc_id-10 verbatim (exact dups); ~0.3% reuse it with one appended
-    // word (near-dups at Jaccard ≈ (n-1)/n on shingles).
+    // word (near-dups at Jaccard ≈ (n-1)/n on shingles). The template doc
+    // must itself be a BASE doc (its own r ≥ 0.005) — otherwise the copy
+    // would reproduce what the template WOULD have been, not what it is,
+    // and the intended pair never materializes.
     val r = u(id, 32)
-    val tid = when(r < 0.002 && id >= 10, id - 10)
-      .when(r >= 0.002 && r < 0.005 && id >= 10, id - 10)
-      .otherwise(id)
+    val tplIsBase = u(id - 10, 32) >= 0.005
+    val isDup = r < 0.005 && id >= 10 && tplIsBase
+    val isNearDup = r >= 0.002 && isDup
+    val tid = when(isDup, id - 10).otherwise(id)
     val nWords = ((u(tid, 33) * 91).cast(IntegerType) + 10)
     val baseText = concat_ws(" ",
       transform(sequence(lit(1), nWords), i => element_at(
         array(Vocab.map(lit): _*),
         pmod(xxhash64(tid, i, lit(34)), lit(Vocab.size)).cast(IntegerType) + 1)))
-    val text0 = when(r >= 0.002 && r < 0.005 && id >= 10,
+    val text0 = when(isNearDup,
       concat(baseText, lit(" "), element_at(array(Vocab.map(lit): _*),
         pmod(xxhash64(id, lit(35)), lit(Vocab.size)).cast(IntegerType) + 1)))
       .otherwise(baseText)

@@ -396,20 +396,63 @@ object Ann extends Serializable {
     rerank(s, dir, cand, probeArr, k)
   }
 
-  // One index build per (corpus dir, cells, lloydIters) per JVM: the bank's
-  // ann_ivf / ann_ivf_exact rows share a single offline build, mirroring a
-  // deployment where the index is a prebuilt artifact queries point at.
+  /** Corpus fingerprint: (name, length, mtime) of every embeddings file —
+    * a changed/regenerated corpus yields a different index key, so a cached
+    * or on-disk index can never silently serve stale cell assignments.
+    */
+  private def corpusTag(dir: String): String = {
+    val md = MessageDigest.getInstance("MD5")
+    val root = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val desc = new StringBuilder(dir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val st = java.nio.file.Files.list(root)
+      try st.sorted().forEach { p =>
+        desc.append(p.getFileName).append(java.nio.file.Files.size(p))
+          .append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        ()
+      } finally st.close()
+    } else if (java.nio.file.Files.exists(root)) {
+      desc.append(java.nio.file.Files.size(root))
+        .append(java.nio.file.Files.getLastModifiedTime(root).toMillis)
+    }
+    md.digest(desc.toString.getBytes(StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  // One index build per (corpus fingerprint, cells, lloydIters) per JVM:
+  // the bank's ann_ivf / ann_ivf_exact rows share a single offline build,
+  // mirroring a deployment where the index is a prebuilt artifact queries
+  // point at. Cross-JVM: a finished index is detected by its marker file
+  // and LOADED; an unfinished/concurrent build goes to a fresh build dir
+  // and publishes via atomic rename, so no reader ever sees partial files.
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IvfIndex]()
 
   def ensureIvfIndex(s: SparkSession, dir: String, cells: Int = Cells,
       lloydIters: Int = 2): IvfIndex =
-    indexCache.computeIfAbsent((dir, cells, lloydIters), _ => {
-      val md = MessageDigest.getInstance("MD5")
-      val tag = md.digest(dir.getBytes(StandardCharsets.UTF_8))
-        .take(6).map("%02x".format(_)).mkString
-      val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-$tag-$cells-$lloydIters"
-      buildIvfIndex(s, dir, indexDir, cells, lloydIters)
+    indexCache.computeIfAbsent((corpusTag(dir), cells, lloydIters), key => {
+      val indexDir = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft-ivf-${key._1}-$cells-$lloydIters")
+      val done = indexDir.resolve("_GRAFT_INDEX_DONE")
+      if (java.nio.file.Files.exists(done)) loadIvfIndex(s, indexDir.toString)
+      else {
+        val buildDir = java.nio.file.Paths.get(
+          s"$indexDir.build-${java.util.UUID.randomUUID().toString.take(8)}")
+        val idx = buildIvfIndex(s, dir, buildDir.toString, cells, lloydIters)
+        java.nio.file.Files.createFile(buildDir.resolve("_GRAFT_INDEX_DONE"))
+        try {
+          java.nio.file.Files.move(buildDir, indexDir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          IvfIndex(indexDir.toString, idx.centroids)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            // another JVM published first — use its (identical) index
+            org.apache.commons.io.FileUtils.deleteDirectory(buildDir.toFile)
+            loadIvfIndex(s, indexDir.toString)
+        }
+      }
     })
 
   /** IVF ANN against the (per-JVM cached) prebuilt index — builds the index

@@ -44,6 +44,12 @@ object GraftFunctions {
     "topk_state" -> { args =>
       TopKStateAgg(args(0),
         capacity = args(1).eval(null).asInstanceOf[Number].intValue()) },
+    // weighted cell variant: topk_state_weighted(value, weight, capacity) —
+    // merge with the same topk_merge
+    "topk_state_weighted" -> { args =>
+      TopKStateAgg(args(0),
+        capacity = args(2).eval(null).asInstanceOf[Number].intValue(),
+        weight = Some(args(1))) },
     "topk_merge" -> { args =>
       TopKMergeAgg(args(0),
         k = args(1).eval(null).asInstanceOf[Number].intValue(),

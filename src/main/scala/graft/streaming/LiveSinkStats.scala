@@ -193,7 +193,14 @@ object LiveSinkStats {
       override def onQueryStarted(event: QueryStartedEvent): Unit = ()
       override def onQueryProgress(event: QueryProgressEvent): Unit = {
         val n = event.progress.name
-        if (queryName.forall(q => n == q || (n != null && n.startsWith(q + "-"))))
+        // exact name, or name + "-<8-hex nonce>" — the suffix must be the
+        // sink's nonce SHAPE, so module "mod" can never cross-match
+        // "mod-eu-<nonce>" of an unrelated module whose hash it prefixes
+        def nonceMatch(q: String): Boolean =
+          n != null && n.length == q.length + 9 && n.startsWith(q + "-") &&
+            n.substring(q.length + 1).forall(c =>
+              (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
+        if (queryName.forall(q => n == q || nonceMatch(q)))
           emit(of(moduleHash).snapshot())
       }
       override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()

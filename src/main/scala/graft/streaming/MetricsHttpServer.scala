@@ -23,24 +23,37 @@ final class MetricsHttpServer private[streaming] (server: HttpServer) {
 
 object MetricsHttpServer {
 
-  /** Bind `addr` (`host:port`; port 0 → ephemeral, for tests) and start
-    * serving `/metrics`. Any other path is 404, matching a standard
-    * exporter's surface.
+  /** Bind `addr` and start serving `/metrics`; any other path is 404 (the
+    * JDK server matches contexts by PREFIX, so the handler re-checks the
+    * exact path). Accepted forms: `host:port`, bare `host` (port 9102),
+    * bracketed IPv6 `[::1]:port`, port 0 → ephemeral (for tests).
     */
   def start(addr: String = "localhost:9102"): MetricsHttpServer = {
-    val (host, port) = addr.lastIndexOf(':') match {
-      case -1 => (addr, 9102)
-      case i  => (addr.substring(0, i), addr.substring(i + 1).toInt)
-    }
+    val (host, port) =
+      if (addr.startsWith("[")) { // [v6]:port
+        val close = addr.indexOf(']')
+        require(close > 0, s"unclosed IPv6 bracket in $addr")
+        val rest = addr.substring(close + 1)
+        (addr.substring(1, close),
+          if (rest.startsWith(":")) rest.drop(1).toInt else 9102)
+      } else addr.lastIndexOf(':') match {
+        case -1 => (addr, 9102)
+        case i  => (addr.substring(0, i), addr.substring(i + 1).toInt)
+      }
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
-    server.createContext("/metrics", new HttpHandler {
+    server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val body = LiveSinkStats.scrape().getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type",
-          "text/plain; version=0.0.4; charset=utf-8")
-        ex.sendResponseHeaders(200, body.length.toLong)
-        val os = ex.getResponseBody
-        try os.write(body) finally os.close()
+        if (ex.getRequestURI.getPath != "/metrics") {
+          ex.sendResponseHeaders(404, -1L)
+          ex.close()
+        } else {
+          val body = LiveSinkStats.scrape().getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type",
+            "text/plain; version=0.0.4; charset=utf-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(body) finally os.close()
+        }
       }
     })
     server.setExecutor(null)

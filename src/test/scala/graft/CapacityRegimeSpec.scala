@@ -9,13 +9,20 @@ package graft
   */
 class CapacityRegimeSpec extends SparkSpecBase {
 
-  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1",
+  private val driverDirs = Seq("/root/testdata/sf0.001",
+    "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  private val sfDirs = (driverDirs :+
       "/root/repo/testdata-local/sf1") // 10× probe from graft.GenTestData
     .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
 
-  test("fixture sanity: the three driver SFs are present") {
-    assert(sfDirs.size >= 3, s"expected >= 3 SF dirs, found $sfDirs")
+  test("fixture sanity: every driver SF is present and audited") {
+    // each named individually: the optional sf1 probe must never mask a
+    // missing DRIVER dir (sf0.1 is where the r5 off-regime incident lived)
+    driverDirs.foreach { d =>
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)),
+        s"driver SF dir missing: $d")
+    }
   }
 
   sfDirs.foreach { dir =>

@@ -151,6 +151,25 @@ class ChSurfaceSpec extends SparkSpecBase {
       "state-cell re-aggregation diverged from the one-pass aggregate")
   }
 
+  test("weighted state cells re-aggregate to the one-pass weighted topK") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    graft.functions.GraftFunctions.register(spark)
+    val onePass = run("topk_weighted").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val cells = graft.sources.Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(call_function("topk_state_weighted",
+        col("user_id").cast(StringType), floor(col("value")).cast(LongType),
+        lit(16384)).as("st"))
+    val reagg = cells.groupBy("event_type")
+      .agg(concat_ws(",", call_function("topk_merge",
+        col("st"), lit(5), lit(16384))).as("top_users"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(reagg == onePass)
+  }
+
   test("topk state cells survive serialization and union under eviction pressure") {
     import graft.functions.TopKAgg
     // tiny capacity forces evictions; the union of restored cells must keep

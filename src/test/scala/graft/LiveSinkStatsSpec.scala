@@ -115,6 +115,12 @@ class LiveSinkStatsSpec extends SparkSpecBase {
       }
       assert(text.contains(
         """substreams_sink_clickhouse_store_flush_count{module="mod_live_h"} 2"""))
+      // exporter surface: anything but /metrics is 404 (the JDK server
+      // prefix-matches contexts, so the handler must re-check the path)
+      val bad = new java.net.URL(s"http://localhost:${srv.port}/metricsfoo")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(bad.getResponseCode == 404)
+      bad.disconnect()
     } finally srv.stop()
     LiveSinkStats.reset("mod_live_h")
   }
