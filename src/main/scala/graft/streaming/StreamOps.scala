@@ -82,6 +82,25 @@ object StreamOps {
         col("event_type"), col("top_users"))
   }
 
+  /** [[windowedTopK]]'s -State twin: the live half of the lambda handoff.
+    * Each closed (1-day window, type) group emits its space-saving counter
+    * table as a BINARY `topk_state` cell — what a streaming job persists to
+    * a rollup table so an offline pass can `topk_merge` across any coarser
+    * grain (week, all-time) WITHOUT replaying the stream. Cells share the
+    * in-query partial wire format, so the offline merge is bit-identical
+    * to having aggregated the raw events in one pass (exact regime).
+    */
+  def windowedTopKState(events: DataFrame, capacity: Int = 8192): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(call_function("topk_state",
+        col("user_id").cast("string"), lit(capacity)).as("st"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("st"))
+  }
+
   /** #84 — windowed approximate quantiles per type (1-day windows): the
     * live-path twin of `quantiles_approx` (§2.2 #58). percentile_approx is
     * Spark's mergeable GK-style sketch, so state per open (window, type)

@@ -391,6 +391,44 @@ class StreamingSpec extends SparkSpecBase {
       "streamed distinct counts must equal the batch shape on closed windows")
   }
 
+  test("stream topk_state cells → offline topk_merge equals replaying the raw events") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value")
+      .as[(Long, Long, String, java.sql.Timestamp, Double)]
+      .collect().sortBy(_._4.getTime)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val q = StreamOps.windowedTopKState(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("ts_cells").outputMode("append").start()
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    val cells = spark.sql("select * from ts_cells")
+    val closed = cells.select("day").distinct().collect().map(_.getString(0)).toSet
+    assert(closed.nonEmpty, "no closed windows emitted")
+    // offline re-aggregation of the streamed cells at a COARSER grain
+    // (per type, across all closed days) — no event replay
+    val merged = cells.groupBy("event_type")
+      .agg(concat_ws(",", call_function("topk_merge",
+        col("st"), lit(3), lit(8192))).as("top_users"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // ground truth: one-pass topK over the raw events of those same days
+    val replay = spark.createDataFrame(ev.toSeq)
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .filter(date_format(col("ts"), "yyyy-MM-dd").isInCollection(closed))
+      .groupBy("event_type")
+      .agg(concat_ws(",", call_function("topk_approx",
+        col("user_id").cast("string"), lit(3), lit(8192))).as("top_users"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(merged == replay,
+      "offline merge of streamed cells diverged from replaying the events")
+  }
+
   test("windowed topK on a stream: typed-imperative agg state survives batches") {
     implicit val s = spark
     import s.implicits._
