@@ -197,6 +197,14 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def loadIvfIndex(indexDir: String): ann.IvfIndex =
     ann.Ann.loadIvfIndex(spark, indexDir)
 
+  /** Offline LSH index build (persisted bucket rows) + its online query —
+    * the [[buildIvfIndex]] twins for the hyperplane-LSH path.
+    */
+  def buildLshIndex(outDir: String): Unit = ann.Ann.buildLshIndex(spark, dir, outDir)
+
+  def annLsh(indexDir: String, k: Int, multiprobe: Int): DataFrame =
+    ann.Ann.lshQuery(spark, dir, indexDir, k, multiprobe)
+
   /** The pure online IVF query path against a prebuilt index — zero
     * training jobs ([[graft.ann.Ann.ivfQuery]]).
     */

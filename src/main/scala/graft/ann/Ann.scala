@@ -196,32 +196,59 @@ object Ann extends Serializable {
     * still emits L rows per vector, and the candidate set grows by the
     * extra buckets actually probed, not by corpus work.
     */
-  def lshTopK(s: SparkSession, dir: String, k: Int = K, multiprobe: Int = 1): DataFrame = {
-    import s.implicits._
-    val probeArr = probes(s, dir)
+  /** Sign-bit buckets of one vector across all `Tables_` hash tables. */
+  private def bucketsOf(e: Seq[Float]): Seq[(Int, Long)] = {
     val planes = hyperplanes
-
-    def bucketsOf(e: Seq[Float]): Seq[(Int, Long)] =
-      (0 until Tables_).map { t =>
-        var b = 0L
-        var h = 0
-        while (h < Bits) {
-          var d = 0; var acc = 0.0
-          while (d < Dim) { acc += planes(t)(h)(d) * e(d); d += 1 }
-          if (acc > 0) b |= (1L << h)
-          h += 1
-        }
-        (t, b)
+    (0 until Tables_).map { t =>
+      var b = 0L
+      var h = 0
+      while (h < Bits) {
+        var d = 0; var acc = 0.0
+        while (d < Dim) { acc += planes(t)(h)(d) * e(d); d += 1 }
+        if (acc > 0) b |= (1L << h)
+        h += 1
       }
+      (t, b)
+    }
+  }
 
-    val vecBuckets = embDs(s, dir)
+  // probe-side bucket expansion: the exact bucket plus all buckets within
+  // `multiprobe` bit flips (4 extra per table at multiprobe=1)
+  private def expand(b: Long, flips: Int): Seq[Long] =
+    if (flips <= 0) Seq(b)
+    else Seq(b) ++ (0 until Bits).flatMap(h => expand(b ^ (1L << h), flips - 1))
+
+  /** The corpus half of the LSH index: L (vec_id, t, bucket) rows per
+    * vector. Recomputing this per query re-reads and re-hashes the corpus —
+    * fine in a notebook, not at 100 TB; [[buildLshIndex]] persists it once.
+    */
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embDs(s, dir)
       .flatMap(e => bucketsOf(e.embedding).map { case (t, b) => Bucket(e.vec_id, t, b) })
       .toDF("vec_id", "t", "bucket")
-    // probe-side bucket expansion: the exact bucket plus all buckets within
-    // `multiprobe` bit flips (4 extra per table at multiprobe=1)
-    def expand(b: Long, flips: Int): Seq[Long] =
-      if (flips <= 0) Seq(b)
-      else Seq(b) ++ (0 until Bits).flatMap(h => expand(b ^ (1L << h), flips - 1))
+  }
+
+  /** Offline LSH index build (the [[buildIvfIndex]] twin): persist the
+    * bucket rows as parquet under `indexDir`. Hyperplanes are deterministic
+    * ([[hyperplanes]]), so no quantizer artifact is needed — the index IS
+    * the bucket table.
+    */
+  def buildLshIndex(s: SparkSession, dir: String, indexDir: String): Unit =
+    lshBuckets(s, dir).write.mode("overwrite").parquet(s"$indexDir/buckets")
+
+  /** Online LSH query against prebuilt bucket rows: probe buckets compute
+    * on the driver, candidates come from a broadcast join of the persisted
+    * index, only candidates re-rank — zero corpus hashing per query.
+    */
+  def lshQuery(s: SparkSession, dir: String, indexDir: String, k: Int = K,
+      multiprobe: Int = 1): DataFrame =
+    lshTopKFrom(s, dir, s.read.parquet(s"$indexDir/buckets"), k, multiprobe)
+
+  private def lshTopKFrom(s: SparkSession, dir: String, vecBuckets: DataFrame,
+      k: Int, multiprobe: Int): DataFrame = {
+    import s.implicits._
+    val probeArr = probes(s, dir)
     val probeBuckets = probeArr.toSeq
       .flatMap { case (pid, pv) =>
         bucketsOf(pv.toSeq).flatMap { case (t, b) =>
@@ -237,6 +264,38 @@ object Ann extends Serializable {
 
     rerank(s, dir, cand, probeArr, k)
   }
+
+  // per-JVM prebuilt bucket table, fingerprint-keyed like [[ensureIvfIndex]]
+  private val lshCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureLshIndex(s: SparkSession, dir: String): String =
+    lshCache.computeIfAbsent(corpusTag(dir), tag => {
+      val indexDir = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft-lsh-$tag")
+      val done = indexDir.resolve("_GRAFT_INDEX_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        val buildDir = java.nio.file.Paths.get(
+          s"$indexDir.build-${java.util.UUID.randomUUID().toString.take(8)}")
+        buildLshIndex(s, dir, buildDir.toString)
+        java.nio.file.Files.createFile(buildDir.resolve("_GRAFT_INDEX_DONE"))
+        try java.nio.file.Files.move(buildDir, indexDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(buildDir.toFile)
+        }
+      }
+      indexDir.toString
+    })
+
+  /** LSH ANN against the (per-JVM cached) prebuilt bucket index — builds on
+    * first use, then every call is the pure [[lshQuery]] online path.
+    */
+  def lshTopK(s: SparkSession, dir: String, k: Int = K, multiprobe: Int = 1): DataFrame =
+    lshQuery(s, dir, ensureLshIndex(s, dir), k, multiprobe)
 
   /** Exact re-rank of (probe_id, vec_id) candidates through the native
     * codegen'd cosine_sim expression: candidate rows broadcast-join the

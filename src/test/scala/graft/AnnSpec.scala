@@ -103,6 +103,28 @@ class AnnSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("lsh online query path: prebuilt bucket index, no corpus re-hash") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-lsh-spec").toString
+    Ann.buildLshIndex(spark, sfDir, idxDir)
+    val df = Ann.lshQuery(spark, sfDir, idxDir, multiprobe = 1)
+    // the candidate side reads the persisted bucket parquet, not the corpus
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(paths.exists(_.contains(idxDir)), s"no index scan in $paths")
+    // identical results to the recompute path (same deterministic buckets)
+    val fromIndex = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val recompute = Ann.lshTopK(spark, sfDir, multiprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(fromIndex == recompute)
+  }
+
   test("deterministic hyperplanes are reproducible and bounded") {
     val a = Ann.hyperplanes
     assert(a.length == Ann.Tables_ && a(0).length == Ann.Bits && a(0)(0).length == Ann.Dim)
