@@ -1137,6 +1137,237 @@ object Relational {
           min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as("p75"),
           min(when(col("cum") * 10 >= col("tot") * 9, col("v"))).as("p90"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- #93 max concurrent intervals (CH maxIntersections surface) -------
+    // Sweep line over per-user activity intervals [first day, last day]:
+    // +1 at lo, -1 at hi+1, prefix sum, global max + FIRST day reaching it
+    // (the maxIntersectionsPosition twin). Scale shape: deltas AGGREGATE to
+    // the day grain first (one shuffle, cardinality ≤ 2·|days|), so the
+    // inherently-sequential prefix sum runs over the bounded day series, not
+    // the interval set — the only correct way to sweep at 100 TB.
+    "max_intersections" -> OpDef(
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE)) AS lo,
+        |    datediff('day', DATE '1970-01-01', CAST(MAX(ts) AS DATE)) AS hi
+        |  FROM events GROUP BY 1),
+        |deltas AS (
+        |  SELECT lo AS d, 1 AS x FROM iv
+        |  UNION ALL SELECT hi + 1, -1 FROM iv),
+        |by_day AS (SELECT d, SUM(x) AS dx FROM deltas GROUP BY d),
+        |run AS (
+        |  SELECT d, SUM(dx) OVER (ORDER BY d) AS n_open FROM by_day)
+        |SELECT CAST(n_open AS BIGINT) AS max_concurrent,
+        |  strftime(DATE '1970-01-01' + to_days(CAST(d AS INTEGER)), '%Y-%m-%d') AS at_day
+        |FROM run ORDER BY n_open DESC, d LIMIT 1""".stripMargin
+    ) { (s, dir) =>
+      def dayNum(c: org.apache.spark.sql.Column) =
+        datediff(c.cast(DateType), to_date(lit("1970-01-01")))
+      val iv = tbl(s, dir, "events").groupBy("user_id")
+        .agg(dayNum(min("ts")).as("lo"), dayNum(max("ts")).as("hi"))
+      val deltas = iv.select(col("lo").as("d"), lit(1).as("x"))
+        .unionAll(iv.select((col("hi") + 1).as("d"), lit(-1).as("x")))
+      deltas.groupBy("d").agg(sum("x").as("dx"))
+        .withColumn("n_open",
+          sum("dx").over(Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("n_open").cast(LongType).as("max_concurrent"),
+          date_format(date_add(to_date(lit("1970-01-01")), col("d")), "yyyy-MM-dd")
+            .as("at_day"), col("d"), col("n_open"))
+        .orderBy(col("n_open").desc, col("d"))
+        .limit(1)
+        .select("max_concurrent", "at_day")
+    },
+
+    // ---- #94 correlation / regression over exact moments ------------------
+    // CH corr/simpleLinearRegression surface: Pearson r + least-squares
+    // slope/intercept of value vs the JSON prop k, per event_type. Built
+    // from the five EXACT decimal moments (Σx Σy Σxy Σx² Σy² — map-side
+    // partial-mergeable, one shuffle of 6 scalars per group), then ONE
+    // identical IEEE double formula on both engines — every operation on
+    // identical operands, so the result is bit-identical without rounding.
+    // The built-in corr() is the float-accumulation shape that can NOT
+    // hash-match across engines; moments are the portable (and at 100 TB,
+    // the cheaper single-pass) form.
+    "corr_moments" -> OpDef(
+      """WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+        |             * CAST(json_extract_string(props, 'k') AS BIGINT)) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)
+        |             * CAST(json_extract_string(props, 'k') AS BIGINT)) AS DOUBLE) AS syy
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+        |FROM m ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val x = col("value").cast(DecimalType(18, 2))
+      val y = get_json_object(col("props"), "$.k").cast(LongType)
+      val m = tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(y * y).cast(DoubleType).as("syy"))
+      val n = col("n"); val sx = col("sx"); val sy = col("sy")
+      val cov = n * col("sxy") - sx * sy
+      val slope = cov / (n * col("sxx") - sx * sx)
+      m.select(col("event_type"), n.cast(LongType).as("n"),
+          (cov / (sqrt(n * col("sxx") - sx * sx) * sqrt(n * col("syy") - sy * sy)))
+            .as("corr_xy"),
+          slope.as("slope"),
+          ((sy - slope * sx) / n).as("intercept"))
+        .orderBy("event_type")
+    },
+
+    // ---- #95 weighted average + bounding ratio (CH avgWeighted /
+    // boundingRatio surface) ------------------------------------------------
+    // avgWeighted(value, k) = Σ(v·k)/Σk and boundingRatio = Δmax/Δmin slope
+    // of the (k, value) point cloud per event_type — both from exact decimal
+    // aggregates with ONE final double division each (bit-identical across
+    // engines). Single hash-agg pass, 5 scalars per group on the shuffle.
+    "weighted_stats" -> OpDef(
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+        |             * CAST(json_extract_string(props, 'k') AS BIGINT)) AS DOUBLE) AS svw,
+        |    CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS DOUBLE) AS sw,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax,
+        |    CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmin,
+        |    CAST(MAX(CAST(json_extract_string(props, 'k') AS BIGINT)) AS DOUBLE) AS kmax,
+        |    CAST(MIN(CAST(json_extract_string(props, 'k') AS BIGINT)) AS DOUBLE) AS kmin
+        |  FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  svw / sw AS avg_weighted,
+        |  CASE WHEN kmax > kmin THEN (vmax - vmin) / (kmax - kmin) END AS bounding_ratio
+        |FROM m ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val v = col("value").cast(DecimalType(18, 2))
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(v * k).cast(DoubleType).as("svw"),
+          sum(k).cast(DoubleType).as("sw"),
+          max(v).cast(DoubleType).as("vmax"), min(v).cast(DoubleType).as("vmin"),
+          max(k).cast(DoubleType).as("kmax"), min(k).cast(DoubleType).as("kmin"))
+        .select(col("event_type"),
+          (col("svw") / col("sw")).as("avg_weighted"),
+          when(col("kmax") > col("kmin"),
+            (col("vmax") - col("vmin")) / (col("kmax") - col("kmin")))
+            .as("bounding_ratio"))
+        .orderBy("event_type")
+    },
+
+    // ---- #96 Shannon entropy (CH entropy surface) -------------------------
+    // H(user | event_type) = log2(N) − Σ c·log2(c) / N over the per-user
+    // counts — the two-level shape (count per (type, user) rides one
+    // shuffle; the entropy fold is O(users) per group map-side-combined).
+    // log2 + the Σ c·log2(c) double fold are the one genuinely float-order-
+    // dependent step, so the output carries the bank's round(·,4) parity
+    // clamp (error ~1e-13 ≪ the clamp).
+    "entropy_agg" -> OpDef(
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, SUM(n) AS tot,
+        |    SUM(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS slog
+        |  FROM c GROUP BY 1)
+        |SELECT event_type,
+        |  round(log2(CAST(tot AS DOUBLE)) - slog / CAST(tot AS DOUBLE), 4) AS entropy,
+        |  CAST(tot AS BIGINT) AS n_events
+        |FROM m ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val c = tbl(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      c.groupBy("event_type")
+        .agg(sum("n").as("tot"),
+          sum(col("n").cast(DoubleType) * log2(col("n").cast(DoubleType))).as("slog"))
+        .select(col("event_type"),
+          round(log2(col("tot").cast(DoubleType))
+            - col("slog") / col("tot").cast(DoubleType), 4).as("entropy"),
+          col("tot").cast(LongType).as("n_events"))
+        .orderBy("event_type")
+    },
+
+    // ---- #97 gap-filled time series (CH WITH FILL surface) ----------------
+    // Per-user daily event counts with MISSING DAYS filled as 0 over the
+    // user's own [first, last] span — the ORDER BY ... WITH FILL rendering.
+    // Day numbers are exact integers: the span explodes via sequence()
+    // (bounded by the calendar, not the data), the counts join back as a
+    // broadcast hash join — cardinality ≤ |users| × |days|, grain-bounded
+    // like histogram_eq's bounds pass. Users capped at id < 40 to keep the
+    // oracle output bounded; the operator itself is the general shape.
+    "ts_fill" -> OpDef(
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events WHERE user_id < 40),
+        |cnt AS (SELECT user_id, d, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS d FROM span)
+        |SELECT g.user_id,
+        |  strftime(DATE '1970-01-01' + to_days(CAST(g.d AS INTEGER)), '%Y-%m-%d') AS day,
+        |  COALESCE(c.n, 0) AS n_events
+        |FROM grid g LEFT JOIN cnt c ON g.user_id = c.user_id AND g.d = c.d
+        |ORDER BY g.user_id, g.d""".stripMargin
+    ) { (s, dir) =>
+      def dayNum(c: org.apache.spark.sql.Column) =
+        datediff(c.cast(DateType), to_date(lit("1970-01-01")))
+      val ev = tbl(s, dir, "events").filter(col("user_id") < 40)
+        .select(col("user_id"), dayNum(col("ts")).as("d"))
+      val cnt = ev.groupBy("user_id", "d").agg(count(lit(1)).as("n"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("d").as("lo"), max("d").as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("d"))
+      grid.join(broadcast(cnt), Seq("user_id", "d"), "left")
+        .select(col("user_id"),
+          date_format(date_add(to_date(lit("1970-01-01")), col("d")), "yyyy-MM-dd")
+            .as("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "d")
+    },
+
+    // ---- #98 exponential moving average (CH exponentialMovingAverage) -----
+    // Final EMA (α = 1/2) of value per user in (ts, event_id) order:
+    // e_i = α·x_i + (1−α)·e_{i−1}, closed form Σ w_j·x_j with w_j an exact
+    // power of two — so each product is an exact double SCALING (exponent
+    // shift) of the same input double on both engines, and only the final
+    // O(n)-term sum is float-order-dependent (≪ the round(·,4) clamp).
+    // Plan: rn + count ride ONE user_id window shuffle, the weighted sum
+    // collapses on the same partitioning.
+    "ema_decay" -> OpDef(
+      """WITH o AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id,
+        |  round(SUM(x * CASE WHEN rn = 1 THEN power(0.5, n - 1)
+        |                     ELSE power(0.5, n - rn + 1) END), 4) AS ema
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wAll = Window.partitionBy("user_id")
+      tbl(s, dir, "events")
+        .select(col("user_id"), col("value").cast(DoubleType).as("x"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+        .groupBy("user_id")
+        .agg(round(sum(col("x") *
+          when(col("rn") === 1, pow(lit(0.5), col("n") - 1))
+            .otherwise(pow(lit(0.5), col("n") - col("rn") + 1))), 4).as("ema"))
+        .orderBy("user_id")
     }
   )
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The late-r6 analytics additions (#93-#98): each checked against an
+  * independent Scala re-derivation of the semantics at sf0.001 (the oracle
+  * SQL is the driver gate's job; these pin the meaning).
+  */
+class AnalyticsExtSpec extends SparkSpecBase {
+
+  private def events =
+    graft.sources.Tables(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value", "props")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getString(5)))
+
+  private def dayNum(ts: java.sql.Timestamp): Long =
+    java.time.Instant.ofEpochMilli(ts.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+
+  test("max_intersections = brute-force sweep over per-user day intervals") {
+    val iv = events.groupBy(_._1).toSeq.map { case (_, rs) =>
+      (rs.map(r => dayNum(r._2)).min, rs.map(r => dayNum(r._2)).max)
+    }
+    val days = iv.map(_._1).min to iv.map(_._2).max
+    val concurrent = days.map(d => d -> iv.count(i => i._1 <= d && d <= i._2))
+    val mx = concurrent.map(_._2).max
+    val atDay = concurrent.filter(_._2 == mx).map(_._1).min
+
+    val row = run("max_intersections").collect().head
+    assert(row.getLong(0) == mx.toLong)
+    assert(row.getString(1) ==
+      java.time.LocalDate.ofEpochDay(atDay).toString)
+  }
+
+  test("corr_moments matches the exact-moment formula re-derived in Scala") {
+    val got = run("corr_moments").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    val byType = events.groupBy(_._4)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (et, rs) =>
+      val n = rs.length.toDouble
+      // exact decimal moments (value has 2 dp → ×100 is integral)
+      def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val ks = rs.map(r => ujsonK(r._6))
+      val sx = rs.map(r => cents(r._5)).sum.toDouble
+      val sy = ks.sum.toDouble
+      val sxy = rs.zip(ks).map { case (r, k) => cents(r._5) * k }.sum.toDouble
+      val sxx = rs.map(r => cents(r._5) * cents(r._5)).sum.toDouble
+      val syy = ks.map(k => k * k).sum.toDouble
+      val cov = n * sxy - sx * sy
+      val corr = cov / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val slope = cov / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val (gn, gc, gs, gi) = got(et)
+      assert(gn == rs.length.toLong)
+      assert(gc == corr, s"$et corr")
+      assert(gs == slope, s"$et slope")
+      assert(gi == intercept, s"$et intercept")
+    }
+  }
+
+  test("weighted_stats: avgWeighted and boundingRatio from exact aggregates") {
+    val got = run("weighted_stats").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    events.groupBy(_._4).foreach { case (et, rs) =>
+      def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val ks = rs.map(r => ujsonK(r._6))
+      val svw = rs.zip(ks).map { case (r, k) => cents(r._5) * k }.sum.toDouble
+      val sw = ks.sum.toDouble
+      val br = (rs.map(r => cents(r._5)).max.toDouble - rs.map(r => cents(r._5)).min.toDouble) /
+        (ks.max - ks.min).toDouble
+      assert(got(et)._1 == svw / sw, s"$et avg_weighted")
+      assert(got(et)._2 == br, s"$et bounding_ratio")
+    }
+  }
+
+  test("entropy_agg matches Shannon entropy of the per-user distribution") {
+    val got = run("entropy_agg").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    events.groupBy(_._4).foreach { case (et, rs) =>
+      val counts = rs.groupBy(_._1).values.map(_.length.toDouble)
+      val tot = counts.sum
+      val h = (math.log(tot) / math.log(2)) -
+        counts.map(c => c * math.log(c) / math.log(2)).sum / tot
+      val (gH, gN) = got(et)
+      assert(gN == tot.toLong)
+      assert(math.abs(gH - h) < 2e-4, s"$et entropy got=$gH exp=$h")
+      // entropy of a spread distribution is strictly positive
+      assert(gH > 0.0)
+    }
+  }
+
+  test("ts_fill: complete per-user day grid, zeros on gap days") {
+    val rows = run("ts_fill").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ev = events.filter(_._1 < 40)
+      .map(r => (r._1, java.time.LocalDate.ofEpochDay(dayNum(r._2)).toString))
+    val counts = ev.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val spans = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> (rs.map(_._2).min, rs.map(_._2).max)
+    }
+    // grid is complete: every day in each user's span appears exactly once
+    val expectedRows = spans.map { case (_, (lo, hi)) =>
+      java.time.LocalDate.parse(hi).toEpochDay - java.time.LocalDate.parse(lo).toEpochDay + 1
+    }.sum
+    assert(rows.length.toLong == expectedRows)
+    rows.foreach { case (u, day, n) =>
+      assert(n == counts.getOrElse((u, day), 0L), s"user=$u day=$day")
+    }
+    assert(rows.exists(_._3 == 0L), "no gap day at this SF — fixture vacuous")
+  }
+
+  test("ema_decay equals the recursive EMA (alpha=1/2) per user") {
+    val got = run("ema_decay").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    events.groupBy(_._1).foreach { case (u, rs) =>
+      val xs = rs.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).map(_._5)
+      val ema = xs.tail.foldLeft(xs.head)((e, x) => 0.5 * x + 0.5 * e)
+      assert(math.abs(got(u) - ema) < 2e-4, s"user=$u got=${got(u)} exp=$ema")
+    }
+  }
+
+  /** The {"k": <int>} prop parse used by the fixtures. */
+  private def ujsonK(props: String): Long =
+    "\"k\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(props).get.group(1).toLong
+}
