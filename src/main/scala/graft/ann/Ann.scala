@@ -181,6 +181,40 @@ object Ann extends Serializable {
     },
     "ann_ivf_exact" -> OpDef(exactTopKSql) { (s, dir) =>
       ivfTopK(s, dir, nprobe = Cells) // every cell probed → full-corpus re-rank
+    },
+
+    // ---- #99 int8 embedding quantization ---------------------------------
+    // The storage/bandwidth side of the 100 TB ANN path: symmetric int8
+    // quantization (qᵢ = clamp(⌊vᵢ·127/max|v| + 0.5⌋, ±127)) as two native
+    // codegen expressions ([[graft.functions.VecAbsMax]] /
+    // [[graft.functions.QuantizeI8]]) — a pure narrow map riding the scan,
+    // ZERO shuffle, no lambda/boxing. float32 widens to double exactly, so
+    // every step is the identical IEEE op in both engines: scale and the
+    // whole int vector are bit-identical (scale's round(·,6) is rendering,
+    // not parity repair). All-zero vectors quantize to zeros, scale NULL.
+    "embed_quantize" -> OpDef(
+      """WITH t AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, label,
+        |  CASE WHEN mx = 0 THEN NULL ELSE round(127.0 / mx, 6) END AS scale,
+        |  array_to_string(list_transform(embedding, x ->
+        |    CAST(CASE WHEN mx = 0 THEN 0
+        |         ELSE least(127, greatest(-127,
+        |           CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT)))
+        |    END AS VARCHAR)), ',') AS q
+        |FROM t ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      GraftSession.tune(s)
+      Tables(s, dir, "embeddings")
+        .withColumn("mx", call_function("vec_absmax", col("embedding")))
+        .select(col("vec_id"), col("label"),
+          when(col("mx") === 0.0, lit(null).cast(DoubleType))
+            .otherwise(round(lit(127.0) / col("mx"), 6)).as("scale"),
+          call_function("quantize_i8", col("embedding")).as("q"))
+        .orderBy("vec_id")
     }
   )
 

@@ -21,6 +21,8 @@ object GraftFunctions {
     "md5_chain" -> { args => Md5Chain(args(0)) },
     "bpe_cost" -> { args => BpeCost(args(0)) },
     "count_in" -> { args => CountIn(args(0), args(1)) },
+    "vec_absmax" -> { args => VecAbsMax(args(0)) },
+    "quantize_i8" -> { args => QuantizeI8(args(0)) },
     // one-pass 16-permutation MinHash signature (aggregate)
     "minhash16" -> { args =>
       MinHashAgg(args(0), MinHashAgg.defaultA, MinHashAgg.defaultB, MinHashAgg.Prime) },

@@ -3,6 +3,7 @@ package graft.text
 import graft.{GraftSession, OpDef}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -232,6 +233,70 @@ object TextOps {
           when(n > 1, (n - 1 - dg).cast(DoubleType) / (n - 1))
             .otherwise(0.0).as("dup_2gram_ratio"),
           (n - dw).cast(DoubleType).divide(n).as("dup_word_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- #100 training-sequence packing (concat-and-chunk) ----------------
+    // The GPT-style packing step: per shard (= source), documents
+    // concatenate in doc_id order and split into fixed 128-token context
+    // windows; each doc's [start_chunk, end_chunk] span falls out of ONE
+    // prefix-sum window per shard — exact integer arithmetic, a single
+    // source-keyed shuffle, no per-chunk explode. n_chunks > 1 marks docs
+    // crossing a window boundary (what a loss-masking loader needs to know).
+    // At 100 TB the shard key spreads the prefix sums across the cluster;
+    // packing never sees a global order.
+    "seq_packing" -> OpDef(
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tokens,
+        |    SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST((cum - tokens) // 128 AS BIGINT) AS start_chunk,
+        |  CAST((cum - 1) // 128 AS BIGINT) AS end_chunk,
+        |  CAST((cum - 1) // 128 - (cum - tokens) // 128 + 1 AS BIGINT) AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), size(words).cast(LongType).as("tokens"))
+        .withColumn("cum",
+          sum("tokens").over(Window.partitionBy("source").orderBy("doc_id")))
+        .select(col("doc_id"), col("source"), col("tokens"),
+          expr("(cum - tokens) DIV 128").as("start_chunk"),
+          expr("(cum - 1) DIV 128").as("end_chunk"),
+          (expr("(cum - 1) DIV 128") - expr("(cum - tokens) DIV 128") + 1)
+            .as("n_chunks"))
+        .orderBy("doc_id")
+    },
+
+    // ---- #101 stratified corpus sampling ----------------------------------
+    // Per-language downsampling (the data-mixing step: keep 1/2 of en, 1/3
+    // of de, 1/4 of fr, 1/5 of the rest) with the sample_hash discipline —
+    // a deterministic per-doc md5 hash against a per-stratum denominator, so
+    // the sample is a pure codegen FILTER riding the scan: zero shuffle,
+    // zero state, reproducible across runs and engines, consistent for a
+    // given doc at any SF.
+    "stratified_sample" -> OpDef(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source,
+         |    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 3 WHEN 'fr' THEN 4
+         |              ELSE 5 END AS denom,
+         |    ${graft.ops.parity.md5LongSql("'strat:'||CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, lang, source FROM d
+         |WHERE h % denom = 0 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val denom = when(col("lang") === "en", 2)
+        .when(col("lang") === "de", 3)
+        .when(col("lang") === "fr", 4)
+        .otherwise(5)
+      docs(s, dir)
+        .filter(
+          graft.ops.parity.md5Long(
+            concat(lit("strat:"), col("doc_id").cast(StringType))) % denom === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }
   )

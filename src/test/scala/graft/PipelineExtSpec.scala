@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The late-r6 pipeline additions (#99-#101): sequence packing, stratified
+  * sampling and int8 embedding quantization — semantics pinned against
+  * independent Scala re-derivations plus edge-case fixtures.
+  */
+class PipelineExtSpec extends SparkSpecBase {
+
+  test("seq_packing equals concat-and-chunk over per-source doc_id order") {
+    val got = run("seq_packing").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = 128L
+    var boundaryCrossers = 0
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, text) =>
+        val tokens = text.split(" ", -1).length.toLong
+        cum += tokens
+        val start = (cum - tokens) / B
+        val end = (cum - 1) / B
+        val (gSrc, gTok, gStart, gEnd, gN) = got(id)
+        assert(gSrc == src && gTok == tokens, s"doc $id meta")
+        assert(gStart == start && gEnd == end, s"doc $id span")
+        assert(gN == end - start + 1, s"doc $id n_chunks")
+        if (end > start) boundaryCrossers += 1
+      }
+    }
+    assert(boundaryCrossers > 0, "no doc ever crosses a chunk boundary — vacuous")
+    assert(got.size == docs.length)
+  }
+
+  test("stratified_sample: deterministic md5 rule, per-lang rates") {
+    val kept = run("stratified_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val denoms = Map("en" -> 2L, "de" -> 3L, "fr" -> 4L).withDefaultValue(5L)
+    val expect = docs.filter { case (id, lang) =>
+      h60(s"strat:$id") % denoms(lang) == 0
+    }.toMap
+    assert(kept == expect)
+    // every stratum must keep some and drop some at this SF
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val k = ds.count(d => kept.contains(d._1))
+      assert(k > 0, s"$lang kept nothing")
+      assert(k < ds.length, s"$lang kept everything")
+      // rate sanity: ~1/denom with generous slack for small strata
+      val rate = k.toDouble / ds.length
+      assert(math.abs(rate - 1.0 / denoms(lang)) < 0.2, s"$lang rate=$rate")
+    }
+  }
+
+  test("embed_quantize: int8 range, dequantization error bound, determinism") {
+    val rows = run("embed_quantize").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    val embs = graft.sources.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.length == embs.size)
+    rows.foreach { case (id, scale, qs) =>
+      val q = qs.split(",").map(_.toLong)
+      val x = embs(id)
+      assert(q.length == x.length, s"vec $id length")
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id range")
+      // symmetric quantization maps the absolute max to ±127
+      assert(q.map(math.abs).max == 127L, s"vec $id absmax")
+      // dequantization error ≤ half a quantization step
+      val step = 1.0 / scale
+      x.zip(q).foreach { case (xv, qv) =>
+        assert(math.abs(xv.toDouble - qv / scale) <= 0.5 * step + 1e-12,
+          s"vec $id dequant err")
+      }
+    }
+  }
+
+  test("quantize_i8 edge cases: all-zero vector, clamp, negative max") {
+    graft.functions.GraftFunctions.register(spark)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("v", ArrayType(FloatType))))
+    val data = Seq(
+      Row(0, Seq(0.0f, 0.0f, 0.0f)),            // all-zero → zeros, scale null
+      Row(1, Seq(1.0f, -1.0f, 0.5f)),           // exact boundary hits ±127
+      Row(2, Seq(-2.0f, 1.0f)),                 // negative absolute max
+      Row(3, null)                              // null passthrough
+    )
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema)
+      .select(col("id"),
+        call_function("vec_absmax", col("v")).as("mx"),
+        call_function("quantize_i8", col("v")).as("q"))
+      .orderBy("id")
+    val out = df.collect()
+    assert(out(0).getDouble(1) == 0.0 && out(0).getString(2) == "0,0,0")
+    assert(out(1).getDouble(1) == 1.0)
+    assert(out(1).getString(2) == "127,-127,64") // 0.5*127+0.5 = 64.0 exactly
+    assert(out(2).getDouble(1) == 2.0)
+    assert(out(2).getString(2) == "-127,64")     // 1*63.5+0.5 = 64
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+  }
+}
