@@ -1339,6 +1339,101 @@ object Relational {
         .orderBy("user_id", "d")
     },
 
+    // ---- #102 next node after a matched chain (CH sequenceNextNode) -------
+    // Per user: the event type FOLLOWING the first signup→click chain
+    // (click strictly after the first signup; next = first event strictly
+    // after that click, (ts, event_id) tie-break). Three chained window
+    // passes + the collapse all ride ONE user_id shuffle — the funnel_window
+    // shape with an argmin-by-struct finisher; users without a completed
+    // chain emit NULL. The oracle reaches the same row via row_number.
+    "sequence_next_node" -> OpDef(
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |tt AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |             OVER (PARTITION BY user_id) AS t2 FROM t),
+        |u AS (SELECT user_id, MAX(t2) AS t2 FROM tt GROUP BY user_id),
+        |n AS (
+        |  SELECT e.user_id, e.event_type,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |                       ORDER BY e.ts, e.event_id) AS rn
+        |  FROM events e JOIN u ON e.user_id = u.user_id AND e.ts > u.t2)
+        |SELECT u.user_id, n.event_type AS next_type
+        |FROM u LEFT JOIN (SELECT user_id, event_type FROM n WHERE rn = 1) n
+        |  ON u.user_id = n.user_id
+        |ORDER BY u.user_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+      tbl(s, dir, "events")
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).over(w))
+        // argmin by (ts, event_id): struct min — event_id unique, so the
+        // trailing type field never decides the ordering
+        .withColumn("nx",
+          min(when(col("ts") > col("t2"),
+            struct(col("ts"), col("event_id"), col("event_type")))).over(w))
+        .groupBy("user_id")
+        .agg(min("nx").as("nx"))
+        .select(col("user_id"), col("nx.event_type").as("next_type"))
+        .orderBy("user_id")
+    },
+
+    // ---- #103 per-key min/max map aggregation (CH minMap/maxMap) ----------
+    // The #64 sum_map twins in one pass: per-user sorted key list plus the
+    // per-key minima and maxima as parallel arrays. Same two-level shape —
+    // (user, key) extremes ride the first shuffle as scalars, the O(keys)
+    // collect happens per group — and DECIMAL(18,2)'s fixed 2-dp rendering
+    // keeps the joined strings byte-identical across engines.
+    "minmax_map" -> OpDef(
+      """WITH per AS (
+        |  SELECT user_id, event_type,
+        |    MIN(CAST(value AS DECIMAL(18,2))) AS mn,
+        |    MAX(CAST(value AS DECIMAL(18,2))) AS mx
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS map_keys,
+        |  string_agg(CAST(mn AS VARCHAR), ',' ORDER BY event_type) AS map_mins,
+        |  string_agg(CAST(mx AS VARCHAR), ',' ORDER BY event_type) AS map_maxs
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val per = tbl(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min(col("value").cast(DecimalType(18, 2))).as("mn"),
+          max(col("value").cast(DecimalType(18, 2))).as("mx"))
+      per.groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("event_type"), col("mn"), col("mx")))).as("kv"))
+        .select(col("user_id"),
+          concat_ws(",", col("kv.event_type")).as("map_keys"),
+          concat_ws(",", col("kv.mn").cast(ArrayType(StringType))).as("map_mins"),
+          concat_ws(",", col("kv.mx").cast(ArrayType(StringType))).as("map_maxs"))
+        .orderBy("user_id")
+    },
+
+    // ---- #104 sorted distinct array agg (CH groupUniqArray) ---------------
+    // collect_set + codegen sort_array, emitted as the ","-joined scalar;
+    // per-group state is O(distinct) — here bounded by the event-type
+    // vocabulary, the CH use case (tag sets, enum columns).
+    "group_uniq_array" -> OpDef(
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_uniq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+          countDistinct(col("event_type")).as("n_uniq"))
+        .orderBy("user_id")
+    },
+
     // ---- #98 exponential moving average (CH exponentialMovingAverage) -----
     // Final EMA (α = 1/2) of value per user in (ts, event_id) order:
     // e_i = α·x_i + (1−α)·e_{i−1}, closed form Σ w_j·x_j with w_j an exact

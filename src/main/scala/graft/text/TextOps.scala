@@ -298,6 +298,57 @@ object TextOps {
             concat(lit("strat:"), col("doc_id").cast(StringType))) % denom === 0)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    },
+
+    // ---- #105 PII scrubbing (curation redaction pass) ---------------------
+    // Email/phone redaction over deterministic fixtures: synthetic contact
+    // strings derived from doc_id are appended IN THE QUERY on both engines
+    // (the corpus itself contains no '@' or '+'), then scrubbed with plain
+    // ASCII character-class regexes that mean the same thing in Java regex
+    // and RE2. A pure narrow map riding the scan — zero shuffle, codegen
+    // regexp_replace/regexp_count — with the redacted text emitted as its
+    // portable md5 (proves the replacement, not just the counts).
+    "pii_scrub" -> OpDef(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 <> 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |      THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS raw
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+')) AS BIGINT)
+        |      AS n_emails,
+        |    CAST(len(regexp_extract_all(raw, '[+]1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |    regexp_replace(
+        |      regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+', '<EMAIL>', 'g'),
+        |      '[+]1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM t)
+        |SELECT doc_id, n_emails, n_phones, md5(redacted) AS redacted_md5
+        |FROM r ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val emailRe = "[a-z0-9.]+@[a-z0-9.]+[.][a-z]+"
+      val phoneRe = "[+]1-555-[0-9]{4}"
+      val raw = concat(col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@mail.example.com"))).otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+          .otherwise(""))
+      docs(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailRe)).cast(LongType).as("n_emails"),
+          regexp_count(col("raw"), lit(phoneRe)).cast(LongType).as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -123,6 +123,42 @@ class AnalyticsExtSpec extends SparkSpecBase {
     }
   }
 
+  test("sequence_next_node: event after the first signup→click chain") {
+    val got = run("sequence_next_node").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val exp = events.groupBy(_._1).map { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+      val t1 = sorted.find(_._4 == "signup").map(_._2)
+      val t2 = t1.flatMap(a => sorted.find(r => r._4 == "click" && r._2.after(a)).map(_._2))
+      u -> t2.flatMap(c => sorted.find(r => r._2.after(c)).map(_._4))
+    }
+    assert(got == exp)
+    assert(got.values.exists(_.isDefined), "no user has a next node — vacuous")
+  }
+
+  test("minmax_map: per-key extremes as sorted parallel arrays") {
+    val got = run("minmax_map").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    events.groupBy(_._1).foreach { case (u, rs) =>
+      val byKey = rs.groupBy(_._4).toSeq.sortBy(_._1)
+      def dec(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val (keys, mins, maxs) = (
+        byKey.map(_._1).mkString(","),
+        byKey.map { case (_, es) => es.map(e => dec(e._5)).min.toString }.mkString(","),
+        byKey.map { case (_, es) => es.map(e => dec(e._5)).max.toString }.mkString(","))
+      assert(got(u) == ((keys, mins, maxs)), s"user=$u")
+    }
+  }
+
+  test("group_uniq_array: sorted distinct key set per user") {
+    val got = run("group_uniq_array").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    events.groupBy(_._1).foreach { case (u, rs) =>
+      val distinct = rs.map(_._4).distinct.sorted
+      assert(got(u) == ((distinct.mkString(","), distinct.length.toLong)), s"user=$u")
+    }
+  }
+
   /** The {"k": <int>} prop parse used by the fixtures. */
   private def ujsonK(props: String): Long =
     "\"k\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(props).get.group(1).toLong

@@ -89,6 +89,29 @@ class PipelineExtSpec extends SparkSpecBase {
     }
   }
 
+  test("pii_scrub: counts follow the fixture parity, redaction verified by md5") {
+    val got = run("pii_scrub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.length == docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, nEmails, nPhones, redactedMd5) =>
+      assert(nEmails == (if (id % 3 != 0) 1L else 0L), s"doc $id emails")
+      assert(nPhones == (if (id % 2 == 0) 1L else 0L), s"doc $id phones")
+      val raw = docs(id) +
+        (if (id % 3 != 0) s" contact user$id@mail.example.com" else "") +
+        (if (id % 2 == 0) f" call +1-555-${id % 10000}%04d" else "")
+      val redacted = raw
+        .replaceAll("[a-z0-9.]+@[a-z0-9.]+[.][a-z]+", "<EMAIL>")
+        .replaceAll("[+]1-555-[0-9]{4}", "<PHONE>")
+      val hex = md.digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(hex == redactedMd5, s"doc $id redaction")
+      assert(!redacted.contains("@") && !redacted.contains("+1-555-"), s"doc $id leak")
+    }
+  }
+
   test("quantize_i8 edge cases: all-zero vector, clamp, negative max") {
     graft.functions.GraftFunctions.register(spark)
     val schema = StructType(Seq(
