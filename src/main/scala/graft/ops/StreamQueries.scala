@@ -94,6 +94,46 @@ object StreamQueries {
       StreamOps.windowedQuantiles(ev(s, dir)).orderBy("day", "event_type")
     },
 
+    // ---- #106 hopping (sliding) windowed counts --------------------------
+    // 1-day windows every 12 h: each event lands in exactly two windows.
+    // The oracle derives the same two window starts from the 12 h epoch
+    // grid (Spark's window() aligns slides to the epoch origin in UTC).
+    "stream_hop" -> OpDef(
+      """WITH s AS (
+        |  SELECT event_type,
+        |    to_timestamp(CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT)) AS w0
+        |  FROM events),
+        |u AS (
+        |  SELECT event_type, unnest([w0, w0 - INTERVAL 12 HOUR]) AS wstart FROM s)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  COUNT(*) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.hoppingCounts(ev(s, dir)).orderBy("window_start", "event_type")
+    },
+
+    // ---- #107 stream-stream interval join (batch shape) ------------------
+    // Clicks paired with the same user's purchases within the following
+    // hour, collapsed per user. The streaming form is the watermarked
+    // event-time-range join (state evicts at watermark − range) — the spec
+    // pins stream ≡ batch pair sets; this row pins the pairing itself.
+    "stream_join" -> OpDef(
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, COUNT(*) AS n_pairs,
+        |  CAST(MIN(date_diff('second', c.ts, p.ts)) AS BIGINT) AS min_lag_s
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.clickPurchasePairs(ev(s, dir))
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+            .as("min_lag_s"))
+        .orderBy("user_id")
+    },
+
     // ---- #44 stream dedup (batch shape: keep-first per key) --------------
     "stream_dedup" -> OpDef(
       """SELECT user_id, event_type, MIN(event_id) AS event_id

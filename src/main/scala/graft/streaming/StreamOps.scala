@@ -120,6 +120,46 @@ object StreamOps {
         col("event_type"), col("q")(0).as("p50"), col("q")(1).as("p95"))
   }
 
+  /** #106 — hopping (sliding) windowed counts: 1-day windows advancing every
+    * 12 hours, so each event lands in exactly TWO overlapping windows.
+    * Spark's window() expands the slide set inline (a bounded 2-row
+    * explode, no join); state per open (window, type) is one count row and
+    * the watermark closes two windows per slide. The CH equivalent is a
+    * hop() windowed view.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+  }
+
+  /** #107 — stream-stream interval self-join: each click paired with the
+    * same user's purchases in the following hour. Both sides carry a
+    * watermark and the join condition is an EVENT-TIME RANGE, which is what
+    * lets Spark bound join state (clicks evict at watermark − 1 h,
+    * purchases at the watermark) — the one join shape that runs forever on
+    * an unbounded stream. Batch shape: the identical equi-join + range
+    * filter (user_id hash join; AQE broadcasts at small SF).
+    */
+  def clickPurchasePairs(events: DataFrame): DataFrame = {
+    def side(t: String, p: String) =
+      events.filter(col("event_type") === t)
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+    val (clicks, purchases) =
+      if (events.isStreaming)
+        (side("click", "c").withWatermark("c_ts", "1 hour"),
+          side("purchase", "p").withWatermark("p_ts", "1 hour"))
+      else (side("click", "c"), side("purchase", "p"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** #44 — drop duplicate (user_id, event_type) arrivals; on streams the
     * watermark bounds the dedup state (dropDuplicatesWithinWatermark), in
     * batch it is an exact keep-first dedup.

@@ -109,4 +109,53 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
     // of them must be byte-identical to the batch result's session
     assert(got.subsetOf(batch), s"diff: ${got.diff(batch).take(3)}")
   }
+
+  test("hopping windows on a stream: closed windows match the batch shape") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = eventRows()
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.hoppingCounts(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("hop").outputMode("append").start()
+    try {
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select * from hop").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "no hopping window closed — watermark never advanced")
+    val batch = run("stream_hop").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.subsetOf(batch), s"diff: ${got.diff(batch).take(3)}")
+    // the two-windows-per-event invariant: batch totals double the events
+    assert(batch.toSeq.map(_._3).sum == 2L * ev.length)
+  }
+
+  test("stream-stream interval join emits exactly the batch pair set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = eventRows()
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.clickPurchasePairs(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .select("c_id", "p_id")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select * from ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // inner joins emit on match (watermark only bounds state), so after a
+    // full drain the stream result IS the batch join — exactly, both ways
+    val batch = StreamOps.clickPurchasePairs(
+        graft.sources.Tables(spark, sfDir, "events"))
+      .select("c_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, s"stream≠batch: ${got.diff(batch).take(3)} / ${batch.diff(got).take(3)}")
+    assert(batch.nonEmpty, "no click→purchase pair at this SF — vacuous")
+  }
 }
