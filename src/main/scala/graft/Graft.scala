@@ -211,6 +211,21 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def annIvf(index: ann.IvfIndex, k: Int, nprobe: Int): DataFrame =
     ann.Ann.ivfQuery(spark, dir, index, k, nprobe)
 
+  /** Product-quantization ANN ([[graft.ann.Pq]]): offline codebook+code
+    * build, online ADC scoring + exact re-rank — the compressed-domain path
+    * that composes with IVF at 100 TB (IVF-PQ).
+    */
+  def buildPqIndex(outDir: String, lloydIters: Int = 2): ann.PqIndex =
+    ann.Pq.buildIndex(spark, dir, outDir, lloydIters)
+
+  def loadPqIndex(indexDir: String): ann.PqIndex = ann.Pq.loadIndex(spark, indexDir)
+
+  def annPq(k: Int = ann.Ann.K, rerankDepth: Int = ann.Pq.RerankDepth): DataFrame =
+    ann.Pq.pqTopK(spark, dir, k, rerankDepth)
+
+  def annPq(index: ann.PqIndex, k: Int, rerankDepth: Int): DataFrame =
+    ann.Pq.query(spark, dir, index, k, rerankDepth)
+
   // ---- as-of join --------------------------------------------------------
   /** Union+window composition — no session extensions needed. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],

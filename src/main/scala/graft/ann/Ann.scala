@@ -86,7 +86,7 @@ object Ann extends Serializable {
 
   def cosine(a: Seq[Float], b: Seq[Float]): Double = dot(a, b) / (norm(a) * norm(b))
 
-  private def embDs(s: SparkSession, dir: String) = {
+  private[ann] def embDs(s: SparkSession, dir: String) = {
     GraftSession.tune(s)
     import s.implicits._
     Tables(s, dir, "embeddings").as[EmbRow]
@@ -182,6 +182,12 @@ object Ann extends Serializable {
     "ann_ivf_exact" -> OpDef(exactTopKSql) { (s, dir) =>
       ivfTopK(s, dir, nprobe = Cells) // every cell probed → full-corpus re-rank
     },
+
+    // ---- #108 product-quantization ANN (rows-only + recall spec) ---------
+    // Offline codebook build + code table, online ADC scoring + exact
+    // re-rank — see [[Pq]]. Lossy by construction (no exact-regime
+    // degeneration), so the pin is the recall spec.
+    "ann_pq" -> OpDef.rowsOnly { (s, dir) => Pq.pqTopK(s, dir) },
 
     // ---- #99 int8 embedding quantization ---------------------------------
     // The storage/bandwidth side of the 100 TB ANN path: symmetric int8
@@ -336,7 +342,7 @@ object Ann extends Serializable {
     * (tiny) probe VECTORS, so scoring stays inside whole-stage codegen — no
     * typed ser/de, no per-row probe scan. Shared by the LSH and IVF paths.
     */
-  private def rerank(s: SparkSession, dir: String, cand: DataFrame,
+  private[ann] def rerank(s: SparkSession, dir: String, cand: DataFrame,
       probeArr: Array[(Long, Array[Float])], k: Int): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
@@ -493,7 +499,7 @@ object Ann extends Serializable {
     * a changed/regenerated corpus yields a different index key, so a cached
     * or on-disk index can never silently serve stale cell assignments.
     */
-  private def corpusTag(dir: String): String = {
+  private[ann] def corpusTag(dir: String): String = {
     val md = MessageDigest.getInstance("MD5")
     val root = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val desc = new StringBuilder(dir)

@@ -23,6 +23,8 @@ object GraftFunctions {
     "count_in" -> { args => CountIn(args(0), args(1)) },
     "vec_absmax" -> { args => VecAbsMax(args(0)) },
     "quantize_i8" -> { args => QuantizeI8(args(0)) },
+    "l2_sq" -> { args => L2Sq(args(0), args(1)) },
+    "pq_adc" -> { args => PqAdc(args(0), args(1), args(2)) },
     // one-pass 16-permutation MinHash signature (aggregate)
     "minhash16" -> { args =>
       MinHashAgg(args(0), MinHashAgg.defaultA, MinHashAgg.defaultB, MinHashAgg.Prime) },

@@ -1,10 +1,43 @@
 package graft
 
-import graft.ann.Ann
+import graft.ann.{Ann, Pq}
 
 class AnnSpec extends SparkSpecBase {
 
   private lazy val bf = run("ann_bruteforce").collect()
+
+  test("pq recall@5: ADC + re-rank ≥ 0.6; deeper re-rank never loses recall") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(bf)
+    def recallAt(depth: Int) = {
+      val approx = pairs(Pq.pqTopK(spark, sfDir, rerankDepth = depth).collect())
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val shallow = recallAt(20)
+    val deep = recallAt(Pq.RerankDepth)
+    assert(deep >= 0.6, s"pq recall@5 $deep at depth ${Pq.RerankDepth}")
+    assert(deep >= shallow, s"deeper re-rank lost recall ($deep vs $shallow)")
+  }
+
+  test("pq index: codes in range, one row per vector, rebuild is deterministic") {
+    val idx = Pq.ensureIndex(spark, sfDir)
+    val codes = spark.read.parquet(s"${idx.indexDir}/codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val n = graft.sources.Tables(spark, sfDir, "embeddings").count()
+    assert(codes.size.toLong == n)
+    assert(codes.values.forall(cs =>
+      cs.length == Pq.M && cs.forall(c => c >= 0 && c < Pq.Ksub)))
+    // codes must actually discriminate (not all vectors on one codeword)
+    assert(codes.values.map(_.mkString(",")).toSet.size > n / 2)
+    // a from-scratch rebuild reproduces the artifacts bit-for-bit
+    val dir2 = java.nio.file.Files.createTempDirectory("pq-rebuild").toString
+    val idx2 = Pq.buildIndex(spark, sfDir, dir2)
+    assert(idx2.codebooks.flatten.flatten.toSeq == idx.codebooks.flatten.flatten.toSeq)
+    val codes2 = spark.read.parquet(s"$dir2/codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes2 == codes)
+  }
 
   test("bruteforce returns exactly k neighbors per probe") {
     val byProbe = bf.groupBy(_.getLong(0)).view.mapValues(_.length).toMap

@@ -44,4 +44,31 @@ class FunctionsSpec extends SparkSpecBase {
       .collect()(0).getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("every scalar expression COMPILES under CODEGEN_ONLY (no Janino fallback)") {
+    // A doGenCode that emits malformed Java fails at runtime with a SILENT
+    // interpreter fallback (the class-based plan audit can't see it —
+    // exactly how a leading '|' once slipped through pq_adc). Forcing
+    // CODEGEN_ONLY turns any such fallback into a hard error here.
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((Seq(1.0f, 2.0f, -3.0f), Seq(0.5f, 1.5f, 2.5f),
+        Seq(0, 1), Seq(1.0, 2.0, 3.0, 4.0), Seq("a", "b"), 2L))
+        .toDF("a", "b", "codes", "tbl", "ws", "n")
+      val out = df.select(
+        call_function("cosine_sim", col("a"), col("b")).as("cs"),
+        call_function("l2_sq", col("a"), col("b")).as("l2"),
+        call_function("pq_adc", col("codes"), col("tbl"), col("tbl")).as("adc"),
+        call_function("vec_absmax", col("a")).as("mx"),
+        call_function("quantize_i8", col("a")).as("q"),
+        call_function("simhash64", col("ws")).as("sh"),
+        call_function("md5_chain", col("ws")).as("mc"),
+        call_function("bpe_cost", col("ws")).as("bc"),
+        call_function("count_in", col("ws"), array(lit("a"))).as("ci")
+      ).collect()
+      assert(out.length == 1 && !out(0).anyNull)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
 }
