@@ -163,6 +163,42 @@ class PlanAuditSpec extends SparkSpecBase {
   // (full-outer can't broadcast — SMJ is the correct plan there), and
   // (b) no interpreted expression, except uniq_hll's per-group sketch
   // finisher. Any new query that regresses either property fails here.
+  test("late-r6 rows: zero-shuffle scan ops stay zero-shuffle") {
+    // pii_scrub / embed_quantize / stratified_sample are pure narrow maps or
+    // filters: one scan, no joins, only the output-sort exchange allowed
+    for (q <- Seq("pii_scrub", "embed_quantize", "stratified_sample")) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.broadcastJoins + a.sortMergeJoins == 0, s"$q: $a")
+      assert(a.fallbackExprs.isEmpty, s"$q has interpreted exprs: ${a.fallbackExprs}")
+      assert(a.shuffles <= 1, s"$q must not shuffle beyond the output sort: $a")
+    }
+  }
+
+  test("seq_packing: prefix-sum window is the only data exchange") {
+    // one source-keyed window shuffle + the output sort; no join, no agg
+    val a = auditOf(run("seq_packing"))
+    assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+    assert(a.shuffles <= 2, s"packing must ride ONE window shuffle: $a")
+    assert(a.fallbackExprs.isEmpty, s"interpreted exprs: ${a.fallbackExprs}")
+  }
+
+  test("ts_fill: counts join the exploded grid as a broadcast, never sort-merge") {
+    val a = auditOf(run("ts_fill"))
+    assert(a.broadcastJoins == 1 && a.sortMergeJoins == 0, s"$a")
+  }
+
+  test("sequence_next_node: chained windows + collapse share one user exchange") {
+    val a = auditOf(run("sequence_next_node"))
+    assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+    assert(a.shuffles == 2, s"windows and collapse must share the user shuffle: $a")
+  }
+
+  test("stream_join batch shape: user equi-join broadcasts at test SF, no BNLJ") {
+    val a = auditOf(run("stream_join"))
+    assert(a.sortMergeJoins == 0, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"interpreted exprs: ${a.fallbackExprs}")
+  }
+
   test("whole-bank sweep: no unexpected sort-merge joins or interpreted exprs") {
     val fullOuterApplies = Set("cdc_multi_table", "cdc_snapshot_apply", "mv_incremental")
     val finisherFallbacks = Map("uniq_hll" -> Set("hll_sketch_estimate"))
