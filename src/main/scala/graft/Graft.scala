@@ -226,6 +226,18 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def annPq(index: ann.PqIndex, k: Int, rerankDepth: Int): DataFrame =
     ann.Pq.query(spark, dir, index, k, rerankDepth)
 
+  /** Composed IVF-PQ ([[graft.ann.Pq.buildIvfPq]]): one combined
+    * (vec_id, cell, codes) index artifact; queries prune by cell, score by
+    * code, re-rank exactly.
+    */
+  def buildIvfPqIndex(outDir: String, cells: Int = ann.Ann.Cells,
+      lloydIters: Int = 2): ann.Pq.IvfPqIndex =
+    ann.Pq.buildIvfPq(spark, dir, outDir, cells, lloydIters)
+
+  def annIvfPq(k: Int = ann.Ann.K, nprobe: Int = ann.Ann.NProbe,
+      rerankDepth: Int = ann.Pq.RerankDepth): DataFrame =
+    ann.Pq.ivfPqTopK(spark, dir, k, nprobe, rerankDepth)
+
   // ---- as-of join --------------------------------------------------------
   /** Union+window composition — no session extensions needed. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],

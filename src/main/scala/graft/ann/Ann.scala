@@ -189,6 +189,14 @@ object Ann extends Serializable {
     // degeneration), so the pin is the recall spec.
     "ann_pq" -> OpDef.rowsOnly { (s, dir) => Pq.pqTopK(s, dir) },
 
+    // ---- #109 composed IVF-PQ (rows-only + recall spec) -------------------
+    // The standard 100 TB ANN layout: coarse cells prune the corpus to
+    // nprobe/cells, PQ codes score the survivors (M int lookups each), a
+    // handful re-rank exactly. ONE combined (vec_id, cell, codes) index
+    // row table — the corpus-scale join happens once at BUILD time, never
+    // per query. See [[Pq.buildIvfPq]]/[[Pq.ivfPqQuery]].
+    "ann_ivfpq" -> OpDef.rowsOnly { (s, dir) => Pq.ivfPqTopK(s, dir) },
+
     // ---- #99 int8 embedding quantization ---------------------------------
     // The storage/bandwidth side of the 100 TB ANN path: symmetric int8
     // quantization (qᵢ = clamp(⌊vᵢ·127/max|v| + 0.5⌋, ±127)) as two native
@@ -379,7 +387,7 @@ object Ann extends Serializable {
   }
 
   /** Nearest cells by centroid cosine, ties to the lower cell index. */
-  private def nearestCells(cents: Array[Array[Double]], e: Seq[Float],
+  private[ann] def nearestCells(cents: Array[Array[Double]], e: Seq[Float],
       n: Int): Seq[Int] =
     cents.indices.map(i => (-cosineD(cents(i), e), i)).sorted.take(n).map(_._2)
 
@@ -390,7 +398,7 @@ object Ann extends Serializable {
     * tie-break). Centroids round to float so the driver-side probe
     * assignment (double math in [[nearestCells]]) scores identical values.
     */
-  private def assignCells(s: SparkSession, emb: DataFrame,
+  private[ann] def assignCells(s: SparkSession, emb: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)

@@ -215,4 +215,137 @@ object Pq extends Serializable {
   def pqTopK(s: SparkSession, dir: String, k: Int = K,
       rerankDepth: Int = RerankDepth): DataFrame =
     query(s, dir, ensureIndex(s, dir), k, rerankDepth)
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ: the composed 100 TB layout — coarse cells prune the corpus,
+  // codes score what's left, a handful re-rank exactly.
+  // ---------------------------------------------------------------------
+
+  /** A combined IVF-PQ index: coarse centroids + per-subspace codebooks in
+    * memory, and ONE parquet row table (vec_id, cell, codes) under
+    * `indexDir/rows` — cell assignment and codes co-located so the query
+    * path never joins two corpus-scale tables.
+    */
+  final case class IvfPqIndex(indexDir: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Offline IVF-PQ build: train BOTH quantizers (coarse cells + PQ
+    * codebooks) over one cached corpus pass set, then write the single
+    * combined row table. This is the artifact a 100 TB deployment
+    * maintains per corpus version.
+    */
+  def buildIvfPq(s: SparkSession, dir: String, indexDir: String,
+      cells: Int = Ann.Cells, lloydIters: Int = 2): IvfPqIndex = {
+    import s.implicits._
+    val emb = Ann.embDs(s, dir).toDF("vec_id", "embedding", "label")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Ann.trainIvfCentroids(s, emb, cells, lloydIters)
+      val cbs = trainCodebooks(s, emb, lloydIters)
+      cents.zipWithIndex.map { case (v, i) => (i, v.map(_.toFloat).toSeq) }
+        .toSeq.toDF("cell", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      codebookDf(s, cbs)
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+      val cellOf = Ann.assignCells(s, emb, cents).select("vec_id", "cell")
+      val codesOf = assignCodes(s, emb, cbs)
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("m"), col("code")))).as("mc"))
+        .select(col("vec_id"), col("mc.code").as("codes"))
+      // corpus-keyed equi-join happens ONCE at build time — the query path
+      // reads the co-located rows
+      cellOf.join(codesOf, "vec_id")
+        .write.mode("overwrite").parquet(s"$indexDir/rows")
+      IvfPqIndex(indexDir, cents, cbs)
+    } finally emb.unpersist(blocking = false)
+  }
+
+  def loadIvfPq(s: SparkSession, indexDir: String): IvfPqIndex = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cbs = Array.fill(M, Ksub)(Array.empty[Double])
+    s.read.parquet(s"$indexDir/codebooks").collect().foreach { r =>
+      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).map(_.toDouble).toArray
+    }
+    IvfPqIndex(indexDir, cents, cbs)
+  }
+
+  /** The ONLINE IVF-PQ query: probes pick their nprobe cells AND build
+    * their ADC tables on the driver; the combined row table broadcast-joins
+    * the probed cells (pruning the scan to nprobe/cells of the corpus),
+    * survivors cost M table lookups each, the top `rerankDepth` re-rank
+    * exactly. Zero training jobs, zero corpus-scale joins, float vectors
+    * touched only for the re-ranked handful.
+    */
+  def ivfPqQuery(s: SparkSession, dir: String, index: IvfPqIndex, k: Int = K,
+      nprobe: Int = Ann.NProbe, rerankDepth: Int = RerankDepth): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val probeArr = Ann.probes(s, dir)
+    val probeSide = probeArr.toSeq.flatMap { case (pid, pv) =>
+      val dotT = new Array[Double](M * Ksub)
+      val normT = new Array[Double](M * Ksub)
+      for (m <- 0 until M; c <- 0 until Ksub) {
+        val cb = index.codebooks(m)(c)
+        var dp = 0.0; var nn = 0.0; var i = 0
+        while (i < SubDim) {
+          val p = pv(m * SubDim + i).toDouble
+          dp += p * cb(i); nn += cb(i) * cb(i); i += 1
+        }
+        dotT(m * Ksub + c) = dp; normT(m * Ksub + c) = nn
+      }
+      Ann.nearestCells(index.centroids, pv.toSeq, nprobe)
+        .map(cell => (pid, cell, dotT.toSeq, normT.toSeq))
+    }.toDF("probe_id", "cell", "dot_t", "norm_t")
+
+    val approx = s.read.parquet(s"${index.indexDir}/rows")
+      .join(broadcast(probeSide), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        call_function("pq_adc", col("codes"), col("dot_t"), col("norm_t"))
+          .as("approx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("approx").desc, col("vec_id"))
+    val cand = approx
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= rerankDepth)
+      .select("probe_id", "vec_id")
+    Ann.rerank(s, dir, cand, probeArr, k)
+  }
+
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), IvfPqIndex]()
+
+  def ensureIvfPq(s: SparkSession, dir: String,
+      lloydIters: Int = 2): IvfPqIndex =
+    ivfPqCache.computeIfAbsent((Ann.corpusTag(dir), lloydIters), key => {
+      val indexDir = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${key._1}-$M-$Ksub-$lloydIters")
+      val done = indexDir.resolve("_GRAFT_INDEX_DONE")
+      if (java.nio.file.Files.exists(done)) loadIvfPq(s, indexDir.toString)
+      else {
+        val buildDir = java.nio.file.Paths.get(
+          s"$indexDir.build-${java.util.UUID.randomUUID().toString.take(8)}")
+        buildIvfPq(s, dir, buildDir.toString)
+        java.nio.file.Files.createFile(buildDir.resolve("_GRAFT_INDEX_DONE"))
+        try {
+          java.nio.file.Files.move(buildDir, indexDir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          loadIvfPq(s, indexDir.toString)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(buildDir.toFile)
+            loadIvfPq(s, indexDir.toString)
+        }
+      }
+    })
+
+  /** IVF-PQ ANN against the (per-JVM cached) prebuilt combined index. */
+  def ivfPqTopK(s: SparkSession, dir: String, k: Int = K,
+      nprobe: Int = Ann.NProbe, rerankDepth: Int = RerankDepth): DataFrame =
+    ivfPqQuery(s, dir, ensureIvfPq(s, dir), k, nprobe, rerankDepth)
 }

@@ -20,6 +20,21 @@ class AnnSpec extends SparkSpecBase {
     assert(deep >= shallow, s"deeper re-rank lost recall ($deep vs $shallow)")
   }
 
+  test("ivfpq: composed recall reasonable; full probing recovers plain PQ") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(bf)
+    // composed recall ≤ each stage's own recall, but must stay useful
+    val composed = pairs(Pq.ivfPqTopK(spark, sfDir).collect())
+    val rComposed = composed.intersect(exact).size.toDouble / exact.size
+    assert(rComposed >= 0.4, s"ivfpq recall@5 $rComposed")
+    // probing EVERY cell removes the IVF pruning → exactly the PQ result
+    val allCells = pairs(Pq.ivfPqTopK(spark, sfDir, nprobe = Ann.Cells).collect())
+    val pqOnly = pairs(Pq.pqTopK(spark, sfDir).collect())
+    assert(allCells == pqOnly,
+      "nprobe=cells must degenerate IVF-PQ to plain PQ")
+  }
+
   test("pq index: codes in range, one row per vector, rebuild is deterministic") {
     val idx = Pq.ensureIndex(spark, sfDir)
     val codes = spark.read.parquet(s"${idx.indexDir}/codes").collect()
