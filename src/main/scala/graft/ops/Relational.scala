@@ -1463,6 +1463,220 @@ object Relational {
           when(col("rn") === 1, pow(lit(0.5), col("n") - 1))
             .otherwise(pow(lit(0.5), col("n") - col("rn") + 1))), 4).as("ema"))
         .orderBy("user_id")
+    },
+
+    // ---- #110 Welch's t-test from exact moments (CH welchTTest) -----------
+    // Two-sample unequal-variance t between 'click' and 'view' values, in
+    // the corr_moments discipline: one conditional-aggregate pass collects
+    // SIX exact scalars (n, Σx, Σx² per side as decimals — map-side
+    // partial-mergeable, FILTER-style like #85 so there is no second scan),
+    // then t and the Welch–Satterthwaite df are ONE identical IEEE chain on
+    // both engines — bit-identical, no rounding clamp. The built-in
+    // two-pass/variance route is the float-accumulation shape that cannot
+    // hash-match.
+    "welch_ttest" -> OpDef(
+      """WITH m AS (
+        |  SELECT
+        |    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS nx,
+        |    CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS ny,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'click') AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'view') AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'click') AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'view') AS DOUBLE) AS syy
+        |  FROM events),
+        |v AS (
+        |  SELECT nx, ny,
+        |    (sxx - sx * sx / nx) / (nx - 1) / nx AS ux,
+        |    (syy - sy * sy / ny) / (ny - 1) / ny AS uy,
+        |    sx / nx - sy / ny AS dmean
+        |  FROM m)
+        |SELECT nx AS n_click, ny AS n_view,
+        |  dmean / sqrt(ux + uy) AS t_stat,
+        |  (ux + uy) * (ux + uy)
+        |    / (ux * ux / (nx - 1) + uy * uy / (ny - 1)) AS df
+        |FROM v""".stripMargin
+    ) { (s, dir) =>
+      val d = col("value").cast(DecimalType(18, 2))
+      val m = tbl(s, dir, "events").agg(
+        count(when(col("event_type") === "click", 1)).as("nx"),
+        count(when(col("event_type") === "view", 1)).as("ny"),
+        sum(when(col("event_type") === "click", d)).cast(DoubleType).as("sx"),
+        sum(when(col("event_type") === "view", d)).cast(DoubleType).as("sy"),
+        sum(when(col("event_type") === "click", d * d)).cast(DoubleType).as("sxx"),
+        sum(when(col("event_type") === "view", d * d)).cast(DoubleType).as("syy"))
+      val nx = col("nx"); val ny = col("ny")
+      val v = m.select(nx, ny,
+        (((col("sxx") - col("sx") * col("sx") / nx) / (nx - 1)) / nx).as("ux"),
+        (((col("syy") - col("sy") * col("sy") / ny) / (ny - 1)) / ny).as("uy"),
+        (col("sx") / nx - col("sy") / ny).as("dmean"))
+      val ux = col("ux"); val uy = col("uy")
+      v.select(nx.as("n_click"), ny.as("n_view"),
+        (col("dmean") / sqrt(ux + uy)).as("t_stat"),
+        ((ux + uy) * (ux + uy)
+          / (ux * ux / (nx - 1) + uy * uy / (ny - 1))).as("df"))
+    },
+
+    // ---- #111 Mann-Whitney U from grain-grouped ranks (CH mannWhitneyUTest)
+    // Rank-sum test click vs view WITHOUT a global row sort: counts collapse
+    // to the 2-dp value grain first (ONE hash shuffle, ≤49k grain rows at
+    // any SF — the max_intersections move), average ranks come from a
+    // prefix sum over the grain, and the rank-sum Σ cx·r̄ is EXACT in
+    // doubles (every term a half-integer < 2^53), so R1 is order-independent
+    // and U, the tie-corrected σ, and z are one identical IEEE chain —
+    // bit-identical, no clamp.
+    "mannwhitney_utest" -> OpDef(
+      """WITH vals AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    event_type = 'click' AS isx
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |cnt AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(COUNT(*) FILTER (WHERE isx) AS BIGINT) AS cx
+        |  FROM vals GROUP BY v),
+        |rk AS (
+        |  SELECT c, cx, SUM(c) OVER (ORDER BY v) AS cum FROM cnt),
+        |m AS (
+        |  SELECT CAST(SUM(cx) AS BIGINT) AS nx,
+        |    CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(cx * ((cum - c) + (c + 1) / 2.0)) AS r1,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS t3
+        |  FROM rk),
+        |u AS (
+        |  SELECT nx, n - nx AS ny, n, t3,
+        |    r1 - nx * (nx + 1) / 2.0 AS u1
+        |  FROM m)
+        |SELECT nx AS n_click, ny AS n_view, u1 AS u_stat,
+        |  (u1 - nx * ny / 2.0)
+        |    / sqrt(nx * ny / 12.0 * ((n + 1) - t3 / (n * (n - 1)))) AS z_score
+        |FROM u""".stripMargin
+    ) { (s, dir) =>
+      val cnt = tbl(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("value").cast(DecimalType(18, 2)).as("v"),
+          (col("event_type") === "click").as("isx"))
+        .groupBy("v")
+        .agg(count(lit(1)).as("c"), count(when(col("isx"), 1)).as("cx"))
+      val rk = cnt.withColumn("cum",
+        sum("c").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val m = rk.agg(
+        sum("cx").as("nx"), sum("c").as("n"),
+        sum(col("cx") * ((col("cum") - col("c")) + (col("c") + 1) / lit(2.0)))
+          .as("r1"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("t3"))
+      val nx = col("nx"); val n = col("n"); val t3 = col("t3")
+      val u = m.select(nx, (n - nx).as("ny"), n, t3,
+        (col("r1") - nx * (nx + 1) / lit(2.0)).as("u1"))
+      val ny = col("ny"); val u1 = col("u1")
+      u.select(nx.as("n_click"), ny.as("n_view"), u1.as("u_stat"),
+        ((u1 - nx * ny / lit(2.0))
+          / sqrt(nx * ny / lit(12.0) * ((n + 1) - t3 / (n * (n - 1)))))
+          .as("z_score"))
+    },
+
+    // ---- #112 skewness/kurtosis from exact power sums (CH skewPop/kurtPop)
+    // Third/fourth standardized central moments of the JSON prop k per
+    // event_type. k ∈ [0,99], so k…k⁴ are small exact integers; the four
+    // power sums are DECIMAL(38,0)-exact (overflow-proof at any SF) and
+    // partial-mergeable — ONE shuffle of 5 scalars per group. Central
+    // moments then skew = m3/(m2·√m2), excess kurt = m4/m2² − 3 are one
+    // identical IEEE chain (√ is correctly rounded; no pow(x,1.5), whose
+    // libm rounding differs across engines) — bit-identical, no clamp.
+    "skew_kurt" -> OpDef(
+      """WITH m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(k AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(k * k AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(k * k * k AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(k * k * k * k AS DECIMAL(38,0))) AS DOUBLE) AS s4
+        |  FROM (SELECT event_type,
+        |          CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+        |        FROM events) GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, n, s1 / n AS mean,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3 * (s1 / n) * (s2 / n)
+        |      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4 * (s1 / n) * (s3 / n)
+        |      + 6 * ((s1 / n) * (s1 / n)) * (s2 / n)
+        |      - 3 * (((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n))) AS m4
+        |  FROM m)
+        |SELECT event_type, n, mean,
+        |  m3 / (m2 * sqrt(m2)) AS skewness,
+        |  m4 / (m2 * m2) - 3 AS kurtosis
+        |FROM c ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      val m = tbl(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast(DecimalType(38, 0))).cast(DoubleType).as("s1"),
+          sum((col("k") * col("k")).cast(DecimalType(38, 0)))
+            .cast(DoubleType).as("s2"),
+          sum((col("k") * col("k") * col("k")).cast(DecimalType(38, 0)))
+            .cast(DoubleType).as("s3"),
+          sum((col("k") * col("k") * col("k") * col("k"))
+            .cast(DecimalType(38, 0))).cast(DoubleType).as("s4"))
+      val n = col("n")
+      val mean = col("s1") / n
+      val c = m.select(col("event_type"), n, mean.as("mean"),
+        (col("s2") / n - mean * mean).as("m2"),
+        (col("s3") / n - lit(3) * mean * (col("s2") / n)
+          + lit(2) * mean * mean * mean).as("m3"),
+        (col("s4") / n - lit(4) * mean * (col("s3") / n)
+          + lit(6) * (mean * mean) * (col("s2") / n)
+          - lit(3) * ((mean * mean) * (mean * mean))).as("m4"))
+      c.select(col("event_type"), n, col("mean"),
+          (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+          (col("m4") / (col("m2") * col("m2")) - 3).as("kurtosis"))
+        .orderBy("event_type")
+    },
+
+    // ---- #113 M4 time-series downsampling (Jugel et al., VLDB 2014) -------
+    // The published lossless-rendering downsample: per (series, pixel
+    // bucket) keep min, max, first, last. Here series = event_type, bucket =
+    // day; first/last resolve by (ts, event_id) with the unique event_id
+    // tie-break. Plan shape: BOTH row_number windows and the final groupBy
+    // share hashpartitioning(event_type, day) — ONE shuffle total, the
+    // flags collapse map-side. Values stay DECIMAL(18,2) end to end.
+    "ts_downsample_m4" -> OpDef(
+      """WITH o AS (
+        |  SELECT event_type,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(v) AS v_min, MAX(v) AS v_max,
+        |  MAX(CASE WHEN rn_a = 1 THEN v END) AS v_first,
+        |  MAX(CASE WHEN rn_d = 1 THEN v END) AS v_last
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val wA = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts"), col("event_id"))
+      val wD = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      tbl(s, dir, "events")
+        .select(col("event_type"),
+          date_format(col("ts").cast(DateType), "yyyy-MM-dd").as("day"),
+          col("value").cast(DecimalType(18, 2)).as("v"),
+          col("ts"), col("event_id"))
+        .withColumn("rn_a", row_number().over(wA))
+        .withColumn("rn_d", row_number().over(wD))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          min("v").as("v_min"), max("v").as("v_max"),
+          max(when(col("rn_a") === 1, col("v"))).as("v_first"),
+          max(when(col("rn_d") === 1, col("v"))).as("v_last"))
+        .orderBy("event_type", "day")
     }
   )
 }

@@ -349,6 +349,71 @@ object TextOps {
             regexp_replace(col("raw"), emailRe, "<EMAIL>"),
             phoneRe, "<PHONE>")).as("redacted_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- #114 RAG-style document chunking ---------------------------------
+    // Fixed 200-char windows at stride 150 (50-char overlap): chunk start
+    // positions explode from sequence(1, n_chars, 150) — bounded by the
+    // document's own length, never the corpus — and each chunk is substring
+    // + md5, so the whole operator is a narrow codegen map riding the scan:
+    // ZERO shuffle at any SF. Chunk content is proved by md5 (not just
+    // counts), tail chunks shorter than 200 included — substring clamps
+    // identically on both engines.
+    "doc_chunk" -> OpDef(
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, n_chars, 150)) AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS chunk_pos,
+        |  CAST(length(substr(text, CAST(pos AS INTEGER), 200)) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(pos AS INTEGER), 200)) AS chunk_md5
+        |FROM p ORDER BY doc_id, chunk_pos""".stripMargin
+    ) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1L), col("n_chars"), lit(150L))).as("pos"))
+        .select(col("doc_id"), col("pos").as("chunk_pos"),
+          length(expr("substring(text, CAST(pos AS INT), 200)"))
+            .cast(LongType).as("chunk_len"),
+          md5(expr("substring(text, CAST(pos AS INT), 200)")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_pos")
+    },
+
+    // ---- #115 deterministic training-shard assignment ---------------------
+    // The "global shuffle" step of a training-data pipeline: every doc gets
+    // shard = md5-hash % 16 and a position within the shard ordered by that
+    // same hash — reproducible across runs, engines, and SFs (a doc's shard
+    // never depends on the rest of the corpus). The assignment itself is a
+    // pure codegen scan column; at 100 TB the production form is
+    // write.partitionBy(shard) with a per-file sort, no shuffle beyond the
+    // write. The per-shard md5 chain over hash-ordered doc_ids emitted here
+    // is the verification artifact: it pins MEMBERSHIP AND ORDER of every
+    // shard against the oracle, not just sizes (per-shard O(|shard|) state
+    // confined to this proof, like tok_topk's rank-ordered concat).
+    "shard_assign" -> OpDef(
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |    ${graft.ops.parity.md5LongSql("'shard:'||CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT CAST(h % 16 AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id))
+         |    AS order_md5
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        graft.ops.parity.md5Long(
+          concat(lit("shard:"), col("doc_id").cast(StringType))).as("h"))
+      d.groupBy((col("h") % 16).cast(LongType).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast(LongType).as("sum_chars"),
+          sort_array(collect_list(struct(col("h"), col("doc_id")))).as("ord"))
+        .select(col("shard"), col("n_docs"), col("sum_chars"),
+          md5(concat_ws(",",
+            col("ord.doc_id").cast(ArrayType(StringType)))).as("order_md5"))
+        .orderBy("shard")
     }
   )
 }

@@ -137,4 +137,58 @@ class PipelineExtSpec extends SparkSpecBase {
     assert(out(2).getString(2) == "-127,64")     // 1*63.5+0.5 = 64
     assert(out(3).isNullAt(1) && out(3).isNullAt(2))
   }
+
+  test("doc_chunk: stride-150 windows with 50-char overlap, md5-verified content") {
+    val got = run("doc_chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var tails = 0
+    val expected = docs.flatMap { case (id, text) =>
+      (1 to text.length by 150).map { pos =>
+        val chunk = text.substring(pos - 1, math.min(pos - 1 + 200, text.length))
+        if (chunk.length < 200) tails += 1
+        val hex = md.digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (id, pos.toLong) -> ((chunk.length.toLong, hex))
+      }
+    }.toMap
+    assert(got == expected)
+    assert(tails > 0, "no short tail chunk at this SF — clamp untested")
+    // consecutive chunks of one doc overlap by 50 chars (stride < window)
+    val (id0, text0) = docs.find(_._2.length > 350).get
+    val c0 = text0.substring(0, 200); val c1 = text0.substring(150, 350)
+    assert(c0.takeRight(50) == c1.take(50), s"doc $id0 overlap")
+  }
+
+  test("shard_assign: md5-mod shards with membership+order proved by the chain") {
+    val got = run("shard_assign").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val byShard = docs.map { case (id, nc) => (h60(s"shard:$id") % 16, id, nc) }
+      .groupBy(_._1)
+    assert(got.keySet == byShard.keySet && got.size == 16,
+      "expected all 16 shards populated")
+    byShard.foreach { case (shard, ds) =>
+      val (n, sumChars, chain) = got(shard)
+      assert(n == ds.length.toLong, s"shard $shard size")
+      assert(sumChars == ds.map(_._3).sum, s"shard $shard chars")
+      val joined = ds.map(d => (h60(s"shard:${d._2}"), d._2)).sorted
+        .map(_._2).mkString(",")
+      val hex = md.digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(hex == chain, s"shard $shard membership/order chain")
+    }
+    // a doc's shard is a pure function of its id: stable across SFs by
+    // construction (no corpus-dependent state in the assignment)
+  }
 }

@@ -230,4 +230,51 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.broadcastJoins == 1 && a.sortMergeJoins == 0, s"$a")
     assert(a.fallbackExprs.isEmpty, s"$a")
   }
+
+  // r6 stats rows: one conditional-aggregate pass → 6 scalars → formula.
+  // A second scan or a join would mean the moments stopped sharing the pass.
+  test("welch_ttest: one scan, one global-agg exchange, zero joins") {
+    val a = auditOf(run("welch_ttest"))
+    assert(a.scans == 1 && a.shuffles <= 1, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // grain-grouped ranks: value-grain hash agg, single-partition prefix sum
+  // over ≤49k grain rows, final 1-row fold — never a global row sort of the
+  // fact table.
+  test("mannwhitney_utest: rank prefix runs on the value grain, zero joins") {
+    val a = auditOf(run("mannwhitney_utest"))
+    assert(a.scans == 1 && a.shuffles <= 3, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  test("skew_kurt: power sums ride one group exchange, zero joins") {
+    val a = auditOf(run("skew_kurt"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // the M4 promise: both row_number windows AND the min/max/first/last
+  // collapse share hashpartitioning(event_type, day) — one data exchange
+  // plus the output sort. A third exchange means the groupBy stopped
+  // reusing the windows' partitioning.
+  test("ts_downsample_m4: windows and collapse share one (type, day) exchange") {
+    val a = auditOf(run("ts_downsample_m4"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // chunking is a narrow codegen map (sequence explode + substring + md5):
+  // nothing may shuffle except the output sort.
+  test("doc_chunk: zero shuffle beyond the output sort, no joins") {
+    val a = auditOf(run("doc_chunk"))
+    assert(a.scans == 1 && a.shuffles <= 1, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  test("shard_assign: one shard exchange plus output sort, no joins") {
+    val a = auditOf(run("shard_assign"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
 }

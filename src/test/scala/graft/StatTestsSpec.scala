@@ -1,0 +1,118 @@
+package graft
+
+/** The r6 statistical-surface additions (#110-#113): Welch's t, Mann-Whitney
+  * U, skewness/kurtosis and M4 downsampling — each pinned against an
+  * independent Scala re-derivation at sf0.001 (bit-equality where the
+  * operator promises it: every formula is one IEEE chain on exact moments).
+  */
+class StatTestsSpec extends SparkSpecBase {
+
+  private def events =
+    graft.sources.Tables(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value", "props")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getString(5)))
+
+  private def cents(v: Double): BigDecimal =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+
+  private def kOf(props: String): Long = {
+    val m = """"k"\s*:\s*"?(\d+)""".r.findFirstMatchIn(props)
+    m.get.group(1).toLong
+  }
+
+  test("welch_ttest: t and Welch-Satterthwaite df from exact moments, bit-equal") {
+    val xs = events.filter(_._4 == "click").map(r => cents(r._5))
+    val ys = events.filter(_._4 == "view").map(r => cents(r._5))
+    val nx = xs.length.toLong; val ny = ys.length.toLong
+    val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+    val sxx = xs.map(x => x * x).sum.toDouble
+    val syy = ys.map(y => y * y).sum.toDouble
+    val ux = ((sxx - sx * sx / nx) / (nx - 1)) / nx
+    val uy = ((syy - sy * sy / ny) / (ny - 1)) / ny
+    val t = (sx / nx - sy / ny) / math.sqrt(ux + uy)
+    val df = (ux + uy) * (ux + uy) /
+      (ux * ux / (nx - 1) + uy * uy / (ny - 1))
+
+    val row = run("welch_ttest").collect().head
+    assert(row.getLong(0) == nx && row.getLong(1) == ny)
+    assert(row.getDouble(2) == t, "t_stat")
+    assert(row.getDouble(3) == df, "df")
+  }
+
+  test("mannwhitney_utest equals the per-row average-rank definition") {
+    val pool = events.filter(r => r._4 == "click" || r._4 == "view")
+      .map(r => (cents(r._5), r._4 == "click"))
+    // classic definition: sort the pooled sample, average ranks over ties
+    val sorted = pool.sortBy(_._1)
+    val rankOf = sorted.zipWithIndex.groupBy(_._1._1).map { case (v, g) =>
+      v -> (g.map(_._2 + 1).sum.toDouble / g.length) // mean of 1-based ranks
+    }
+    val nx = pool.count(_._2).toLong
+    val n = pool.length.toLong
+    val ny = n - nx
+    val r1 = pool.filter(_._2).map(p => rankOf(p._1)).sum
+    val t3 = pool.groupBy(_._1).values
+      .map(g => g.length.toLong).map(c => c * c * c - c).sum
+    val u1 = r1 - nx * (nx + 1) / 2.0
+    val z = (u1 - nx * ny / 2.0) /
+      math.sqrt(nx * ny / 12.0 * ((n + 1) - t3.toDouble / (n * (n - 1))))
+
+    val row = run("mannwhitney_utest").collect().head
+    assert(row.getLong(0) == nx && row.getLong(1) == ny)
+    // R1 is a half-integer sum < 2^53: exact regardless of summation order
+    assert(row.getDouble(2) == u1, "u_stat")
+    assert(row.getDouble(3) == z, "z_score")
+    assert(t3 > 0, "no ties at this SF — tie-correction untested, vacuous")
+  }
+
+  test("skew_kurt matches exact-power-sum central moments per event_type") {
+    val got = run("skew_kurt").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    val byType = events.groupBy(_._4)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (et, rs) =>
+      val ks = rs.map(r => kOf(r._6))
+      val n = rs.length.toLong
+      val s1 = ks.sum.toDouble
+      val s2 = ks.map(k => k * k).sum.toDouble
+      val s3 = ks.map(k => k * k * k).sum.toDouble
+      val s4 = ks.map(k => k * k * k * k).sum.toDouble
+      val mean = s1 / n
+      val m2 = s2 / n - mean * mean
+      val m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+      val m4 = s4 / n - 4 * mean * (s3 / n) + 6 * (mean * mean) * (s2 / n) -
+        3 * ((mean * mean) * (mean * mean))
+      val (gn, gMean, gSkew, gKurt) = got(et)
+      assert(gn == n)
+      assert(gMean == mean, s"$et mean")
+      assert(gSkew == m3 / (m2 * math.sqrt(m2)), s"$et skewness")
+      assert(gKurt == m4 / (m2 * m2) - 3, s"$et kurtosis")
+    }
+  }
+
+  test("ts_downsample_m4: min/max/first/last per (type, day) with event_id tie-break") {
+    val got = run("ts_downsample_m4").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5),
+          r.getDecimal(6)))).toMap
+    val byBucket = events.groupBy(r =>
+      (r._4, java.time.Instant.ofEpochMilli(r._2.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
+    assert(got.keySet == byBucket.keySet)
+    var multi = 0
+    byBucket.foreach { case (key, rs) =>
+      val inOrder = rs.sortBy(r => (r._2.getTime, r._3))
+      val vs = rs.map(r => cents(r._5))
+      val (n, vMin, vMax, vFirst, vLast) = got(key)
+      assert(n == rs.length.toLong, s"$key n")
+      assert(BigDecimal(vMin) == vs.min && BigDecimal(vMax) == vs.max, s"$key extremes")
+      assert(BigDecimal(vFirst) == cents(inOrder.head._5), s"$key first")
+      assert(BigDecimal(vLast) == cents(inOrder.last._5), s"$key last")
+      if (rs.length > 3) multi += 1
+    }
+    assert(multi > 0, "every bucket trivial (<4 rows) — M4 selection vacuous")
+  }
+}
