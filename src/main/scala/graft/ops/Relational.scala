@@ -1677,6 +1677,232 @@ object Relational {
           max(when(col("rn_a") === 1, col("v"))).as("v_first"),
           max(when(col("rn_d") === 1, col("v"))).as("v_last"))
         .orderBy("event_type", "day")
+    },
+
+    // ---- #116 batch sessionization (gap islands) --------------------------
+    // The batch twin of stream_sessionize: a new session starts after a
+    // >24 h silence. Timestamps are exact epoch MICROS on both engines
+    // (events.parquet carries µs precision — no sub-µs to lose), the
+    // lag-flag and the running session counter share ONE
+    // hashpartitioning(user_id) window exchange, and the per-(user, session)
+    // collapse REUSES it (hash(user_id) satisfies the (user_id, session)
+    // clustering) — one data exchange total at any SF.
+    "sessionize_batch" -> OpDef(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |f AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess
+        |  FROM f)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(us) AS BIGINT) AS start_us,
+        |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("us"), 1).over(w)
+      tbl(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+        .withColumn("ns",
+          when(prev.isNull || col("us") - prev > 86400000000L, 1).otherwise(0))
+        .withColumn("sess", sum("ns").over(run))
+        .groupBy(col("user_id"), col("sess").cast(LongType).as("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min("us").cast(LongType).as("start_us"),
+          (max("us") - min("us")).cast(LongType).as("dur_us"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- #117 interval union length (CH intervalLengthSum) ----------------
+    // Per-user union of overlapping day intervals [day(ts), day(ts) + k%7]
+    // (k = the JSON prop — each event an activity span). The classic
+    // merged-islands sweep, distributed: running max(hi) over the PRECEDING
+    // frame flags island starts, the island counter is a running sum on the
+    // SAME hashpartitioning(user_id) window exchange, and both collapses
+    // (per-island extent, per-user fold) reuse that partitioning — one data
+    // exchange total. All-integer day arithmetic: exact, order-independent.
+    "interval_length_sum" -> OpDef(
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS lo,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      + CAST(json_extract_string(props, 'k') AS BIGINT) % 7 AS hi
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, lo, hi,
+        |    CASE WHEN MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           IS NULL
+        |      OR lo > MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, lo, hi,
+        |    SUM(ni) OVER (PARTITION BY user_id ORDER BY lo, hi, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |ext AS (
+        |  SELECT user_id, island, MAX(hi) - MIN(lo) + 1 AS len,
+        |    COUNT(*) AS n_iv
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(len) AS BIGINT) AS union_days
+        |FROM ext GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val day = datediff(col("ts").cast(DateType), to_date(lit("1970-01-01")))
+      val w = Window.partitionBy("user_id").orderBy("lo", "hi", "event_id")
+      val prevMax = max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), day.as("lo"),
+          (day + get_json_object(col("props"), "$.k").cast(LongType) % 7).as("hi"))
+        .withColumn("ni",
+          when(prevMax.isNull || col("lo") > prevMax, 1).otherwise(0))
+        .withColumn("island", sum("ni").over(run))
+        .groupBy("user_id", "island")
+        .agg((max("hi") - min("lo") + 1).as("len"), count(lit(1)).as("n_iv"))
+        .groupBy("user_id")
+        .agg(sum("n_iv").cast(LongType).as("n_intervals"),
+          count(lit(1)).cast(LongType).as("n_islands"),
+          sum("len").cast(LongType).as("union_days"))
+        .orderBy("user_id")
+    },
+
+    // ---- #118 bounding ratio (CH boundingRatio) ---------------------------
+    // Per-user (last value − first value) / elapsed seconds, first/last
+    // resolved by (epoch µs, event_id) — ONE aggregation pass via
+    // min_by/max_by over the ordering struct (no window, no second scan).
+    // dv is an exact DECIMAL difference and dt an exact BIGINT of µs, so
+    // the single double divide is one identical IEEE op on both engines.
+    // Degenerate spans (single event / zero elapsed) are excluded on both
+    // sides rather than leaning on either engine's x/0 convention.
+    "bounding_ratio" -> OpDef(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    first(v ORDER BY us, event_id) AS v_first,
+        |    last(v ORDER BY us, event_id) AS v_last,
+        |    CAST(MAX(us) - MIN(us) AS BIGINT) AS dt_us
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n, v_first, v_last,
+        |  CAST(v_last - v_first AS DOUBLE) / (CAST(dt_us AS DOUBLE) / 1000000.0)
+        |    AS ratio_per_sec
+        |FROM a WHERE n >= 2 AND dt_us > 0 ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val ord = struct(col("us"), col("event_id"))
+      tbl(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("v"), ord).as("v_first"),
+          max_by(col("v"), ord).as("v_last"),
+          (max("us") - min("us")).cast(LongType).as("dt_us"))
+        .filter(col("n") >= 2 && col("dt_us") > 0)
+        .select(col("user_id"), col("n"), col("v_first"), col("v_last"),
+          (col("v_last").minus(col("v_first")).cast(DoubleType)
+            / (col("dt_us").cast(DoubleType) / lit(1000000.0))).as("ratio_per_sec"))
+        .orderBy("user_id")
+    },
+
+    // ---- #119 Cramér's V (CH cramersV) ------------------------------------
+    // Association between event_type and the k-decile: the contingency
+    // grain is ≤ 5×10 CELLS at any SF (counts collapse map-side on one tiny
+    // shuffle — the max_intersections grain move), margins ride window sums
+    // over that grain, and chi² folds ~50 exact-integer-derived terms. The
+    // Σ over cells is the one float-order-dependent step, so chi² and V
+    // carry the bank's round(·,4) parity clamp (entropy_agg discipline;
+    // fold error ~1e-12 ≪ the clamp).
+    "cramers_v" -> OpDef(
+      """WITH c AS (
+        |  SELECT event_type AS t,
+        |    CAST(json_extract_string(props, 'k') AS BIGINT) // 10 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT t, b, n,
+        |    SUM(n) OVER (PARTITION BY t) AS rm,
+        |    SUM(n) OVER (PARTITION BY b) AS cm,
+        |    SUM(n) OVER () AS tot
+        |  FROM c),
+        |x AS (
+        |  SELECT CAST(MAX(tot) AS BIGINT) AS n_total,
+        |    CAST(COUNT(DISTINCT t) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols,
+        |    SUM((n - CAST(rm AS DOUBLE) * cm / tot)
+        |        * (n - CAST(rm AS DOUBLE) * cm / tot)
+        |        / (CAST(rm AS DOUBLE) * cm / tot)) AS chi2
+        |  FROM m)
+        |SELECT n_total, n_rows, n_cols, round(chi2, 4) AS chi2,
+        |  round(sqrt(chi2 / (n_total *
+        |    (CASE WHEN n_rows < n_cols THEN n_rows ELSE n_cols END - 1))), 4)
+        |    AS cramers_v
+        |FROM x""".stripMargin
+    ) { (s, dir) =>
+      val c = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"),
+          (get_json_object(col("props"), "$.k").cast(LongType) / 10)
+            .cast(LongType).as("b"))
+        .agg(count(lit(1)).as("n"))
+      val m = c
+        .withColumn("rm", sum("n").over(Window.partitionBy("t")))
+        .withColumn("cm", sum("n").over(Window.partitionBy("b")))
+        .withColumn("tot", sum("n").over(Window.partitionBy()))
+      val e = col("rm").cast(DoubleType) * col("cm") / col("tot")
+      val x = m.agg(
+        max("tot").cast(LongType).as("n_total"),
+        countDistinct("t").cast(LongType).as("n_rows"),
+        countDistinct("b").cast(LongType).as("n_cols"),
+        sum((col("n") - e) * (col("n") - e) / e).as("chi2"))
+      x.select(col("n_total"), col("n_rows"), col("n_cols"),
+        round(col("chi2"), 4).as("chi2"),
+        round(sqrt(col("chi2") / (col("n_total") *
+          (least(col("n_rows"), col("n_cols")) - 1))), 4).as("cramers_v"))
+    },
+
+    // ---- #120 distributed global rank -------------------------------------
+    // Dense global ordering WITHOUT the single-partition WindowExec that a
+    // bare row_number() OVER (ORDER BY …) plans (the canonical 100 TB
+    // anti-pattern): per-value counts collapse to the ≤49k 2-dp value grain
+    // (one tiny shuffle), a prefix sum over that grain yields each value's
+    // rank offset, the offsets BROADCAST back onto the fact rows, and ties
+    // break by event_id inside hashpartitioning(v) windows. rank = exact
+    // integers end to end; output thinned to every 97th rank (+ the top 10)
+    // so it stays bounded at any SF while still pinning the whole ordering.
+    "global_rank" -> OpDef(
+      """WITH e AS (
+        |  SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |r AS (
+        |  SELECT event_id, v,
+        |    row_number() OVER (ORDER BY v DESC, event_id) AS rnk
+        |  FROM e)
+        |SELECT event_id, v, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk % 97 = 0 OR rnk <= 10 ORDER BY rnk""".stripMargin
+    ) { (s, dir) =>
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), col("value").cast(DecimalType(18, 2)).as("v"))
+      val grain = e.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.orderBy(col("v").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("v"), (col("cum") - col("c")).as("offset"))
+      e.join(broadcast(grain), "v")
+        .withColumn("rnk", (col("offset") + row_number().over(
+          Window.partitionBy("v").orderBy("event_id"))).cast(LongType))
+        .filter(col("rnk") % 97 === 0 || col("rnk") <= 10)
+        .select(col("event_id"), col("v"), col("rnk"))
+        .orderBy("rnk")
     }
   )
 }

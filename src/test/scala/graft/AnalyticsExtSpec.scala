@@ -159,6 +159,95 @@ class AnalyticsExtSpec extends SparkSpecBase {
     }
   }
 
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  test("sessionize_batch: 24h-gap islands per user, µs-exact spans") {
+    val got = run("sessionize_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val expected = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long)]()
+    var multi = 0
+    events.groupBy(_._1).foreach { case (u, rs) =>
+      val ordered = rs.map(r => (micros(r._2), r._3)).sorted
+      var sess = 0L
+      var cur = List.empty[Long]
+      def flush(): Unit = if (cur.nonEmpty) {
+        expected((u, sess)) = (cur.length.toLong, cur.min, cur.max - cur.min)
+        if (cur.length > 1) multi += 1
+      }
+      ordered.foreach { case (us, _) =>
+        if (cur.isEmpty || us - cur.max > 86400000000L) {
+          flush(); sess += 1; cur = List(us)
+        } else cur = us :: cur
+      }
+      flush()
+    }
+    assert(got == expected.toMap)
+    assert(multi > 0, "all sessions singletons — gap threshold vacuous")
+    assert(expected.size > events.map(_._1).distinct.length,
+      "one session per user — no gap ever split, threshold vacuous")
+  }
+
+  test("interval_length_sum: merged-island union of [day, day+k%7] spans") {
+    val got = run("interval_length_sum").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    var overlapped = 0
+    events.groupBy(_._1).foreach { case (u, rs) =>
+      val iv = rs.map(r => (dayNum(r._2), dayNum(r._2) + ujsonK(r._6) % 7, r._3))
+        .sortBy(i => (i._1, i._2, i._3))
+      var islands = List.empty[(Long, Long)] // (lo, hi) merged, reversed
+      iv.foreach { case (lo, hi, _) =>
+        islands match {
+          case (clo, chi) :: rest if lo <= chi =>
+            islands = (clo, math.max(chi, hi)) :: rest
+          case _ => islands = (lo, hi) :: islands
+        }
+      }
+      val union = islands.map { case (lo, hi) => hi - lo + 1 }.sum
+      if (islands.length < iv.length) overlapped += 1
+      assert(got(u) == ((iv.length.toLong, islands.length.toLong, union)),
+        s"user=$u")
+    }
+    assert(overlapped > 0, "no overlapping intervals merged — union vacuous")
+  }
+
+  test("bounding_ratio: time-ordered endpoints, one IEEE divide") {
+    val got = run("bounding_ratio").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2), r.getDecimal(3),
+        r.getDouble(4)))).toMap
+    def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    events.groupBy(_._1).foreach { case (u, rs) =>
+      val ordered = rs.sortBy(r => (micros(r._2), r._3))
+      val dtUs = micros(ordered.last._2) - micros(ordered.head._2)
+      if (rs.length >= 2 && dtUs > 0) {
+        val vf = cents(ordered.head._5); val vl = cents(ordered.last._5)
+        val ratio = (vl - vf).toDouble / (dtUs.toDouble / 1000000.0)
+        val (gn, gf, gl, gr) = got(u)
+        assert(gn == rs.length.toLong && BigDecimal(gf) == vf
+          && BigDecimal(gl) == vl, s"user=$u endpoints")
+        assert(gr == ratio, s"user=$u ratio") // bit-equal: same IEEE chain
+      } else assert(!got.contains(u), s"user=$u degenerate span must be excluded")
+    }
+  }
+
+  test("global_rank: thinned ranks equal the total (v desc, event_id) order") {
+    val got = run("global_rank").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toString, r.getLong(2)))
+    def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val ranked = events.map(r => (cents(r._5), r._3))
+      .sortBy { case (v, id) => (-v, id) }
+      .zipWithIndex
+      .map { case ((v, id), i) => (id, v.setScale(2).toString, i + 1L) }
+      .filter { case (_, _, rk) => rk % 97 == 0 || rk <= 10 }
+    assert(got.toSeq == ranked.toSeq)
+    // ties exist at the 2-dp grain, so the event_id tie-break is exercised
+    val vs = events.map(r => cents(r._5))
+    assert(vs.length > vs.distinct.length, "no duplicate values — tie-break vacuous")
+  }
+
   /** The {"k": <int>} prop parse used by the fixtures. */
   private def ujsonK(props: String): Long =
     "\"k\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(props).get.group(1).toLong

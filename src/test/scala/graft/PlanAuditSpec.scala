@@ -277,4 +277,44 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.scans == 1 && a.shuffles <= 2, s"$a")
     assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
   }
+
+  // gap islands: the lag flag, the running session counter, AND the
+  // per-(user, session) collapse all ride ONE hashpartitioning(user_id)
+  // exchange (hash(user) satisfies the (user, session) clustering) — a
+  // second data exchange means the collapse stopped reusing it.
+  test("sessionize_batch: windows and session collapse share one user exchange") {
+    val a = auditOf(run("sessionize_batch"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  test("interval_length_sum: sweep + both collapses on one user exchange") {
+    val a = auditOf(run("interval_length_sum"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  test("bounding_ratio: single min_by/max_by aggregation pass, no window") {
+    val a = auditOf(run("bounding_ratio"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // after the ≤50-cell grain collapse, every exchange (margin windows,
+  // final fold) carries only grain rows — the fact table shuffles once.
+  test("cramers_v: one fact shuffle, the rest ride the contingency grain") {
+    val a = auditOf(run("cramers_v"))
+    assert(a.scans == 1 && a.shuffles <= 7, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // the distributed-rank promise: NO single-partition pass over fact rows —
+  // the prefix sum runs on the ≤49k value grain, offsets broadcast back,
+  // and the in-value tie-break windows ride hashpartitioning(v).
+  test("global_rank: offsets broadcast, fact rows never in one partition") {
+    val a = auditOf(run("global_rank"))
+    assert(a.scans == 2 && a.shuffles <= 5, s"$a")
+    assert(a.broadcastJoins == 1 && a.sortMergeJoins == 0, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+  }
 }

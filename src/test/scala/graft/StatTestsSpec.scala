@@ -93,6 +93,28 @@ class StatTestsSpec extends SparkSpecBase {
     }
   }
 
+  test("cramers_v: chi-square association over the (type, k-decile) grain") {
+    val cells = events.map(r => (r._4, kOf(r._6) / 10))
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val n = events.length.toLong
+    val rm = cells.groupBy(_._1._1).map { case (t, g) => t -> g.values.sum }
+    val cm = cells.groupBy(_._1._2).map { case (b, g) => b -> g.values.sum }
+    val chi2 = cells.map { case ((t, b), c) =>
+      val e = rm(t).toDouble * cm(b) / n
+      (c - e) * (c - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (n * (math.min(rm.size, cm.size) - 1)))
+
+    val row = run("cramers_v").collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == rm.size.toLong && row.getLong(2) == cm.size.toLong)
+    // the cell fold is the one float-order-dependent step; the op rounds to
+    // 4 dp, so compare within the clamp (entropy_agg discipline)
+    assert(math.abs(row.getDouble(3) - chi2) < 2e-4, s"chi2 ${row.getDouble(3)} vs $chi2")
+    assert(math.abs(row.getDouble(4) - v) < 2e-4, s"V ${row.getDouble(4)} vs $v")
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+  }
+
   test("ts_downsample_m4: min/max/first/last per (type, day) with event_id tie-break") {
     val got = run("ts_downsample_m4").collect()
       .map(r => (r.getString(0), r.getString(1)) ->
