@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{GraftSession, OpDef}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1903,6 +1903,228 @@ object Relational {
         .filter(col("rnk") % 97 === 0 || col("rnk") <= 10)
         .select(col("event_id"), col("v"), col("rnk"))
         .orderBy("rnk")
+    },
+
+    // ---- #121 Student's t (equal variance) — welch_ttest's pooled twin ----
+    // CH studentTTest. Same single-pass exact-decimal moments as #110 (6
+    // scalars on the shuffle); pooled variance then ONE identical IEEE chain
+    // on both engines (sqrt correctly rounded) — bit-identical, no clamp.
+    "student_ttest" -> OpDef(
+      """WITH m AS (
+        |  SELECT
+        |    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS nx,
+        |    CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS ny,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'click') AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'view') AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'click') AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'view') AS DOUBLE) AS syy
+        |  FROM events),
+        |v AS (
+        |  SELECT nx, ny,
+        |    (sxx - sx * sx / nx) + (syy - sy * sy / ny) AS ss,
+        |    sx / nx - sy / ny AS dmean
+        |  FROM m)
+        |SELECT nx AS n_click, ny AS n_view,
+        |  dmean / sqrt(ss / (nx + ny - 2) * (1.0 / nx + 1.0 / ny)) AS t_stat,
+        |  CAST(nx + ny - 2 AS BIGINT) AS df
+        |FROM v""".stripMargin
+    ) { (s, dir) =>
+      val d = col("value").cast(DecimalType(18, 2))
+      val m = tbl(s, dir, "events").agg(
+        count(when(col("event_type") === "click", 1)).as("nx"),
+        count(when(col("event_type") === "view", 1)).as("ny"),
+        sum(when(col("event_type") === "click", d)).cast(DoubleType).as("sx"),
+        sum(when(col("event_type") === "view", d)).cast(DoubleType).as("sy"),
+        sum(when(col("event_type") === "click", d * d)).cast(DoubleType).as("sxx"),
+        sum(when(col("event_type") === "view", d * d)).cast(DoubleType).as("syy"))
+      val nx = col("nx"); val ny = col("ny")
+      val v = m.select(nx, ny,
+        ((col("sxx") - col("sx") * col("sx") / nx)
+          + (col("syy") - col("sy") * col("sy") / ny)).as("ss"),
+        (col("sx") / nx - col("sy") / ny).as("dmean"))
+      v.select(nx.as("n_click"), ny.as("n_view"),
+        (col("dmean") / sqrt(col("ss") / (nx + ny - 2)
+          * (lit(1.0) / nx + lit(1.0) / ny))).as("t_stat"),
+        (nx + ny - 2).cast(LongType).as("df"))
+    },
+
+    // ---- #122 Kolmogorov–Smirnov D between click and view values ----------
+    // CH kolmogorovSmirnovTest. No global row sort: both empirical CDFs
+    // collapse to the shared 2-dp value grain (ONE hash shuffle, ≤49k grain
+    // rows at any SF — the mannwhitney move), and the sup gap is found over
+    // EXACT cross-multiplied integers |cumX·ny − cumY·nx| (≤ n² < 2^53), so
+    // D and the scaled z are order-independent and bit-identical — no clamp.
+    "ks_test" -> OpDef(
+      """WITH vals AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    event_type = 'click' AS isx
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |cnt AS (
+        |  SELECT v,
+        |    CAST(COUNT(*) FILTER (WHERE isx) AS BIGINT) AS cx,
+        |    CAST(COUNT(*) FILTER (WHERE NOT isx) AS BIGINT) AS cy
+        |  FROM vals GROUP BY v),
+        |rk AS (
+        |  SELECT
+        |    SUM(cx) OVER (ORDER BY v) AS cumx,
+        |    SUM(cy) OVER (ORDER BY v) AS cumy,
+        |    SUM(cx) OVER () AS nx,
+        |    SUM(cy) OVER () AS ny
+        |  FROM cnt),
+        |m AS (
+        |  SELECT CAST(MAX(nx) AS BIGINT) AS nx, CAST(MAX(ny) AS BIGINT) AS ny,
+        |    CAST(MAX(ABS(cumx * ny - cumy * nx)) AS BIGINT) AS dnum
+        |  FROM rk)
+        |SELECT nx AS n_click, ny AS n_view,
+        |  CAST(dnum AS DOUBLE) / (CAST(nx AS DOUBLE) * ny) AS d_stat,
+        |  CAST(dnum AS DOUBLE) / (CAST(nx AS DOUBLE) * ny)
+        |    * sqrt(CAST(nx AS DOUBLE) * ny / (nx + ny)) AS ks_z
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
+      val cnt = tbl(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("value").cast(DecimalType(18, 2)).as("v"),
+          (col("event_type") === "click").as("isx"))
+        .groupBy("v")
+        .agg(count(when(col("isx"), 1)).as("cx"),
+          count(when(!col("isx"), 1)).as("cy"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rk = cnt.select(
+        sum("cx").over(w).as("cumx"), sum("cy").over(w).as("cumy"),
+        sum("cx").over(Window.partitionBy()).as("nx"),
+        sum("cy").over(Window.partitionBy()).as("ny"))
+      val m = rk.agg(max("nx").cast(LongType).as("nx"),
+        max("ny").cast(LongType).as("ny"),
+        max(abs(col("cumx") * col("ny") - col("cumy") * col("nx")))
+          .cast(LongType).as("dnum"))
+      val nx = col("nx"); val ny = col("ny")
+      val dStat = col("dnum").cast(DoubleType) / (nx.cast(DoubleType) * ny)
+      m.select(nx.as("n_click"), ny.as("n_view"), dStat.as("d_stat"),
+        (dStat * sqrt(nx.cast(DoubleType) * ny / (nx + ny))).as("ks_z"))
+    },
+
+    // ---- #123 Spearman rank correlation (CH rankCorr) ---------------------
+    // ρ between value and the JSON prop k WITHOUT ranking fact rows: average
+    // ranks come from prefix sums over the two tiny value grains (≤49k and
+    // ≤100 rows), DOUBLED so ties stay integral (2r̄ = 2·cum − c + 1), and
+    // BROADCAST back onto the facts — fact rows are never shuffled, never
+    // globally sorted (the global_rank offsets move). The six rank moments
+    // are DECIMAL(38,0)/HUGEINT-exact (Σ(2r)² ≤ 4n³ at any SF), cast once to
+    // double, then Pearson-on-ranks is ONE identical IEEE chain —
+    // bit-identical, no clamp (doubling cancels between num and denom).
+    "spearman_corr" -> OpDef(
+      """WITH f AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+        |  FROM events),
+        |gv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY v),
+        |rv AS (SELECT v, 2 * SUM(c) OVER (ORDER BY v) - c + 1 AS rx2 FROM gv),
+        |gk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY k),
+        |rw AS (SELECT k, 2 * SUM(c) OVER (ORDER BY k) - c + 1 AS ry2 FROM gk),
+        |j AS (SELECT rx2, ry2 FROM f JOIN rv USING (v) JOIN rw USING (k)),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(rx2 AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ry2 AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS DOUBLE) AS sxy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    AS spearman_rho
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
+      val f = tbl(s, dir, "events").select(
+        col("value").cast(DecimalType(18, 2)).as("v"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      def ranks(grain: DataFrame, key: String, out: String): DataFrame = {
+        val w = Window.orderBy(key)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grain.select(col(key),
+          (lit(2) * sum("c").over(w) - col("c") + 1).as(out))
+      }
+      val rv = ranks(f.groupBy("v").agg(count(lit(1)).as("c")), "v", "rx2")
+      val rw = ranks(f.groupBy("k").agg(count(lit(1)).as("c")), "k", "ry2")
+      val j = f.join(broadcast(rv), "v").join(broadcast(rw), "k")
+        .select("rx2", "ry2")
+      val dec = (c: Column) => c.cast(DecimalType(38, 0))
+      val m = j.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(dec(col("rx2"))).cast(DoubleType).as("sx"),
+        sum(dec(col("ry2"))).cast(DoubleType).as("sy"),
+        sum(dec(col("rx2")) * col("rx2")).cast(DoubleType).as("sxx"),
+        sum(dec(col("ry2")) * col("ry2")).cast(DoubleType).as("syy"),
+        sum(dec(col("rx2")) * col("ry2")).cast(DoubleType).as("sxy"))
+      val n = col("n")
+      m.select(n.cast(LongType).as("n_rows"),
+        ((n * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(n * col("sxx") - col("sx") * col("sx"))
+            * sqrt(n * col("syy") - col("sy") * col("sy"))))
+          .as("spearman_rho"))
+    },
+
+    // ---- #124 Theil's U (uncertainty coefficient) — CH theilsU ------------
+    // Asymmetric association between event_type and the k-decile from ONE
+    // cube pass: grouping-sets partial aggregation computes the (t,b) cells
+    // AND both margins AND the total in a single fact shuffle (the cramers_v
+    // grain without per-branch rescans). U = I(T;B)/H(·) via H(T)+H(B)−H(T,B),
+    // all entropy folds over the ≤66-row cube output; the ~50-term float fold
+    // is the one order-dependent step → round(·,4) parity clamp (entropy_agg
+    // discipline).
+    "theils_u" -> OpDef(
+      """WITH c AS (
+        |  SELECT event_type AS t,
+        |    CAST(json_extract_string(props, 'k') AS BIGINT) // 10 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY CUBE (t, b)),
+        |s AS (
+        |  SELECT
+        |    CAST(SUM(n) FILTER (WHERE t IS NULL AND b IS NULL) AS DOUBLE) AS tot,
+        |    SUM(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+        |      FILTER (WHERE t IS NOT NULL AND b IS NULL) AS slogt,
+        |    SUM(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+        |      FILTER (WHERE t IS NULL AND b IS NOT NULL) AS slogb,
+        |    SUM(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+        |      FILTER (WHERE t IS NOT NULL AND b IS NOT NULL) AS slogc
+        |  FROM c),
+        |h AS (
+        |  SELECT CAST(tot AS BIGINT) AS n_total,
+        |    log2(tot) - slogt / tot AS ht,
+        |    log2(tot) - slogb / tot AS hb,
+        |    log2(tot) - slogc / tot AS htb
+        |  FROM s)
+        |SELECT n_total,
+        |  round((ht + hb - htb) / ht, 4) AS u_t_given_b,
+        |  round((ht + hb - htb) / hb, 4) AS u_b_given_t
+        |FROM h""".stripMargin
+    ) { (s, dir) =>
+      val base = tbl(s, dir, "events").select(col("event_type").as("t"),
+        (get_json_object(col("props"), "$.k").cast(LongType) / 10)
+          .cast(LongType).as("b"))
+      val cells = base.cube("t", "b").agg(count(lit(1)).as("n"))
+      val nlg = col("n").cast(DoubleType) * log2(col("n").cast(DoubleType))
+      val isT = col("t").isNotNull; val isB = col("b").isNotNull
+      val sums = cells.agg(
+        sum(when(!isT && !isB, col("n"))).cast(DoubleType).as("tot"),
+        sum(when(isT && !isB, nlg)).as("slogt"),
+        sum(when(!isT && isB, nlg)).as("slogb"),
+        sum(when(isT && isB, nlg)).as("slogc"))
+      val tot = col("tot")
+      val h = sums.select(tot.cast(LongType).as("n_total"),
+        (log2(tot) - col("slogt") / tot).as("ht"),
+        (log2(tot) - col("slogb") / tot).as("hb"),
+        (log2(tot) - col("slogc") / tot).as("htb"))
+      val mi = col("ht") + col("hb") - col("htb")
+      h.select(col("n_total"),
+        round(mi / col("ht"), 4).as("u_t_given_b"),
+        round(mi / col("hb"), 4).as("u_b_given_t"))
     }
   )
 }

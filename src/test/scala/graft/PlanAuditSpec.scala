@@ -317,4 +317,36 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.broadcastJoins == 1 && a.sortMergeJoins == 0, s"$a")
     assert(a.fallbackExprs.isEmpty, s"$a")
   }
+
+  test("student_ttest: one scan, one global-agg exchange, zero joins") {
+    val a = auditOf(run("student_ttest"))
+    assert(a.scans == 1 && a.shuffles <= 1, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // both empirical CDFs collapse to the shared value grain first; the sup
+  // scan and totals ride the ≤49k grain — never a fact-row sort.
+  test("ks_test: CDF gap computed on the value grain, zero joins") {
+    val a = auditOf(run("ks_test"))
+    assert(a.scans == 1 && a.shuffles <= 4, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // the rank-moment promise: fact rows are never shuffled or sorted — both
+  // rank maps are grain-sized and BROADCAST back; the only exchanges carry
+  // grain rows or the final 1-row moment fold.
+  test("spearman_corr: rank maps broadcast, fact rows never shuffled") {
+    val a = auditOf(run("spearman_corr"))
+    assert(a.broadcastJoins == 2 && a.sortMergeJoins == 0, s"$a")
+    assert(a.shuffles <= 7, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // grouping-sets pass: cells + both margins + total in ONE fact exchange
+  // (the cube partial-agg), then a 1-row entropy fold.
+  test("theils_u: cube margins ride one fact exchange, zero joins") {
+    val a = auditOf(run("theils_u"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
 }

@@ -115,6 +115,88 @@ class StatTestsSpec extends SparkSpecBase {
     assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
   }
 
+  test("student_ttest: pooled-variance t from exact moments, bit-equal") {
+    val xs = events.filter(_._4 == "click").map(r => cents(r._5))
+    val ys = events.filter(_._4 == "view").map(r => cents(r._5))
+    val nx = xs.length.toLong; val ny = ys.length.toLong
+    val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+    val sxx = xs.map(x => x * x).sum.toDouble
+    val syy = ys.map(y => y * y).sum.toDouble
+    val ss = (sxx - sx * sx / nx) + (syy - sy * sy / ny)
+    val t = (sx / nx - sy / ny) /
+      math.sqrt(ss / (nx + ny - 2) * (1.0 / nx + 1.0 / ny))
+
+    val row = run("student_ttest").collect().head
+    assert(row.getLong(0) == nx && row.getLong(1) == ny)
+    assert(row.getDouble(2) == t, "t_stat")
+    assert(row.getLong(3) == nx + ny - 2, "df")
+  }
+
+  test("ks_test: sup CDF gap via exact cross-multiplied integers, bit-equal") {
+    val xs = events.filter(_._4 == "click").map(r => cents(r._5))
+    val ys = events.filter(_._4 == "view").map(r => cents(r._5))
+    val nx = xs.length.toLong; val ny = ys.length.toLong
+    val dnum = (xs ++ ys).distinct.map { v =>
+      val cx = xs.count(_ <= v).toLong
+      val cy = ys.count(_ <= v).toLong
+      math.abs(cx * ny - cy * nx)
+    }.max
+    val d = dnum.toDouble / (nx.toDouble * ny)
+
+    val row = run("ks_test").collect().head
+    assert(row.getLong(0) == nx && row.getLong(1) == ny)
+    assert(row.getDouble(2) == d, "d_stat")
+    assert(row.getDouble(3) == d * math.sqrt(nx.toDouble * ny / (nx + ny)), "ks_z")
+    assert(dnum > 0, "identical CDFs at this SF — sup selection vacuous")
+  }
+
+  test("spearman_corr equals Pearson over classic average ranks") {
+    val rows = events.map(r => (cents(r._5), kOf(r._6)))
+    def avgRanks[T: Ordering](xs: Seq[T]): Map[T, Double] =
+      xs.sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+        v -> g.map(_._2 + 1).sum.toDouble / g.length // mean of 1-based ranks
+      }
+    val rv = avgRanks(rows.map(_._1).toSeq)
+    val rk = avgRanks(rows.map(_._2).toSeq)
+    val pairs = rows.map(r => (rv(r._1), rk(r._2)))
+    val n = pairs.length.toDouble
+    val mx = pairs.map(_._1).sum / n; val my = pairs.map(_._2).sum / n
+    val cov = pairs.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val vx = pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val vy = pairs.map(p => (p._2 - my) * (p._2 - my)).sum
+    val rho = cov / math.sqrt(vx * vy)
+
+    val row = run("spearman_corr").collect().head
+    assert(row.getLong(0) == rows.length.toLong)
+    // independent derivation sums in a different order — compare to 1e-9;
+    // cross-ENGINE bit-equality is what the driver oracle pins
+    assert(math.abs(row.getDouble(1) - rho) < 1e-9,
+      s"rho ${row.getDouble(1)} vs $rho")
+    assert(rk.values.exists(r => r != math.floor(r)),
+      "no tied ranks at this SF — the average-rank path is vacuous")
+  }
+
+  test("theils_u: mutual information over entropies, within the 4-dp clamp") {
+    val cells = events.map(r => (r._4, kOf(r._6) / 10))
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val n = events.length.toDouble
+    def h(counts: Iterable[Long]): Double =
+      counts.map { c => val p = c / n; -p * math.log(p) / math.log(2) }.sum
+    val ht = h(cells.groupBy(_._1._1).values.map(_.values.sum))
+    val hb = h(cells.groupBy(_._1._2).values.map(_.values.sum))
+    val htb = h(cells.values)
+    val mi = ht + hb - htb
+
+    val row = run("theils_u").collect().head
+    assert(row.getLong(0) == events.length.toLong)
+    assert(math.abs(row.getDouble(1) - mi / ht) < 2e-4,
+      s"U(t|b) ${row.getDouble(1)} vs ${mi / ht}")
+    assert(math.abs(row.getDouble(2) - mi / hb) < 2e-4,
+      s"U(b|t) ${row.getDouble(2)} vs ${mi / hb}")
+    assert(row.getDouble(1) > 0 && row.getDouble(1) <= 1.0)
+    assert(row.getDouble(2) > 0 && row.getDouble(2) <= 1.0)
+  }
+
   test("ts_downsample_m4: min/max/first/last per (type, day) with event_id tie-break") {
     val got = run("ts_downsample_m4").collect()
       .map(r => (r.getString(0), r.getString(1)) ->
