@@ -2125,6 +2125,41 @@ object Relational {
       h.select(col("n_total"),
         round(mi / col("ht"), 4).as("u_t_given_b"),
         round(mi / col("hb"), 4).as("u_b_given_t"))
+    },
+
+    // ---- #125b deterministic per-group sample (CH groupArraySample) -------
+    // 5 "random" members per event_type, reproducible across runs, engines
+    // and SFs: the sample_hash discipline lifted to per-group selection —
+    // order by the portable md5-60bit hash of the member id, keep the first
+    // 5. The rank window and the collapse share hashpartitioning(event_type)
+    // (ONE exchange); membership AND order are pinned, not just sizes.
+    "group_array_sample" -> OpDef(
+      s"""WITH h AS (
+         |  SELECT event_type, event_id,
+         |    ${parity.md5LongSql("CAST(event_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, event_id, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id)
+         |      AS rn
+         |  FROM h)
+         |SELECT event_type,
+         |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY h, event_id)
+         |    AS sample_ids
+         |FROM r WHERE rn <= 5 GROUP BY event_type
+         |ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val h = tbl(s, dir, "events").select(col("event_type"), col("event_id"),
+        parity.md5Long(col("event_id").cast(StringType)).as("h"))
+      h.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("h", "event_id")))
+        .filter(col("rn") <= 5)
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("h"), col("event_id"),
+          col("event_id").cast(StringType).as("id_str")))).as("ord"))
+        .select(col("event_type"),
+          concat_ws(",", col("ord.id_str")).as("sample_ids"))
+        .orderBy("event_type")
     }
   )
 }

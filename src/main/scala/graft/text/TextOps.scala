@@ -414,6 +414,154 @@ object TextOps {
           md5(concat_ws(",",
             col("ord.doc_id").cast(ArrayType(StringType)))).as("order_md5"))
         .orderBy("shard")
+    },
+
+    // ---- #125 TF-IDF top terms per document -------------------------------
+    // The classic corpus-weighting pass: tf from one (doc, tok) count
+    // collapse, df as ONE count window riding the tok regroup of the SAME
+    // collapsed rows (never the raw token stream — the dedup_substring
+    // df-window move), corpus size N broadcast from a 1-row agg. tf·ln(N/df)
+    // is the one libm-dependent step → round(·,4) parity clamp, and the
+    // top-3 rank orders by the CLAMPED score (ties → tok asc) so selection
+    // is engine-stable. Output capped to doc_id < 100 — the df/score pass
+    // itself is corpus-wide at any SF.
+    "tfidf_topterms" -> OpDef(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, tok, tf,
+        |    CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df
+        |  FROM tf),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |s AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    round(tf * ln(CAST(nd AS DOUBLE) / df), 4) AS score
+        |  FROM d, n),
+        |r AS (
+        |  SELECT doc_id, tok, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok)
+        |      AS rn
+        |  FROM s)
+        |SELECT doc_id, tok, tf, df, score
+        |FROM r WHERE rn <= 3 AND doc_id < 100
+        |ORDER BY doc_id, tok""".stripMargin
+    ) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(words).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val d = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("tok")))
+      val nd = docs(s, dir).agg(count(lit(1)).as("nd"))
+      val scored = d.crossJoin(broadcast(nd))
+        .withColumn("score",
+          round(col("tf") * log(col("nd").cast(DoubleType) / col("df")), 4))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+        .filter(col("rn") <= 3 && col("doc_id") < 100)
+        .select("doc_id", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "tok")
+    },
+
+    // ---- #126 BM25 retrieval for a fixed term query -----------------------
+    // Okapi BM25 (k1=1.2, b=0.75, Lucene idf) for {spark, merge, hash}: ONE
+    // token-explode pass aggregates per-doc length AND the three term
+    // frequencies together (single doc_id shuffle, no tf⋈dl join), the
+    // 1-row corpus stats (N, total length, per-term df) fold from those
+    // per-doc rows and broadcast back. Scoring is per-row codegen; the ln is
+    // the libm step → round(·,4) clamp, top-10 by (clamped score desc,
+    // doc_id).
+    "bm25_topdocs" -> OpDef(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(*) FILTER (WHERE tok <> '') AS BIGINT) AS dl,
+        |    CAST(COUNT(*) FILTER (WHERE tok = 'spark') AS BIGINT) AS tf1,
+        |    CAST(COUNT(*) FILTER (WHERE tok = 'merge') AS BIGINT) AS tf2,
+        |    CAST(COUNT(*) FILTER (WHERE tok = 'hash') AS BIGINT) AS tf3
+        |  FROM toks GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(dl) AS BIGINT) AS tl,
+        |    CAST(COUNT(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+        |    CAST(COUNT(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
+        |    CAST(COUNT(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln(1 + (nd - df1 + 0.5) / (df1 + 0.5)) * tf1
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(tl AS DOUBLE) / nd)))
+        |      + ln(1 + (nd - df2 + 0.5) / (df2 + 0.5)) * tf2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(tl AS DOUBLE) / nd)))
+        |      + ln(1 + (nd - df3 + 0.5) / (df3 + 0.5)) * tf3
+        |        / (tf3 + 1.2 * (0.25 + 0.75 * dl / (CAST(tl AS DOUBLE) / nd))),
+        |      4) AS score
+        |  FROM d, g)
+        |SELECT doc_id, score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(words).as("tok"))
+      val d = toks.groupBy("doc_id").agg(
+        count(when(col("tok") =!= "", 1)).as("dl"),
+        count(when(col("tok") === "spark", 1)).as("tf1"),
+        count(when(col("tok") === "merge", 1)).as("tf2"),
+        count(when(col("tok") === "hash", 1)).as("tf3"))
+      val g = d.agg(
+        count(lit(1)).as("nd"), sum("dl").cast(LongType).as("tl"),
+        count(when(col("tf1") > 0, 1)).as("df1"),
+        count(when(col("tf2") > 0, 1)).as("df2"),
+        count(when(col("tf3") > 0, 1)).as("df3"))
+      val avgdl = col("tl").cast(DoubleType) / col("nd")
+      def term(tf: Column, df: Column): Column =
+        log(lit(1) + (col("nd") - df + lit(0.5)) / (df + lit(0.5))) * tf /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      d.crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          round(term(col("tf1"), col("df1"))
+            + term(col("tf2"), col("df2"))
+            + term(col("tf3"), col("df3")), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    // ---- #127 BPE merge-candidate pair counts -----------------------------
+    // The inner loop of byte-pair-encoding tokenizer training: count every
+    // ADJACENT token pair in the corpus, keep the top candidates. The pair
+    // stream is a pure codegen array op riding the scan (arrays_zip over two
+    // shifted slices + getField — zip_with/transform lambdas would run
+    // interpreted; no posexplode + window, no per-doc state), then ONE count
+    // collapse to the pair grain. Exact integers; top-20 by
+    // (count desc, pair asc).
+    "bpe_pair_stats" -> OpDef(
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS pair
+        |  FROM t),
+        |c AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
+        |SELECT pair, cnt FROM c
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val ts = words
+      val n1 = greatest(size(ts) - 1, lit(0))
+      val pairs = docs(s, dir)
+        .select(explode(arrays_zip(
+          slice(ts, lit(1), n1).as("a"), slice(ts, lit(2), n1).as("b"))).as("p"))
+        .select(concat_ws(" ",
+          col("p").getField("a"), col("p").getField("b")).as("pair"))
+      pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
     }
   )
 }

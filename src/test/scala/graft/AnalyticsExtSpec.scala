@@ -248,6 +248,27 @@ class AnalyticsExtSpec extends SparkSpecBase {
     assert(vs.length > vs.distinct.length, "no duplicate values — tie-break vacuous")
   }
 
+  test("group_array_sample: md5-ordered 5-member sample per type") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expect = events.groupBy(_._4).map { case (et, rs) =>
+      et -> rs.map(r => (h60(r._3.toString), r._3)).sorted.take(5)
+        .map(_._2).mkString(",")
+    }
+    val got = run("group_array_sample").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expect)
+    // a sample, not a head: some selected id must not be among the 5
+    // smallest event_ids of its group
+    val headIds = events.groupBy(_._4).map { case (et, rs) =>
+      et -> rs.map(_._3).sorted.take(5).mkString(",") }
+    assert(expect.exists { case (et, s) => s != headIds(et) },
+      "hash order degenerated to id order — sampling vacuous")
+  }
+
   /** The {"k": <int>} prop parse used by the fixtures. */
   private def ujsonK(props: String): Long =
     "\"k\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(props).get.group(1).toLong

@@ -191,4 +191,72 @@ class PipelineExtSpec extends SparkSpecBase {
     // a doc's shard is a pure function of its id: stable across SFs by
     // construction (no corpus-dependent state in the assignment)
   }
+
+  private def docTokens: Array[(Long, Array[String])] =
+    graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("tfidf_topterms: exact tf/df, clamped score, top-3 by (score, tok)") {
+    val docs = docTokens
+    val nd = docs.length.toLong
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.filter(_.nonEmpty).groupBy(identity).map { case (t, g) =>
+        (id, t, g.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, g) => t -> g.length.toLong }
+    val expect = tf.map { case (id, t, f) =>
+      (id, t, f, df(t), round4(f * math.log(nd.toDouble / df(t))))
+    }.groupBy(_._1).filter(_._1 < 100).toSeq.flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(r => (-r._5, r._2)).take(3)
+    }.toSet
+
+    val got = run("tfidf_topterms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expect)
+    assert(expect.exists(_._4 > 1), "every term unique — idf weighting vacuous")
+  }
+
+  test("bm25_topdocs: Okapi scores re-derived, top-10 by (score, doc)") {
+    val docs = docTokens
+    val nd = docs.length.toLong
+    val counts = docs.map { case (id, ts) =>
+      (id, ts.count(_.nonEmpty).toLong, ts.count(_ == "spark").toLong,
+        ts.count(_ == "merge").toLong, ts.count(_ == "hash").toLong)
+    }
+    val tl = counts.map(_._2).sum
+    val dfs = Seq(counts.count(_._3 > 0).toLong, counts.count(_._4 > 0).toLong,
+      counts.count(_._5 > 0).toLong)
+    val avgdl = tl.toDouble / nd
+    def term(tf: Long, df: Long, dl: Long): Double =
+      math.log(1 + (nd - df + 0.5) / (df + 0.5)) * tf /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val expect = counts.map { case (id, dl, t1, t2, t3) =>
+      (id, round4(term(t1, dfs(0), dl) + term(t2, dfs(1), dl)
+        + term(t3, dfs(2), dl)))
+    }.sortBy { case (id, sc) => (-sc, id) }.take(10).toSeq
+
+    val got = run("bm25_topdocs").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+    assert(expect.head._2 > 0, "no doc matches any query term — vacuous")
+  }
+
+  test("bpe_pair_stats: adjacent-pair counts, top-20 by (count, pair)") {
+    val pairs = docTokens.flatMap { case (_, ts) =>
+      ts.dropRight(1).zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val expect = pairs.groupBy(identity).map { case (p, g) =>
+      (p, g.length.toLong) }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+
+    val got = run("bpe_pair_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(expect.head._2 > 1, "all pairs unique — merge-candidate count vacuous")
+  }
 }

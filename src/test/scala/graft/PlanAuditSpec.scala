@@ -349,4 +349,38 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.scans == 1 && a.shuffles <= 2, s"$a")
     assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
   }
+
+  // df must be a count window over the COLLAPSED (doc, tok) rows, never a
+  // self-join or a second pass over the raw token stream; N arrives as a
+  // 1-row broadcast.
+  test("tfidf_topterms: df window over collapsed rows, no sort-merge") {
+    val a = auditOf(run("tfidf_topterms"))
+    assert(a.sortMergeJoins == 0, s"$a")
+    assert(a.shuffles <= 5, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // one token-explode pass computes dl AND all three term frequencies —
+  // a tf⋈dl join would double the corpus scans.
+  test("bm25_topdocs: single doc collapse + 1-row broadcast, no tf join") {
+    val a = auditOf(run("bm25_topdocs"))
+    assert(a.sortMergeJoins == 0, s"$a")
+    assert(a.shuffles <= 3, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // the pair stream is array codegen riding the scan (zip_with over shifted
+  // slices): no posexplode + per-doc window, no join — one pair-grain
+  // collapse plus the bounded top-k sort.
+  test("bpe_pair_stats: pair stream rides the scan, one count collapse") {
+    val a = auditOf(run("bpe_pair_stats"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  test("group_array_sample: rank window and collapse share the type exchange") {
+    val a = auditOf(run("group_array_sample"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
 }
