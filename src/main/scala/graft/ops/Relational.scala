@@ -2160,6 +2160,109 @@ object Relational {
         .select(col("event_type"),
           concat_ws(",", col("ord.id_str")).as("sample_ids"))
         .orderBy("event_type")
+    },
+
+    // ---- #128 exact median absolute deviation (CH medianExact + MAD) ------
+    // Per event_type: the lower median of value, then the lower median of
+    // |v − med| — the robust dispersion pair. NO floats anywhere: both
+    // selections are integer cross-multiplied threshold scans (2·cum ≥ n,
+    // the quantiles_exact_weighted discipline) over the 2-dp value grain,
+    // and |v − med| stays exact DECIMAL. The lineage is deliberately LINEAR:
+    // the median is not joined back but computed as a conditional window
+    // min over the same grain rows (min of v where 2·cum ≥ n, whole-
+    // partition frame), so the fact table is scanned and shuffled exactly
+    // once and the query has zero joins — a branch-and-join-back shape
+    // re-scanned the facts three times under AQE.
+    "mad_exact" -> OpDef(
+      """WITH g AS (
+        |  SELECT event_type AS t, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT t, v, c,
+        |    SUM(c) OVER (PARTITION BY t ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY t) AS n
+        |  FROM g),
+        |med AS (
+        |  SELECT t, MIN(v) AS med, CAST(MAX(n) AS BIGINT) AS n
+        |  FROM cw WHERE 2 * cum >= n GROUP BY t),
+        |d AS (
+        |  SELECT g.t, abs(g.v - m.med) AS dv, g.c, m.n
+        |  FROM g JOIN med m ON g.t = m.t),
+        |dg AS (
+        |  SELECT t, dv, CAST(SUM(c) AS BIGINT) AS c, MAX(n) AS n
+        |  FROM d GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT t, dv, n,
+        |    SUM(c) OVER (PARTITION BY t ORDER BY dv) AS cumd
+        |  FROM dg),
+        |mad AS (SELECT t, MIN(dv) AS mad FROM dw WHERE 2 * cumd >= n GROUP BY t)
+        |SELECT med.t AS event_type, CAST(med.med AS DECIMAL(18,2)) AS median,
+        |  CAST(mad.mad AS DECIMAL(18,2)) AS mad, med.n
+        |FROM med JOIN mad ON med.t = mad.t ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("t").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("t")
+      val cw = g
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+        // lower median carried onto every grain row — no join-back
+        .withColumn("med",
+          min(when(lit(2) * col("cum") >= col("n"), col("v"))).over(wAll))
+      val dg = cw
+        .select(col("t"), abs(col("v") - col("med")).as("dv"), col("c"),
+          col("n"), col("med"))
+        .groupBy("t", "dv")
+        .agg(sum("c").cast(LongType).as("c"), max("n").cast(LongType).as("n"),
+          max("med").as("med"))
+      val wDev = Window.partitionBy("t").orderBy("dv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dw = dg.withColumn("cumd", sum("c").over(wDev))
+      dw.filter(lit(2) * col("cumd") >= col("n"))
+        .groupBy("t")
+        .agg(max("med").cast(DecimalType(18, 2)).as("median"),
+          min("dv").cast(DecimalType(18, 2)).as("mad"), max("n").as("n"))
+        .select(col("t").as("event_type"), col("median"), col("mad"), col("n"))
+        .orderBy("event_type")
+    },
+
+    // ---- #129 exponential TIME-decayed sum (CH exponentialTimeDecayedSum) -
+    // Per user: Σ v·2^(−Δdays) anchored at the user's LAST event day —
+    // ema_decay's calendar twin (decay by elapsed time, not event index).
+    // Δdays is an exact integer, so every weight is an exact power of two
+    // and each product is an exponent shift of the same input double on
+    // both engines; only the final fold is order-dependent → round(·,4)
+    // clamp. The last-day window and the weighted collapse share ONE
+    // hashpartitioning(user_id) exchange.
+    "exp_time_decayed_sum" -> OpDef(
+      """WITH o AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      OVER (PARTITION BY user_id) AS last_d
+        |  FROM events)
+        |SELECT user_id,
+        |  round(SUM(x * power(0.5, last_d - d)), 4) AS decayed_sum,
+        |  CAST(MAX(last_d) AS BIGINT) AS last_day
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val day = datediff(col("ts").cast(DateType),
+        lit("1970-01-01").cast(DateType))
+      val o = tbl(s, dir, "events")
+        .select(col("user_id"), col("value").cast(DoubleType).as("x"),
+          day.as("d"))
+        .withColumn("last_d",
+          max("d").over(Window.partitionBy("user_id")))
+      o.groupBy("user_id")
+        .agg(round(sum(col("x") * pow(lit(0.5), col("last_d") - col("d"))), 4)
+            .as("decayed_sum"),
+          max("last_d").cast(LongType).as("last_day"))
+        .orderBy("user_id")
     }
   )
 }

@@ -269,6 +269,48 @@ class AnalyticsExtSpec extends SparkSpecBase {
       "hash order degenerated to id order — sampling vacuous")
   }
 
+  test("mad_exact: lower median + MAD re-derived on the exact decimal grain") {
+    val got = run("mad_exact").collect()
+      .map(r => r.getString(0) -> ((BigDecimal(r.getDecimal(1)),
+        BigDecimal(r.getDecimal(2)), r.getLong(3)))).toMap
+    def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // lower median = smallest x whose 1-based rank r satisfies 2r ≥ n
+    def lowerMedian(xs: Seq[BigDecimal]): BigDecimal = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    val byType = events.groupBy(_._4)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (et, rs) =>
+      val vs = rs.map(r => cents(r._5))
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => (v - med).abs))
+      val (gm, gd, gn) = got(et)
+      assert(gm == med, s"$et median: got=$gm exp=$med")
+      assert(gd == mad, s"$et mad: got=$gd exp=$mad")
+      assert(gn == rs.length.toLong, s"$et n")
+    }
+    assert(got.values.forall(_._2 > 0), "zero MAD — dispersion fixture vacuous")
+  }
+
+  test("exp_time_decayed_sum: Σ v·2^-Δdays anchored at each user's last day") {
+    val got = run("exp_time_decayed_sum").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.keySet == events.map(_._1).toSet)
+    var decayedSomething = false
+    events.groupBy(_._1).foreach { case (u, rs) =>
+      val ds = rs.map(r => dayNum(r._2))
+      val last = ds.max
+      if (ds.exists(_ < last)) decayedSomething = true
+      val exp = rs.zip(ds).map { case (r, d) =>
+        r._5 * math.pow(0.5, (last - d).toDouble)
+      }.sum
+      val (gs, gl) = got(u)
+      assert(math.abs(gs - exp) < 2e-4, s"user=$u got=$gs exp=$exp")
+      assert(gl == last, s"user=$u last_day")
+    }
+    assert(decayedSomething, "every event on the last day — decay vacuous")
+  }
+
   /** The {"k": <int>} prop parse used by the fixtures. */
   private def ujsonK(props: String): Long =
     "\"k\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(props).get.group(1).toLong

@@ -383,4 +383,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.scans == 1 && a.shuffles <= 2, s"$a")
     assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
   }
+
+  // facts collapse to the (type, value) grain in ONE scan + exchange; the
+  // median rides every grain row as a conditional window min, so there are
+  // NO joins anywhere — a join-back shape re-scanned the facts 3× under AQE.
+  test("mad_exact: linear lineage — one scan, zero joins") {
+    val a = auditOf(run("mad_exact"))
+    assert(a.scans == 1, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+    assert(a.shuffles <= 5, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // the last-day window and the weighted sum share ONE user_id exchange
+  // (+ the output sort); a second data exchange means the groupBy stopped
+  // reusing the window's partitioning.
+  test("exp_time_decayed_sum: window and collapse share the user exchange") {
+    val a = auditOf(run("exp_time_decayed_sum"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
 }
