@@ -2263,6 +2263,265 @@ object Relational {
             .as("decayed_sum"),
           max("last_d").cast(LongType).as("last_day"))
         .orderBy("user_id")
+    },
+
+    // ---- #130 one-way ANOVA F from exact moments ---------------------------
+    // F-test for equal means across the event types, in the welch_ttest
+    // discipline generalized to k groups: ONE grain pass collects exact
+    // decimal (n_g, Σx, Σx²) per group, the grand S and Q are exact decimal
+    // sums converted to double ONCE, and the only order-dependent step is
+    // the k-term double fold A = Σ_g S_g²/n_g → round(·,4) clamp on the
+    // final statistic. Two pipelined agg exchanges, zero joins.
+    "anova_f" -> OpDef(
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sg,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS qg
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(sg) AS DOUBLE) AS s, CAST(SUM(qg) AS DOUBLE) AS q,
+        |    SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) AS a
+        |  FROM g)
+        |SELECT k, n,
+        |  round(((a - s * s / n) / (k - 1)) / ((q - a) / (n - k)), 4) AS f_stat
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
+      val d = col("value").cast(DecimalType(18, 2))
+      val g = tbl(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("ng"), sum(d).as("sg"), sum(d * d).as("qg"))
+      val m = g.agg(
+        count(lit(1)).as("k"), sum("ng").as("n"),
+        sum("sg").cast(DoubleType).as("s"), sum("qg").cast(DoubleType).as("q"),
+        sum(col("sg").cast(DoubleType) * col("sg").cast(DoubleType) / col("ng"))
+          .as("a"))
+      val k = col("k"); val n = col("n"); val a = col("a")
+      m.select(k, n,
+        round(((a - col("s") * col("s") / n) / (k - 1))
+          / ((col("q") - a) / (n - k)), 4).as("f_stat"))
+    },
+
+    // ---- #131 exact interpolated quantiles (CH quantileExactInclusive) ----
+    // Continuous p=0.5/0.9 quantiles per type with linear interpolation,
+    // driver-hash-exact WITHOUT a clamp: all rank arithmetic is integer
+    // (h·10 = (n−1)·10p stays integral for 1-dp p), the two bracketing
+    // values are conditional-aggregate mins over the 2-dp grain (the
+    // mad_exact selection move, as plain GROUP BY aggregates since the
+    // targets are partition constants), and the one float step
+    // v_lo + frac·(v_hi − v_lo) is a single identical IEEE chain on both
+    // engines. Linear lineage: grain collapse → one t-window → one t-agg.
+    "quantile_exact_interp" -> OpDef(
+      """WITH g AS (
+        |  SELECT event_type AS t, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT t, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY t ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY t) AS BIGINT) AS n
+        |  FROM g),
+        |hh AS (
+        |  SELECT t, v, cum, n,
+        |    CAST(FLOOR((n - 1) * 5 / 10.0) AS BIGINT) AS lo5,
+        |    ((n - 1) * 5) % 10 AS f5,
+        |    CAST(FLOOR((n - 1) * 9 / 10.0) AS BIGINT) AS lo9,
+        |    ((n - 1) * 9) % 10 AS f9
+        |  FROM cw),
+        |sel AS (
+        |  SELECT t, MAX(n) AS n, MAX(f5) AS f5, MAX(f9) AS f9,
+        |    MIN(CASE WHEN cum >= lo5 + 1 THEN v END) AS v5a,
+        |    MIN(CASE WHEN cum >= lo5 + 2 THEN v END) AS v5b,
+        |    MIN(CASE WHEN cum >= lo9 + 1 THEN v END) AS v9a,
+        |    MIN(CASE WHEN cum >= lo9 + 2 THEN v END) AS v9b
+        |  FROM hh GROUP BY t)
+        |SELECT t AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(v5a AS DOUBLE) + (f5 / 10.0)
+        |    * (CAST(COALESCE(v5b, v5a) AS DOUBLE) - CAST(v5a AS DOUBLE)) AS q50,
+        |  CAST(v9a AS DOUBLE) + (f9 / 10.0)
+        |    * (CAST(COALESCE(v9b, v9a) AS DOUBLE) - CAST(v9a AS DOUBLE)) AS q90
+        |FROM sel ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("t").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cw = g
+        .withColumn("cum", sum("c").over(wCum).cast(LongType))
+        .withColumn("n", sum("c").over(Window.partitionBy("t")).cast(LongType))
+      // (n−1)·10p is exact in double for n < 2^50, so floor(x/10.0) can only
+      // misround at exact-integer quotients — and those are exact doubles.
+      val hh = cw
+        .withColumn("lo5", floor((col("n") - 1) * 5 / lit(10.0)))
+        .withColumn("f5", ((col("n") - 1) * 5) % 10)
+        .withColumn("lo9", floor((col("n") - 1) * 9 / lit(10.0)))
+        .withColumn("f9", ((col("n") - 1) * 9) % 10)
+      val sel = hh.groupBy("t").agg(
+        max("n").as("n"), max("f5").as("f5"), max("f9").as("f9"),
+        min(when(col("cum") >= col("lo5") + 1, col("v"))).as("v5a"),
+        min(when(col("cum") >= col("lo5") + 2, col("v"))).as("v5b"),
+        min(when(col("cum") >= col("lo9") + 1, col("v"))).as("v9a"),
+        min(when(col("cum") >= col("lo9") + 2, col("v"))).as("v9b"))
+      def interp(a: String, b: String, f: String) =
+        col(a).cast(DoubleType) + (col(f) / lit(10.0)) *
+          (coalesce(col(b), col(a)).cast(DoubleType) - col(a).cast(DoubleType))
+      sel.select(col("t").as("event_type"), col("n"),
+        interp("v5a", "v5b", "f5").as("q50"),
+        interp("v9a", "v9b", "f9").as("q90"))
+        .orderBy("event_type")
+    },
+
+    // ---- #132 exact 3σ outlier detection (zero floats) ---------------------
+    // Per type: how many values sit beyond 3 population σ, plus the outlier
+    // envelope. The boundary test is fully cross-multiplied integer
+    // arithmetic — (n·x − S)² > 9·(n·Q − S²) over cent-scale BIGINTs lifted
+    // to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) for the squares — so
+    // membership is EXACT on both engines; no float ever decides a row.
+    // Shape: one 5-row stats pass + one broadcast-joined flagging pass with
+    // a predicate-gated collapse — facts are scanned twice, never shuffled.
+    "outliers_exact" -> OpDef(
+      """WITH f AS (
+        |  SELECT event_type AS t, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        |  FROM events),
+        |m AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xc) AS BIGINT) AS sx,
+        |    CAST(SUM(xc * xc) AS BIGINT) AS qx
+        |  FROM f GROUP BY t),
+        |j AS (
+        |  SELECT f.t, f.v, m.n,
+        |    CAST(m.n * f.xc - m.sx AS HUGEINT) AS dlt,
+        |    CAST(m.n AS HUGEINT) * m.qx
+        |      - CAST(m.sx AS HUGEINT) * m.sx AS nvar
+        |  FROM f JOIN m ON f.t = m.t)
+        |SELECT t AS event_type, MAX(n) AS n,
+        |  CAST(COUNT(CASE WHEN dlt * dlt > 9 * nvar THEN 1 END) AS BIGINT)
+        |    AS n_out,
+        |  MIN(CASE WHEN dlt * dlt > 9 * nvar THEN v END) AS min_out,
+        |  MAX(CASE WHEN dlt * dlt > 9 * nvar THEN v END) AS max_out
+        |FROM j GROUP BY t ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val dec = col("value").cast(DecimalType(18, 2))
+      val f = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), dec.as("v"),
+          (dec * 100).cast(LongType).as("xc"))
+      val m = f.groupBy("t").agg(count(lit(1)).as("n"),
+        sum("xc").as("sx"), sum(col("xc") * col("xc")).as("qx"))
+      val big = DecimalType(38, 0)
+      val j = f.join(m, "t").select(col("t"), col("v"), col("n"),
+        (col("n") * col("xc") - col("sx")).cast(big).as("dlt"),
+        (col("n").cast(big) * col("qx").cast(big)
+          - col("sx").cast(big) * col("sx").cast(big)).as("nvar"))
+      val isOut = col("dlt") * col("dlt") > lit(9).cast(big) * col("nvar")
+      j.groupBy("t").agg(max("n").as("n"),
+        count(when(isOut, 1)).as("n_out"),
+        min(when(isOut, col("v"))).as("min_out"),
+        max(when(isOut, col("v"))).as("max_out"))
+        .select(col("t").as("event_type"), col("n"), col("n_out"),
+          col("min_out"), col("max_out"))
+        .orderBy("event_type")
+    },
+
+    // ---- #133 Z-order (Morton) layout key ----------------------------------
+    // The multi-dimensional clustering key behind Delta/Iceberg OPTIMIZE
+    // ZORDER: interleave the low 16 bits of user_id with the cent-scale
+    // value via the classic mask-spread ladder — pure codegen bit
+    // arithmetic riding the scan, ONE bucket collapse. At 100 TB this key
+    // is what you'd range-sort files by so min/max pruning works on BOTH
+    // query dimensions; here it is surfaced as the per-bucket layout
+    // histogram (count + zkey envelope per 64th of the curve).
+    "zorder_key" -> OpDef(
+      """WITH f AS (
+        |  SELECT (user_id & 65535) AS a,
+        |    (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) & 65535) AS b
+        |  FROM events),
+        |s1 AS (SELECT (a | (a << 8)) & 16711935 AS a,
+        |              (b | (b << 8)) & 16711935 AS b FROM f),
+        |s2 AS (SELECT (a | (a << 4)) & 252645135 AS a,
+        |              (b | (b << 4)) & 252645135 AS b FROM s1),
+        |s3 AS (SELECT (a | (a << 2)) & 858993459 AS a,
+        |              (b | (b << 2)) & 858993459 AS b FROM s2),
+        |s4 AS (SELECT (a | (a << 1)) & 1431655765 AS a,
+        |              (b | (b << 1)) & 1431655765 AS b FROM s3),
+        |z AS (SELECT a | (b << 1) AS zkey FROM s4)
+        |SELECT zkey >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  MIN(zkey) AS zmin, MAX(zkey) AS zmax
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      def step(c: Column, sh: Int, mask: Long): Column =
+        c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(mask))
+      def spread(c: Column): Column =
+        step(step(step(step(c, 8, 16711935L), 4, 252645135L),
+          2, 858993459L), 1, 1431655765L)
+      val f = tbl(s, dir, "events").select(
+        col("user_id").bitwiseAND(lit(65535L)).as("a"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+          .bitwiseAND(lit(65535L)).as("b"))
+      f.select(spread(col("a")).bitwiseOR(shiftleft(spread(col("b")), 1))
+          .as("zkey"))
+        .groupBy(shiftright(col("zkey"), 26).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), min("zkey").as("zmin"),
+          max("zkey").as("zmax"))
+        .orderBy("bucket")
+    },
+
+    // ---- #134 three damped PageRank iterations -----------------------------
+    // Iterative distributed graph analytics on the supplier↔customer
+    // bipartite graph (symmetrized so no node dangles). Ranks are
+    // NORMALIZED (init 1, mean stays 1) so the round(·,6) per-iteration
+    // parity clamp is SF-independent — raw 1/N ranks would vanish under any
+    // fixed rounding at scale. Per iteration: ranks ⋈ weighted edges on src
+    // (ranks is |nodes| ≪ |edges| — AQE broadcasts it at test SF; at real
+    // scale both sides hash-partition on src), then one dst collapse. The
+    // edge table is persisted across the three iterations (lazy multi-use
+    // within one action, MEMORY_AND_DISK is LRU-evictable, and the bench/
+    // verify harnesses clearCache between queries) — the production
+    // iterative caller materializes edges once, like the IVF index build.
+    "pagerank3" -> OpDef(
+      """WITH e0 AS (
+        |  SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+        |    'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |ew AS (
+        |  SELECT e.src, e.dst, 1.0 / deg.d AS invd
+        |  FROM e JOIN deg ON e.src = deg.src),
+        |r1 AS (
+        |  SELECT dst AS node, round(0.15 + 0.85 * SUM(1.0 * invd), 6) AS r
+        |  FROM ew GROUP BY 1),
+        |r2 AS (
+        |  SELECT ew.dst AS node, round(0.15 + 0.85 * SUM(r1.r * ew.invd), 6) AS r
+        |  FROM ew JOIN r1 ON ew.src = r1.node GROUP BY 1),
+        |r3 AS (
+        |  SELECT ew.dst AS node, round(0.15 + 0.85 * SUM(r2.r * ew.invd), 6) AS r
+        |  FROM ew JOIN r2 ON ew.src = r2.node GROUP BY 1)
+        |SELECT node, r AS rank FROM r3
+        |ORDER BY r DESC, node LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val e0 = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+        .distinct()
+      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      val ew = e.join(deg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("invd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def iterate(prev: DataFrame): DataFrame =
+        ew.join(prev, ew("src") === prev("node"))
+          .groupBy(ew("dst").as("node"))
+          .agg(round(lit(0.15) + lit(0.85) * sum(col("r") * col("invd")), 6)
+            .as("r"))
+      val r0 = deg.select(col("src").as("node"), lit(1.0).as("r"))
+      val r3 = iterate(iterate(iterate(r0)))
+      r3.orderBy(col("r").desc, col("node")).limit(20)
+        .select(col("node"), col("r").as("rank"))
     }
   )
 }

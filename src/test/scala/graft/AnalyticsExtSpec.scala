@@ -311,6 +311,121 @@ class AnalyticsExtSpec extends SparkSpecBase {
     assert(decayedSomething, "every event on the last day — decay vacuous")
   }
 
+  test("anova_f equals the one-way F re-derived from exact moments") {
+    val row = run("anova_f").collect().head
+    def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val byType = events.groupBy(_._4)
+    val k = byType.size
+    val n = events.length
+    val s = events.map(r => cents(r._5)).sum.toDouble
+    val q = events.map(r => cents(r._5) * cents(r._5)).sum.toDouble
+    val a = byType.values.map { rs =>
+      val sg = rs.map(r => cents(r._5)).sum.toDouble
+      sg * sg / rs.length
+    }.sum
+    val f = ((a - s * s / n) / (k - 1)) / ((q - a) / (n - k))
+    assert(row.getLong(0) == k.toLong && row.getLong(1) == n.toLong)
+    assert(math.abs(row.getDouble(2) - f) < 1e-3, s"got=${row.getDouble(2)} exp=$f")
+    assert(row.getDouble(2) > 0)
+  }
+
+  test("quantile_exact_interp: bit-equal to the indexed interpolation") {
+    val got = run("quantile_exact_interp").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    events.groupBy(_._4).foreach { case (et, rs) =>
+      val vs = rs.map(r => cents(r._5)).sorted
+      val n = vs.length
+      def q(p10: Int): Double = {
+        val h10 = (n - 1).toLong * p10
+        val lo = (h10 / 10).toInt
+        val frac = (h10 % 10) / 10.0
+        val a = vs(lo).toDouble
+        val b = (if (lo + 1 < n) vs(lo + 1) else vs(lo)).toDouble
+        a + frac * (b - a) // the same IEEE chain the query runs
+      }
+      val (gn, g50, g90) = got(et)
+      assert(gn == n.toLong)
+      assert(g50 == q(5), s"$et q50: got=$g50 exp=${q(5)}")
+      assert(g90 == q(9), s"$et q90: got=$g90 exp=${q(9)}")
+    }
+    // interpolation actually engaged: some quantile must sit between grains
+    assert(got.values.exists { case (_, a, b) =>
+      BigDecimal(a).scale > 2 || BigDecimal(b).scale > 2 },
+      "all quantiles landed on grain values — frac path vacuous")
+  }
+
+  test("outliers_exact: BigInt re-derivation of the cross-multiplied 3σ test") {
+    val got = run("outliers_exact").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getDecimal(3)).map(BigDecimal(_)),
+        Option(r.getDecimal(4)).map(BigDecimal(_))))).toMap
+    def xc(v: Double): BigInt =
+      BigInt((BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+        .toBigIntExact.get)
+    events.groupBy(_._4).foreach { case (et, rs) =>
+      val cs = rs.map(r => xc(r._5))
+      val n = BigInt(cs.length); val s = cs.sum; val q = cs.map(c => c * c).sum
+      val nvar = n * q - s * s
+      val out = cs.filter { c => val d = n * c - s; d * d > 9 * nvar }
+      val (gn, gno, gmin, gmax) = got(et)
+      assert(gn == cs.length.toLong && gno == out.length.toLong, s"$et count")
+      assert(gmin.map(_ * 100) == (if (out.isEmpty) None else Some(BigDecimal(out.min))),
+        s"$et min")
+      assert(gmax.map(_ * 100) == (if (out.isEmpty) None else Some(BigDecimal(out.max))),
+        s"$et max")
+    }
+    assert(got.values.exists(_._2 > 0), "no outliers anywhere — test vacuous")
+  }
+
+  test("zorder_key: bucket histogram equals the Scala Morton interleave") {
+    def spread(x0: Long): Long = {
+      var x = x0 & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    def centsL(v: Double): Long =
+      (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+    val zs = events.map(r => spread(r._1) | (spread(centsL(r._5) & 0xFFFFL) << 1))
+    val exp = zs.groupBy(_ >> 26).map { case (b, g) =>
+      b -> ((g.length.toLong, g.min, g.max))
+    }
+    val got = run("zorder_key").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp)
+    // the interleave must actually mix dimensions: z-order of a point with
+    // a large user and small value differs from its transpose
+    assert(spread(3) != spread(0) | (spread(3) << 1))
+  }
+
+  test("pagerank3 equals three re-derived damped iterations (top-20)") {
+    val edges0 = graft.sources.Tables(spark, sfDir, "lineitem")
+      .join(graft.sources.Tables(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey")).collect()
+      .map(r => ("s" + r.getLong(0), "c" + r.getLong(1))).distinct
+    val edges = edges0 ++ edges0.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rank = deg.map { case (k, _) => k -> 1.0 }
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = rank.map { case (k, _) => k -> r6(0.15 + 0.85 * contrib(k)) }
+    }
+    val got = run("pagerank3").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val expTop = rank.toSeq.sortBy { case (k, r) => (-r, k) }.take(20)
+    got.zip(expTop).foreach { case ((gn, gr), (en, er)) =>
+      assert(gn == en, s"node order: got=$gn exp=$en")
+      assert(math.abs(gr - er) <= 2e-6, s"$gn: got=$gr exp=$er")
+    }
+    assert(got.map(_._2).distinct.length > 1, "uniform ranks — graph degenerate")
+  }
+
   /** The {"k": <int>} prop parse used by the fixtures. */
   private def ujsonK(props: String): Long =
     "\"k\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(props).get.group(1).toLong
