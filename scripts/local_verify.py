@@ -32,6 +32,17 @@ def norm_cell(v):
 
 
 def frame(con, rel):
+    # Check the DuckDB-level types BEFORE fetchdf: fetchdf converts
+    # DECIMAL to float64, so decimal columns render identically on both
+    # sides HERE but NOT in the driver, which reads the Spark parquet
+    # directly and renders decimal128 cells differently (the r6
+    # divergence: 4 hash-fails invisible to this gate). Refuse them.
+    for c, t in zip(rel.columns, rel.types):
+        if "DECIMAL" in str(t).upper():
+            raise TypeError(
+                f"column {c!r} is decimal-typed ({t}) — the driver renders "
+                "decimal128 differently; cast to DOUBLE at the output "
+                "boundary (SURVEY §5)")
     df = rel.fetchdf()
     df = df[sorted(df.columns)]
     # The driver's comparator sorts RAW columns (pandas sort_values), which

@@ -50,6 +50,23 @@ object CapacityPins {
   private val usersPerType: (SparkSession, String) => Long =
     (s, dir) => maxDistinctPerGroup(events(s, dir), Seq("event_type"), col("user_id"))
 
+  /** The grain-window family (global_rank, ks_test, spearman_corr,
+    * mannwhitney_utest, quantile_exact_interp, mad_exact) runs a
+    * deliberately partition-less `Window.orderBy` — a single-partition
+    * pass that is the right 100 TB shape ONLY while the collapsed 2-dp
+    * value grain stays bounded (the facts never flow through it, the
+    * ≤grain-cardinality collapsed rows do). That premise is
+    * data-dependent: this cap makes domain growth fail a named test
+    * instead of silently planning a single-partition monster.
+    */
+  val ValueGrainCap: Long = 1L << 18 // 262144 grain rows ≈ a few MB — trivial for one task
+
+  private val valueGrain: (SparkSession, String) => Long =
+    (s, dir) => events(s, dir)
+      .agg(countDistinct(col("value")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+      .collect()(0).getLong(0)
+
   /** capacity ≥ measured ⟺ the query is in its exact regime. */
   val pins: Seq[Pin] = Seq(
     Pin("topk_approx", 16384, "distinct users per event_type", usersPerType),
@@ -62,7 +79,15 @@ object CapacityPins {
       (s, dir) => maxDistinctPerGroup(
         docsT(s, dir).select(col("lang"), explode(text.TextOps.words).as("tok")),
         Seq("lang"), col("tok"))),
-    Pin("uniq_upto(wide)", 1000000, "distinct users per event_type", usersPerType)
+    Pin("uniq_upto(wide)", 1000000, "distinct users per event_type", usersPerType),
+    // all six share one memoized measurement; each named so a violation
+    // points at every query whose single-partition grain window it breaks
+    Pin("global_rank", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
+    Pin("ks_test", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
+    Pin("spearman_corr", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
+    Pin("mannwhitney_utest", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
+    Pin("quantile_exact_interp", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
+    Pin("mad_exact", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain)
   )
 
   /** The inverse pins: premises of the form "the data EXCEEDS a bound",

@@ -174,11 +174,12 @@ final class Graft(val spark: SparkSession, val dir: String) {
     stage("kept", kept).orderBy("doc_id")
   }
 
-  /** Free the lazy intermediate caches the dedup/contamination operators
-    * register ([[graft.dedup.Dedup.releaseCaches]]) — call once the action
+  /** Free the lazy intermediate caches persisting operators register
+    * (dedup/contamination shingle tables, pagerank edge tables — all
+    * routed through [[graft.CacheRegistry]]) — call once the action
     * consuming their result has completed.
     */
-  def releaseCaches(): Unit = dedup.Dedup.releaseCaches()
+  def releaseCaches(): Unit = CacheRegistry.release()
 
   // ---- ANN --------------------------------------------------------------
   def annBruteForce(): DataFrame = run("ann_bruteforce")

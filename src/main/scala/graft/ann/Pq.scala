@@ -328,7 +328,9 @@ object Pq extends Serializable {
       else {
         val buildDir = java.nio.file.Paths.get(
           s"$indexDir.build-${java.util.UUID.randomUUID().toString.take(8)}")
-        buildIvfPq(s, dir, buildDir.toString)
+        // thread the cache key's lloydIters through — a non-default value
+        // must build with what the key (and on-disk path) claims
+        buildIvfPq(s, dir, buildDir.toString, lloydIters = key._2)
         java.nio.file.Files.createFile(buildDir.resolve("_GRAFT_INDEX_DONE"))
         try {
           java.nio.file.Files.move(buildDir, indexDir,

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.{GraftSession, OpDef}
+import graft.{CacheRegistry, GraftSession, OpDef}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -143,25 +143,20 @@ object Dedup {
   def lshBucketCap(s: SparkSession): Int = capFromConf(s, LshBucketCapKey, LshBucketCap)
 
   // Every LAZY persist this module hands out (shingle/gram scans feeding two
-  // join sides of one action) is registered here so long-lived sessions have
-  // an explicit cleanup path: memory blocks are LRU-evictable but
-  // DISK-spilled blocks are not, so "the session will evict it" is only half
-  // true. `Graft.curate` releases after materializing its stages; any other
-  // production caller does the same via [[releaseCaches]] once its action
-  // completes. Harnesses clearCache between queries, which is equivalent.
-  private val trackedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // join sides of one action) is registered with the session-wide
+  // [[graft.CacheRegistry]] so long-lived sessions have an explicit cleanup
+  // path: memory blocks are LRU-evictable but DISK-spilled blocks are not,
+  // so "the session will evict it" is only half true. `Graft.curate`
+  // releases after materializing its stages; any other production caller
+  // does the same via [[releaseCaches]] once its action completes.
+  // Harnesses clearCache between queries, which is equivalent.
+  private def trackCache(df: DataFrame): DataFrame = CacheRegistry.track(df)
 
-  private def trackCache(df: DataFrame): DataFrame = { trackedCaches.add(df); df }
-
-  /** Unpersist every intermediate cache a dedup/contamination operator
-    * registered since the last release (no-op on never-materialized
-    * entries).
+  /** Unpersist every intermediate cache any operator registered since the
+    * last release (no-op on never-materialized entries). Forwards to the
+    * session-wide [[graft.CacheRegistry]].
     */
-  def releaseCaches(): Unit = {
-    var df = trackedCaches.poll()
-    while (df != null) { df.unpersist(blocking = false); df = trackedCaches.poll() }
-  }
+  def releaseCaches(): Unit = CacheRegistry.release()
 
   /** Exact-Jaccard verification of candidate pairs: re-join the FULL
     * shingle rows on both sides and count shared hashes (codegen equi-join

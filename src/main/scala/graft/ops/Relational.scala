@@ -1643,7 +1643,10 @@ object Relational {
     // day; first/last resolve by (ts, event_id) with the unique event_id
     // tie-break. Plan shape: BOTH row_number windows and the final groupBy
     // share hashpartitioning(event_type, day) — ONE shuffle total, the
-    // flags collapse map-side. Values stay DECIMAL(18,2) end to end.
+    // flags collapse map-side. Values stay DECIMAL(18,2) internally and
+    // cast to double only at the output boundary (§5 parity rule: 2-dp
+    // cents are exact in a double, and both engines render doubles
+    // identically — raw decimal cells hash-diverge in the driver).
     "ts_downsample_m4" -> OpDef(
       """WITH o AS (
         |  SELECT event_type,
@@ -1655,9 +1658,9 @@ object Relational {
         |                       ORDER BY ts DESC, event_id DESC) AS rn_d
         |  FROM events)
         |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
-        |  MIN(v) AS v_min, MAX(v) AS v_max,
-        |  MAX(CASE WHEN rn_a = 1 THEN v END) AS v_first,
-        |  MAX(CASE WHEN rn_d = 1 THEN v END) AS v_last
+        |  CAST(MIN(v) AS DOUBLE) AS v_min, CAST(MAX(v) AS DOUBLE) AS v_max,
+        |  CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS v_first,
+        |  CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS v_last
         |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) =>
       val wA = Window.partitionBy("event_type", "day")
@@ -1673,9 +1676,10 @@ object Relational {
         .withColumn("rn_d", row_number().over(wD))
         .groupBy("event_type", "day")
         .agg(count(lit(1)).as("n"),
-          min("v").as("v_min"), max("v").as("v_max"),
-          max(when(col("rn_a") === 1, col("v"))).as("v_first"),
-          max(when(col("rn_d") === 1, col("v"))).as("v_last"))
+          min("v").cast(DoubleType).as("v_min"),
+          max("v").cast(DoubleType).as("v_max"),
+          max(when(col("rn_a") === 1, col("v"))).cast(DoubleType).as("v_first"),
+          max(when(col("rn_d") === 1, col("v"))).cast(DoubleType).as("v_last"))
         .orderBy("event_type", "day")
     },
 
@@ -1796,7 +1800,8 @@ object Relational {
         |    last(v ORDER BY us, event_id) AS v_last,
         |    CAST(MAX(us) - MIN(us) AS BIGINT) AS dt_us
         |  FROM e GROUP BY 1)
-        |SELECT user_id, n, v_first, v_last,
+        |SELECT user_id, n,
+        |  CAST(v_first AS DOUBLE) AS v_first, CAST(v_last AS DOUBLE) AS v_last,
         |  CAST(v_last - v_first AS DOUBLE) / (CAST(dt_us AS DOUBLE) / 1000000.0)
         |    AS ratio_per_sec
         |FROM a WHERE n >= 2 AND dt_us > 0 ORDER BY user_id""".stripMargin
@@ -1811,7 +1816,9 @@ object Relational {
           max_by(col("v"), ord).as("v_last"),
           (max("us") - min("us")).cast(LongType).as("dt_us"))
         .filter(col("n") >= 2 && col("dt_us") > 0)
-        .select(col("user_id"), col("n"), col("v_first"), col("v_last"),
+        .select(col("user_id"), col("n"),
+          col("v_first").cast(DoubleType).as("v_first"),
+          col("v_last").cast(DoubleType).as("v_last"),
           (col("v_last").minus(col("v_first")).cast(DoubleType)
             / (col("dt_us").cast(DoubleType) / lit(1000000.0))).as("ratio_per_sec"))
         .orderBy("user_id")
@@ -1888,7 +1895,7 @@ object Relational {
         |  SELECT event_id, v,
         |    row_number() OVER (ORDER BY v DESC, event_id) AS rnk
         |  FROM e)
-        |SELECT event_id, v, CAST(rnk AS BIGINT) AS rnk
+        |SELECT event_id, CAST(v AS DOUBLE) AS v, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk % 97 = 0 OR rnk <= 10 ORDER BY rnk""".stripMargin
     ) { (s, dir) =>
       val e = tbl(s, dir, "events")
@@ -1901,7 +1908,7 @@ object Relational {
         .withColumn("rnk", (col("offset") + row_number().over(
           Window.partitionBy("v").orderBy("event_id"))).cast(LongType))
         .filter(col("rnk") % 97 === 0 || col("rnk") <= 10)
-        .select(col("event_id"), col("v"), col("rnk"))
+        .select(col("event_id"), col("v").cast(DoubleType).as("v"), col("rnk"))
         .orderBy("rnk")
     },
 
@@ -2197,8 +2204,8 @@ object Relational {
         |    SUM(c) OVER (PARTITION BY t ORDER BY dv) AS cumd
         |  FROM dg),
         |mad AS (SELECT t, MIN(dv) AS mad FROM dw WHERE 2 * cumd >= n GROUP BY t)
-        |SELECT med.t AS event_type, CAST(med.med AS DECIMAL(18,2)) AS median,
-        |  CAST(mad.mad AS DECIMAL(18,2)) AS mad, med.n
+        |SELECT med.t AS event_type, CAST(med.med AS DOUBLE) AS median,
+        |  CAST(mad.mad AS DOUBLE) AS mad, med.n
         |FROM med JOIN mad ON med.t = mad.t ORDER BY 1""".stripMargin
     ) { (s, dir) =>
       val g = tbl(s, dir, "events")
@@ -2225,8 +2232,10 @@ object Relational {
       val dw = dg.withColumn("cumd", sum("c").over(wDev))
       dw.filter(lit(2) * col("cumd") >= col("n"))
         .groupBy("t")
-        .agg(max("med").cast(DecimalType(18, 2)).as("median"),
-          min("dv").cast(DecimalType(18, 2)).as("mad"), max("n").as("n"))
+        // selection is exact-decimal throughout; double ONLY at the output
+        // boundary (§5 — raw decimal cells hash-diverge in the driver)
+        .agg(max("med").cast(DoubleType).as("median"),
+          min("dv").cast(DoubleType).as("mad"), max("n").as("n"))
         .select(col("t").as("event_type"), col("median"), col("mad"), col("n"))
         .orderBy("event_type")
     },
@@ -2388,7 +2397,7 @@ object Relational {
         |m AS (
         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(xc) AS BIGINT) AS sx,
-        |    CAST(SUM(xc * xc) AS BIGINT) AS qx
+        |    SUM(CAST(xc AS HUGEINT) * xc) AS qx
         |  FROM f GROUP BY t),
         |j AS (
         |  SELECT f.t, f.v, m.n,
@@ -2399,17 +2408,24 @@ object Relational {
         |SELECT t AS event_type, MAX(n) AS n,
         |  CAST(COUNT(CASE WHEN dlt * dlt > 9 * nvar THEN 1 END) AS BIGINT)
         |    AS n_out,
-        |  MIN(CASE WHEN dlt * dlt > 9 * nvar THEN v END) AS min_out,
-        |  MAX(CASE WHEN dlt * dlt > 9 * nvar THEN v END) AS max_out
+        |  CAST(MIN(CASE WHEN dlt * dlt > 9 * nvar THEN v END) AS DOUBLE)
+        |    AS min_out,
+        |  CAST(MAX(CASE WHEN dlt * dlt > 9 * nvar THEN v END) AS DOUBLE)
+        |    AS max_out
         |FROM j GROUP BY t ORDER BY 1""".stripMargin
     ) { (s, dir) =>
       val dec = col("value").cast(DecimalType(18, 2))
       val f = tbl(s, dir, "events")
         .select(col("event_type").as("t"), dec.as("v"),
           (dec * 100).cast(LongType).as("xc"))
-      val m = f.groupBy("t").agg(count(lit(1)).as("n"),
-        sum("xc").as("sx"), sum(col("xc") * col("xc")).as("qx"))
       val big = DecimalType(38, 0)
+      // qx accumulates in DECIMAL(38,0) (DuckDB: HUGEINT) — a LongType
+      // xc*xc sum wraps silently under non-ANSI mode once n·max(xc)²
+      // crosses 2^63, which is on the 100 TB path even though local SFs
+      // never reach it (same discipline as skew_kurt's power sums).
+      val xcBig = col("xc").cast(big)
+      val m = f.groupBy("t").agg(count(lit(1)).as("n"),
+        sum("xc").as("sx"), sum(xcBig * xcBig).as("qx"))
       val j = f.join(m, "t").select(col("t"), col("v"), col("n"),
         (col("n") * col("xc") - col("sx")).cast(big).as("dlt"),
         (col("n").cast(big) * col("qx").cast(big)
@@ -2417,8 +2433,8 @@ object Relational {
       val isOut = col("dlt") * col("dlt") > lit(9).cast(big) * col("nvar")
       j.groupBy("t").agg(max("n").as("n"),
         count(when(isOut, 1)).as("n_out"),
-        min(when(isOut, col("v"))).as("min_out"),
-        max(when(isOut, col("v"))).as("max_out"))
+        min(when(isOut, col("v"))).cast(DoubleType).as("min_out"),
+        max(when(isOut, col("v"))).cast(DoubleType).as("max_out"))
         .select(col("t").as("event_type"), col("n"), col("n_out"),
           col("min_out"), col("max_out"))
         .orderBy("event_type")
@@ -2510,9 +2526,12 @@ object Relational {
         .distinct()
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      val ew = e.join(deg, "src")
+      // registered with CacheRegistry: disk-spilled blocks are not
+      // LRU-evicted, so a production caller releases via
+      // Graft.releaseCaches() after its action (harnesses clearCache)
+      val ew = graft.CacheRegistry.track(e.join(deg, "src")
         .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("invd"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       def iterate(prev: DataFrame): DataFrame =
         ew.join(prev, ew("src") === prev("node"))
           .groupBy(ew("dst").as("node"))

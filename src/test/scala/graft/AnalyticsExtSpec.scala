@@ -216,7 +216,7 @@ class AnalyticsExtSpec extends SparkSpecBase {
 
   test("bounding_ratio: time-ordered endpoints, one IEEE divide") {
     val got = run("bounding_ratio").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2), r.getDecimal(3),
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4)))).toMap
     def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     events.groupBy(_._1).foreach { case (u, rs) =>
@@ -226,8 +226,8 @@ class AnalyticsExtSpec extends SparkSpecBase {
         val vf = cents(ordered.head._5); val vl = cents(ordered.last._5)
         val ratio = (vl - vf).toDouble / (dtUs.toDouble / 1000000.0)
         val (gn, gf, gl, gr) = got(u)
-        assert(gn == rs.length.toLong && BigDecimal(gf) == vf
-          && BigDecimal(gl) == vl, s"user=$u endpoints")
+        assert(gn == rs.length.toLong && gf == vf.toDouble
+          && gl == vl.toDouble, s"user=$u endpoints")
         assert(gr == ratio, s"user=$u ratio") // bit-equal: same IEEE chain
       } else assert(!got.contains(u), s"user=$u degenerate span must be excluded")
     }
@@ -235,12 +235,12 @@ class AnalyticsExtSpec extends SparkSpecBase {
 
   test("global_rank: thinned ranks equal the total (v desc, event_id) order") {
     val got = run("global_rank").collect()
-      .map(r => (r.getLong(0), r.getDecimal(1).toString, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val ranked = events.map(r => (cents(r._5), r._3))
       .sortBy { case (v, id) => (-v, id) }
       .zipWithIndex
-      .map { case ((v, id), i) => (id, v.setScale(2).toString, i + 1L) }
+      .map { case ((v, id), i) => (id, v.toDouble, i + 1L) }
       .filter { case (_, _, rk) => rk % 97 == 0 || rk <= 10 }
     assert(got.toSeq == ranked.toSeq)
     // ties exist at the 2-dp grain, so the event_id tie-break is exercised
@@ -271,8 +271,8 @@ class AnalyticsExtSpec extends SparkSpecBase {
 
   test("mad_exact: lower median + MAD re-derived on the exact decimal grain") {
     val got = run("mad_exact").collect()
-      .map(r => r.getString(0) -> ((BigDecimal(r.getDecimal(1)),
-        BigDecimal(r.getDecimal(2)), r.getLong(3)))).toMap
+      .map(r => r.getString(0) -> ((r.getDouble(1),
+        r.getDouble(2), r.getLong(3)))).toMap
     def cents(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     // lower median = smallest x whose 1-based rank r satisfies 2r ≥ n
     def lowerMedian(xs: Seq[BigDecimal]): BigDecimal = {
@@ -285,8 +285,8 @@ class AnalyticsExtSpec extends SparkSpecBase {
       val med = lowerMedian(vs)
       val mad = lowerMedian(vs.map(v => (v - med).abs))
       val (gm, gd, gn) = got(et)
-      assert(gm == med, s"$et median: got=$gm exp=$med")
-      assert(gd == mad, s"$et mad: got=$gd exp=$mad")
+      assert(gm == med.toDouble, s"$et median: got=$gm exp=$med")
+      assert(gd == mad.toDouble, s"$et mad: got=$gd exp=$mad")
       assert(gn == rs.length.toLong, s"$et n")
     }
     assert(got.values.forall(_._2 > 0), "zero MAD — dispersion fixture vacuous")
@@ -358,11 +358,11 @@ class AnalyticsExtSpec extends SparkSpecBase {
   test("outliers_exact: BigInt re-derivation of the cross-multiplied 3σ test") {
     val got = run("outliers_exact").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        Option(r.getDecimal(3)).map(BigDecimal(_)),
-        Option(r.getDecimal(4)).map(BigDecimal(_))))).toMap
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
     def xc(v: Double): BigInt =
-      BigInt((BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
-        .toBigIntExact.get)
+      (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+        .toBigIntExact.get
     events.groupBy(_._4).foreach { case (et, rs) =>
       val cs = rs.map(r => xc(r._5))
       val n = BigInt(cs.length); val s = cs.sum; val q = cs.map(c => c * c).sum
@@ -370,10 +370,10 @@ class AnalyticsExtSpec extends SparkSpecBase {
       val out = cs.filter { c => val d = n * c - s; d * d > 9 * nvar }
       val (gn, gno, gmin, gmax) = got(et)
       assert(gn == cs.length.toLong && gno == out.length.toLong, s"$et count")
-      assert(gmin.map(_ * 100) == (if (out.isEmpty) None else Some(BigDecimal(out.min))),
-        s"$et min")
-      assert(gmax.map(_ * 100) == (if (out.isEmpty) None else Some(BigDecimal(out.max))),
-        s"$et max")
+      // 2-dp cents → double is the correctly-rounded cast on both sides
+      def c2d(c: BigInt): Double = (BigDecimal(c) / 100).toDouble
+      assert(gmin == (if (out.isEmpty) None else Some(c2d(out.min))), s"$et min")
+      assert(gmax == (if (out.isEmpty) None else Some(c2d(out.max))), s"$et max")
     }
     assert(got.values.exists(_._2 > 0), "no outliers anywhere — test vacuous")
   }
@@ -397,7 +397,7 @@ class AnalyticsExtSpec extends SparkSpecBase {
     assert(got == exp)
     // the interleave must actually mix dimensions: z-order of a point with
     // a large user and small value differs from its transpose
-    assert(spread(3) != spread(0) | (spread(3) << 1))
+    assert(spread(3) != (spread(0) | (spread(3) << 1)))
   }
 
   test("pagerank3 equals three re-derived damped iterations (top-20)") {
@@ -424,6 +424,24 @@ class AnalyticsExtSpec extends SparkSpecBase {
       assert(math.abs(gr - er) <= 2e-6, s"$gn: got=$gr exp=$er")
     }
     assert(got.map(_._2).distinct.length > 1, "uniform ranks — graph degenerate")
+  }
+
+  test("pagerank3 edge cache is registered and releaseCaches frees it") {
+    // drain whatever earlier tests left behind so the delta is pagerank3's
+    CacheRegistry.release()
+    spark.catalog.clearCache()
+    run("pagerank3").count()
+    assert(CacheRegistry.trackedCount >= 1,
+      "pagerank3's persisted edge table is not registered for release")
+    CacheRegistry.release()
+    assert(CacheRegistry.trackedCount == 0)
+    // the unpersist must actually reach the storage layer: no cached RDD
+    // blocks may survive the release (unpersist is async; poll briefly)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "persisted RDDs survive releaseCaches()")
   }
 
   /** The {"k": <int>} prop parse used by the fixtures. */

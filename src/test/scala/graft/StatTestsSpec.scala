@@ -200,8 +200,8 @@ class StatTestsSpec extends SparkSpecBase {
   test("ts_downsample_m4: min/max/first/last per (type, day) with event_id tie-break") {
     val got = run("ts_downsample_m4").collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5),
-          r.getDecimal(6)))).toMap
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
     val byBucket = events.groupBy(r =>
       (r._4, java.time.Instant.ofEpochMilli(r._2.getTime)
         .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString))
@@ -212,9 +212,9 @@ class StatTestsSpec extends SparkSpecBase {
       val vs = rs.map(r => cents(r._5))
       val (n, vMin, vMax, vFirst, vLast) = got(key)
       assert(n == rs.length.toLong, s"$key n")
-      assert(BigDecimal(vMin) == vs.min && BigDecimal(vMax) == vs.max, s"$key extremes")
-      assert(BigDecimal(vFirst) == cents(inOrder.head._5), s"$key first")
-      assert(BigDecimal(vLast) == cents(inOrder.last._5), s"$key last")
+      assert(vMin == vs.min.toDouble && vMax == vs.max.toDouble, s"$key extremes")
+      assert(vFirst == cents(inOrder.head._5).toDouble, s"$key first")
+      assert(vLast == cents(inOrder.last._5).toDouble, s"$key last")
       if (rs.length > 3) multi += 1
     }
     assert(multi > 0, "every bucket trivial (<4 rows) — M4 selection vacuous")
