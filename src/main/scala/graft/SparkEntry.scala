@@ -7,9 +7,9 @@ object SparkEntry {
 
   /** Every implemented SURVEY §2 operator, with oracle when SQL-expressible. */
   def allDefs: Map[String, OpDef] =
-    ops.Relational.defs ++ ops.CdcQueries.defs ++ ops.StreamQueries.defs ++
-      text.TextOps.defs ++ dedup.Dedup.defs ++ ann.Ann.defs ++
-      multimodal.MediaColumns.defs
+    ops.Relational.defs ++ ops.AnalyticsR7.defs ++ ops.CdcQueries.defs ++
+      ops.StreamQueries.defs ++ text.TextOps.defs ++ dedup.Dedup.defs ++
+      ann.Ann.defs ++ multimodal.MediaColumns.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

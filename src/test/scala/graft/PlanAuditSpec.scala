@@ -403,4 +403,76 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.scans == 1 && a.shuffles <= 2, s"$a")
     assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
   }
+
+  // ---- round-7 rows ------------------------------------------------------
+
+  // the cohort promise: NO per-user window — the distinct week set builds
+  // in the user collapse (collect_set partial-aggs map-side), cohort rides
+  // the same row via array_min, so the only exchanges are the user
+  // collapse, the tiny (cohort, offset) grain collapse, and the output sort.
+  test("cohort_retention: one user exchange, no window, zero joins") {
+    val a = auditOf(run("cohort_retention"))
+    assert(a.scans == 1 && a.shuffles <= 3, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // nine moment sums in ONE partial-agg pass; Cramer's rule is per-row
+  // scalar arithmetic on the 5-row result — no second scan, no join.
+  test("linreg_2f: one scan, one agg exchange, zero joins") {
+    val a = auditOf(run("linreg_2f"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // same grain discipline as cramers_v: one fact shuffle into the ≤50-cell
+  // contingency grain; margins/fold ride grain rows only.
+  test("cramers_v_corrected: one fact shuffle, grain-sized rest") {
+    val a = auditOf(run("cramers_v_corrected"))
+    assert(a.scans == 1 && a.shuffles <= 7, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // both conditional counts ride ONE partial agg (no per-branch rescans);
+  // totals are window sums over the 5-row grain.
+  test("cat_iv: conditional counts in one fact exchange") {
+    val a = auditOf(run("cat_iv"))
+    assert(a.scans == 1 && a.shuffles <= 3, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // the bounded-grain promise: facts collapse straight to ≤3.3k fixed
+  // buckets; the threshold scan and collapse ride the bucket grain.
+  test("quantile_timing: bucket collapse first, grain-sized rest") {
+    val a = auditOf(run("quantile_timing"))
+    assert(a.scans == 1 && a.shuffles <= 4, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // -If combinator: the predicate lives INSIDE the aggregate as a null —
+  // same single space-saving agg exchange as topk_approx, no extra stage.
+  test("topk_if: single typed-agg exchange like the unconditional form") {
+    val a = auditOf(run("topk_if"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+  }
+
+  // c(a) must be a window over the COLLAPSED pair grain (the tfidf df
+  // move), the heavy-context set a broadcast — no sort-merge, no second
+  // corpus pass.
+  test("bigram_condprob: context totals ride the pair grain, ctx broadcast") {
+    val a = auditOf(run("bigram_condprob"))
+    assert(a.sortMergeJoins == 0, s"$a")
+    assert(a.broadcastJoins >= 1, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // the vocab join is a hash join on tok (never collected); the corpus
+  // total arrives as a 1-row broadcast; the doc filter prunes the fact
+  // side BEFORE the join.
+  test("unigram_surprisal: vocab hash-joined, total broadcast, no sort-merge") {
+    val a = auditOf(run("unigram_surprisal"))
+    assert(a.sortMergeJoins == 0, s"$a")
+    assert(a.broadcastJoins >= 1, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+  }
 }
