@@ -295,6 +295,63 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, dir) => ngramJaccardPairs(docs(s, dir), tau = 0.5) },
 
+    // ---- #147 directional shingle containment (boilerplate inclusion) ----
+    // C = |A∩B| / min(|A|,|B|) ≥ 0.7 over the same blocked candidates as
+    // #30 but WITHOUT the size-ratio prefilter: containment is asymmetric
+    // — a small doc wholly inside a big one has low Jaccard AND a low
+    // size ratio, so #30 structurally cannot see it. This is the
+    // template/quotation/inclusion detector curation pipelines run next
+    // to near-dup. Same df-capped block join (never O(n²)); the verify
+    // re-joins full shingle rows; one exact-integer divide + direction
+    // flag.
+    "dedup_containment" -> OpDef(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source,
+         |    list_transform($shinglesSql, g -> ${h32Sql("g")}) AS sh
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, lang, source, unnest(sh) AS h FROM t),
+         |e AS (
+         |  SELECT * FROM e0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, h) <= $NgramDfCap),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM e a JOIN e b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+         |  WHERE a.doc_id < b.doc_id),
+         |p AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(ta.sh, tb.sh)) AS n_int,
+         |    len(ta.sh) AS n_a, len(tb.sh) AS n_b
+         |  FROM cand c
+         |  JOIN t ta ON ta.doc_id = c.doc_a
+         |  JOIN t tb ON tb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(n_int AS DOUBLE) / least(n_a, n_b), 4) AS containment,
+         |  CASE WHEN n_a <= n_b THEN 'a' ELSE 'b' END AS contained
+         |FROM p WHERE CAST(n_int AS DOUBLE) / least(n_a, n_b) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      val e = trackCache(shingleRowsOf(docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // tau = 0 disables the size-ratio prefilter (necessary for Jaccard,
+      // WRONG for containment); the df cap still bounds the block join
+      val cand = ngramCandidates(e, tau = 0.0, ngramDfCap(s))
+      val eh = e.select("doc_id", "h")
+      cand
+        .join(eh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+        .join(eh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("n_int"))
+        .filter(col("n_int").cast(DoubleType) / least(col("n_a"), col("n_b"))
+          >= 0.7)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_int").cast(DoubleType)
+            / least(col("n_a"), col("n_b")), 4).as("containment"),
+          when(col("n_a") <= col("n_b"), "a").otherwise("b").as("contained"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- #31 MinHash + LSH candidate pairs, Jaccard-verified -------------
     // sig_j = min over shingles of md5(j || ':' || shingle); bands of 4 sigs
     // hash to a bucket key; docs sharing ANY band bucket become candidates

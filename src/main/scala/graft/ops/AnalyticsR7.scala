@@ -422,6 +422,212 @@ object AnalyticsR7 {
           round(sum(-log(col("cnt").cast(DoubleType) / col("tt")))
             / count(lit(1)), 4).as("surprisal"))
         .orderBy("doc_id")
+    },
+
+    // ---- #143 timing-quantile state/merge re-aggregation -------------------
+    // The -State/-Merge pattern WITHOUT a custom wire format: the
+    // quantile_timing bucket counts are ADDITIVE, so the persisted
+    // per-(type, day) state cells (what a rollup table stores per flush)
+    // re-aggregate per type by plain SUM — and the result is bit-equal to
+    // the one-pass #139 at any split of the data (spec-pinned). This is
+    // how a 100 TB sink maintains latency quantiles incrementally: fold
+    // each batch into cells, never rescan history.
+    "quantile_timing_reagg" -> OpDef(
+      """WITH f AS (
+        |  SELECT event_type AS t,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |st AS (
+        |  SELECT t, day,
+        |    CASE WHEN c < 1024 THEN c
+        |         WHEN c < 32768 THEN (c // 16) * 16
+        |         WHEN c < 65536 THEN (c // 256) * 256
+        |         ELSE 65535 END AS bk,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM f GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT t, bk, CAST(SUM(cnt) AS BIGINT) AS cnt FROM st GROUP BY 1, 2),
+        |w AS (
+        |  SELECT t, bk, cnt,
+        |    SUM(cnt) OVER (PARTITION BY t ORDER BY bk) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY t) AS n
+        |  FROM m)
+        |SELECT t AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN 2 * cum >= n THEN bk END) AS q50_c,
+        |  MIN(CASE WHEN 10 * cum >= 9 * n THEN bk END) AS q90_c,
+        |  MIN(CASE WHEN 100 * cum >= 99 * n THEN bk END) AS q99_c
+        |FROM w GROUP BY t ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val bk = when(col("c") < 1024, col("c"))
+        .when(col("c") < 32768, floor(col("c") / 16) * 16)
+        .when(col("c") < 65536, floor(col("c") / 256) * 256)
+        .otherwise(lit(65535L))
+      // state cells: what a rollup table persists per (type, day) flush
+      val st = tbl(s, dir, "events")
+        .select(col("event_type").as("t"),
+          date_format(col("ts").cast(DateType), "yyyy-MM-dd").as("day"),
+          centsL.as("c"))
+        .groupBy(col("t"), col("day"), bk.cast(LongType).as("bk"))
+        .agg(count(lit(1)).as("cnt"))
+      // merge: additive cells collapse by plain SUM — no custom merge code
+      val m = st.groupBy("t", "bk").agg(sum("cnt").cast(LongType).as("cnt"))
+      val wCum = Window.partitionBy("t").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = m
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("t")))
+      w.groupBy("t").agg(max("n").cast(LongType).as("n"),
+        min(when(lit(2) * col("cum") >= col("n"), col("bk"))).as("q50_c"),
+        min(when(lit(10) * col("cum") >= lit(9) * col("n"), col("bk")))
+          .as("q90_c"),
+        min(when(lit(100) * col("cum") >= lit(99) * col("n"), col("bk")))
+          .as("q99_c"))
+        .select(col("t").as("event_type"), col("n"), col("q50_c"),
+          col("q90_c"), col("q99_c"))
+        .orderBy("event_type")
+    },
+
+    // ---- #144 Zipf exponent fit (corpus health diagnostic) -----------------
+    // log-log regression of token frequency on rank over the top-1000
+    // tokens — the standard check that a corpus has natural-language
+    // frequency structure (slope ≈ −1) rather than boilerplate/spam. The
+    // top-1000 selection is a DISTRIBUTED TakeOrderedAndProject (per-
+    // partition partial top-k, never a vocab-wide single-partition
+    // window); the rank window then runs on 1000 rows — constant work at
+    // any corpus size. ln folds → round(·,4) clamp.
+    "zipf_fit" -> OpDef(
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        |r AS (
+        |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn
+        |  FROM c QUALIFY rn <= 1000),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(ln(CAST(rn AS DOUBLE))) AS sx,
+        |    SUM(ln(CAST(cnt AS DOUBLE))) AS sy,
+        |    SUM(ln(CAST(rn AS DOUBLE)) * ln(CAST(rn AS DOUBLE))) AS sxx,
+        |    SUM(ln(CAST(rn AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS sxy
+        |  FROM r)
+        |SELECT n AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+        |    AS intercept
+        |FROM s""".stripMargin
+    ) { (s, dir) =>
+      val c = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val top = c.orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))))
+      val (lx, ly) = (log(col("rn").cast(DoubleType)),
+        log(col("cnt").cast(DoubleType)))
+      val agg = top.agg(count(lit(1)).as("n"),
+        sum(lx).as("sx"), sum(ly).as("sy"),
+        sum(lx * lx).as("sxx"), sum(lx * ly).as("sxy"))
+      val (n, sx, sy, sxx, sxy) =
+        (col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"))
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      agg.select(n.as("n_terms"),
+        round(slope, 4).as("zipf_slope"),
+        round((sy - slope * sx) / n, 4).as("intercept"))
+    },
+
+    // ---- #145 Jensen-Shannon divergence per segment ------------------------
+    // Distribution-drift signal: JSD between each event_type's k-decile
+    // distribution and the corpus-wide one — the symmetric, bounded [0,1]
+    // alternative to KL that data-quality monitors use. Counts collapse
+    // to the ≤50-cell (type, decile) grain in ONE fact exchange; margins
+    // ride window sums over the grain; the ≤10-term log2 fold per type →
+    // round(·,4) clamp. Cells absent from a segment contribute 0 (the
+    // plug-in estimator) — identically on both engines.
+    "js_divergence" -> OpDef(
+      """WITH c AS (
+        |  SELECT event_type AS t,
+        |    CAST(json_extract_string(props, 'k') AS BIGINT) // 10 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT t, b, n,
+        |    CAST(SUM(n) OVER (PARTITION BY t) AS BIGINT) AS nt,
+        |    CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS nb,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS tot
+        |  FROM c),
+        |d AS (
+        |  SELECT t,
+        |    CAST(n AS DOUBLE) / nt AS p, CAST(nb AS DOUBLE) / tot AS q
+        |  FROM m)
+        |SELECT t AS event_type,
+        |  round(SUM(0.5 * p * log2(p / ((p + q) / 2))
+        |          + 0.5 * q * log2(q / ((p + q) / 2))), 4) AS jsd
+        |FROM d GROUP BY t ORDER BY t""".stripMargin
+    ) { (s, dir) =>
+      val c = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"),
+          (kProp / 10).cast(LongType).as("b"))
+        .agg(count(lit(1)).as("n"))
+      val m = c
+        .withColumn("nt", sum("n").over(Window.partitionBy("t")))
+        .withColumn("nb", sum("n").over(Window.partitionBy("b")))
+        .withColumn("tot", sum("n").over(Window.partitionBy()))
+      val p = col("n").cast(DoubleType) / col("nt")
+      val q = col("nb").cast(DoubleType) / col("tot")
+      val mid = (p + q) / 2
+      m.select(col("t"),
+        (lit(0.5) * p * log2(p / mid) + lit(0.5) * q * log2(q / mid)).as("j"))
+        .groupBy("t").agg(round(sum("j"), 4).as("jsd"))
+        .select(col("t").as("event_type"), col("jsd"))
+        .orderBy("event_type")
+    },
+
+    // ---- #146 population stability index (train/serve drift) ---------------
+    // THE production drift metric: PSI between the first and second half
+    // of the time range, per k-decile. The cut is derived from the data's
+    // own day bounds ((min+max+1)/2 — deterministic integer arithmetic),
+    // arrives as a 1-row broadcast, and both period counts ride ONE
+    // conditional partial agg to the 10-row decile grain. ln → round(·,4).
+    "psi_drift" -> OpDef(
+      """WITH f AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(json_extract_string(props, 'k') AS BIGINT) // 10 AS b
+        |  FROM events),
+        |bd AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS cut FROM f),
+        |c AS (
+        |  SELECT b,
+        |    CAST(COUNT(CASE WHEN d < cut THEN 1 END) AS BIGINT) AS np,
+        |    CAST(COUNT(CASE WHEN d >= cut THEN 1 END) AS BIGINT) AS nq
+        |  FROM f CROSS JOIN bd GROUP BY b),
+        |m AS (
+        |  SELECT b, np, nq,
+        |    CAST(SUM(np) OVER () AS BIGINT) AS tp,
+        |    CAST(SUM(nq) OVER () AS BIGINT) AS tq
+        |  FROM c)
+        |SELECT b AS decile, np AS n_ref, nq AS n_cur,
+        |  round((CAST(np AS DOUBLE) / tp - CAST(nq AS DOUBLE) / tq)
+        |    * ln((CAST(np AS DOUBLE) / tp) / (CAST(nq AS DOUBLE) / tq)), 4)
+        |    AS psi_term
+        |FROM m ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val f = tbl(s, dir, "events")
+        .select(datediff(col("ts").cast(DateType),
+          to_date(lit("1970-01-01"))).as("d"),
+          (kProp / 10).cast(LongType).as("b"))
+      val bd = f.agg(floor((min("d") + max("d") + 1) / 2).as("cut"))
+      val c = f.crossJoin(broadcast(bd))
+        .groupBy("b")
+        .agg(count(when(col("d") < col("cut"), 1)).as("np"),
+          count(when(col("d") >= col("cut"), 1)).as("nq"))
+      val m = c
+        .withColumn("tp", sum("np").over(Window.partitionBy()))
+        .withColumn("tq", sum("nq").over(Window.partitionBy()))
+      val p = col("np").cast(DoubleType) / col("tp")
+      val q = col("nq").cast(DoubleType) / col("tq")
+      m.select(col("b").as("decile"), col("np").as("n_ref"),
+        col("nq").as("n_cur"),
+        round((p - q) * log(p / q), 4).as("psi_term"))
+        .orderBy("decile")
     }
   )
 }

@@ -215,4 +215,77 @@ class AnalyticsR7Spec extends SparkSpecBase {
     assert(got.values.map(_._2).toSeq.distinct.length > 1,
       "uniform surprisal across docs — LM vacuous")
   }
+
+  test("quantile_timing_reagg: per-day state cells re-merge to the one-pass result") {
+    // the additive-state claim: folding per-(type, day) cells and summing
+    // equals the direct one-pass aggregate, bit for bit
+    val direct = run("quantile_timing").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val reagg = run("quantile_timing_reagg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(reagg == direct)
+    // the merge must be non-vacuous: >1 day of state cells per type
+    assert(events.map(r => dayNum(r._2)).distinct.length > 1,
+      "single-day fixture — state merge untested")
+  }
+
+  test("zipf_fit: log-log regression over the exact top-1000 token ranks") {
+    val cnt = docTexts.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val top = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(1000)
+    val xs = top.indices.map(i => math.log((i + 1).toDouble))
+    val ys = top.map { case (_, c) => math.log(c.toDouble) }
+    val n = top.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val r = run("zipf_fit").collect().head
+    assert(r.getLong(0) == top.length.toLong)
+    assert(math.abs(r.getDouble(1) - slope) <= 2e-4, s"slope ${r.getDouble(1)} vs $slope")
+    assert(math.abs(r.getDouble(2) - icept) <= 2e-4, s"intercept ${r.getDouble(2)} vs $icept")
+    assert(slope < -0.1, "flat rank-frequency curve — fixture not Zipf-like")
+  }
+
+  test("js_divergence: plug-in JSD vs the corpus decile marginal") {
+    val cells = events.groupBy(r => (r._4, kOf(r._6) / 10))
+      .map { case (k, v) => k -> v.length.toLong }
+    val nt = cells.groupBy(_._1._1).map { case (t, v) => t -> v.values.sum }
+    val nb = cells.groupBy(_._1._2).map { case (b, v) => b -> v.values.sum }
+    val tot = cells.values.sum.toDouble
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val exp = cells.toSeq.groupBy(_._1._1).map { case (t, rows) =>
+      t -> rows.map { case ((_, b), c) =>
+        val p = c.toDouble / nt(t); val q = nb(b) / tot; val m = (p + q) / 2
+        0.5 * p * log2(p / m) + 0.5 * q * log2(q / m)
+      }.sum
+    }
+    val got = run("js_divergence").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (t, v) =>
+      assert(math.abs(got(t) - v) <= 2e-4, s"$t got=${got(t)} exp=$v") }
+    assert(exp.values.exists(_ > 1e-4),
+      "all segments identical to the marginal — drift signal vacuous")
+  }
+
+  test("psi_drift: first/second-half decile shift terms") {
+    val ds = events.map(r => (dayNum(r._2), kOf(r._6) / 10))
+    val cut = (ds.map(_._1).min + ds.map(_._1).max + 1) / 2
+    val np = ds.filter(_._1 < cut).groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    val nq = ds.filter(_._1 >= cut).groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    val (tp, tq) = (np.values.sum.toDouble, nq.values.sum.toDouble)
+    val got = run("psi_drift").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == (np.keySet ++ nq.keySet))
+    got.foreach { case (b, (gp, gq, term)) =>
+      assert(gp == np.getOrElse(b, 0L) && gq == nq.getOrElse(b, 0L), s"decile $b counts")
+      val p = gp / tp; val q = gq / tq
+      assert(math.abs(term - (p - q) * math.log(p / q)) <= 2e-4, s"decile $b term")
+    }
+    assert(tp > 0 && tq > 0, "one half empty — PSI cut degenerate")
+  }
 }

@@ -226,4 +226,45 @@ class DedupSpec extends SparkSpecBase {
     // clean doc: zero duplicated spans
     assert(got(5L)._2 == 0L && got(5L)._3 == 0.0)
   }
+
+  test("containment pairs equal the exact df-capped shingle-set oracle") {
+    // independent Scala re-derivation: same 3-gram/h32 shingles, same
+    // df-capped block candidate generation, containment over FULL sets
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)), r.getString(3)))
+    val sets = docs.map { case (d, blk, t) =>
+      val ws = t.split(" ", -1)
+      val sh =
+        if (ws.length < 3) Set.empty[Long]
+        else (0 to ws.length - 3)
+          .map(i => h32(ws.slice(i, i + 3).mkString(" "))).toSet
+      (d, blk) -> sh
+    }.filter(_._2.nonEmpty)
+    val dfCap = graft.dedup.Dedup.ngramDfCap(spark)
+    val df = sets.flatMap { case ((_, blk), sh) => sh.map(blk -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val surviving: ((String, String), Long) => Boolean =
+      (blk, h) => df((blk, h)) <= dfCap
+    val exp = (for {
+      ((a, blkA), sa) <- sets; ((b, blkB), sb) <- sets
+      if a < b && blkA == blkB
+      shared = sa.intersect(sb)
+      if shared.exists(surviving(blkA, _)) // block-join candidate
+      c = shared.size.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.7
+    } yield (a, b,
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      if (sa.size <= sb.size) "a" else "b")).toSet
+    val got = run("dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(got == exp,
+      s"missing ${(exp -- got).take(3)}, extra ${(got -- exp).take(3)}")
+    assert(exp.nonEmpty, "fixture has no containment pairs — oracle vacuous")
+  }
 }

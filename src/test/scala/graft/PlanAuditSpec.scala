@@ -475,4 +475,42 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.broadcastJoins >= 1, s"$a")
     assert(a.fallbackExprs.isEmpty, s"$a")
   }
+
+  // the state/merge promise: facts collapse ONCE into (t, day, bk) cells;
+  // every later exchange (merge, cum window, final fold) moves cell rows
+  // only — the shape a rollup table re-aggregation has at any scale.
+  test("quantile_timing_reagg: one fact exchange, cell-sized rest, zero joins") {
+    val a = auditOf(run("quantile_timing_reagg"))
+    assert(a.scans == 1 && a.shuffles <= 6, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // the top-1000 must arrive via TakeOrderedAndProject (per-partition
+  // partial top-k) — a global Sort before the limit would be a vocab-wide
+  // single-partition pass.
+  test("zipf_fit: top-k is a TakeOrdered, not a global sort") {
+    val df = run("zipf_fit"); df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), "limit not TakeOrderedAndProject")
+    val a = PlanAudit.audit(df.queryExecution.executedPlan)
+    assert(a.scans == 1 && a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+  }
+
+  // drift pair: both collapse facts to the ≤50-cell grain in one exchange;
+  // margins ride window sums over grain rows.
+  test("js_divergence / psi_drift: one fact exchange, grain-sized windows") {
+    for (q <- Seq("js_divergence", "psi_drift")) {
+      val a = auditOf(run(q))
+      assert(a.scans <= 2 && a.sortMergeJoins == 0, s"$q: $a")
+      assert(a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
+
+  // containment rides the SAME df-capped block join as ngram-jaccard —
+  // never a sort-merge pair join, no interpreted exprs in the shingle path.
+  test("dedup_containment: block join stays hash, no fallback exprs") {
+    val a = auditOf(run("dedup_containment"))
+    assert(a.sortMergeJoins == 0, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+  }
 }
