@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{GraftSession, OpDef}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -628,6 +628,232 @@ object AnalyticsR7 {
         col("nq").as("n_cur"),
         round((p - q) * log(p / q), 4).as("psi_term"))
         .orderBy("decile")
+    },
+
+    // ---- #148 quantileTimingIf — the -If cross-combinator ------------------
+    // The predicate (k ≥ 50) lives INSIDE the aggregate as a conditional
+    // count at the same (type, bucket) cell grain as #139 — the cells a
+    // shared scan would co-compute with the unconditional quantiles, the
+    // way CH evaluates quantileTimingIf next to quantileTiming in one
+    // pass. Zero extra exchanges vs the unconditional form; zero-count
+    // cells ride the grain and never shift a threshold crossing (cum is
+    // flat across them, and MIN picks the first crossing bucket).
+    "quantile_timing_if" -> OpDef(
+      """WITH f AS (
+        |  SELECT event_type AS t,
+        |    CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |st AS (
+        |  SELECT t,
+        |    CASE WHEN c < 1024 THEN c
+        |         WHEN c < 32768 THEN (c // 16) * 16
+        |         WHEN c < 65536 THEN (c // 256) * 256
+        |         ELSE 65535 END AS bk,
+        |    CAST(COUNT(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS cnt
+        |  FROM f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT t, bk, cnt,
+        |    SUM(cnt) OVER (PARTITION BY t ORDER BY bk) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY t) AS n
+        |  FROM st)
+        |SELECT t AS event_type, CAST(MAX(n) AS BIGINT) AS n_if,
+        |  MIN(CASE WHEN cum > 0 AND 2 * cum >= n THEN bk END) AS q50_c,
+        |  MIN(CASE WHEN cum > 0 AND 10 * cum >= 9 * n THEN bk END) AS q90_c,
+        |  MIN(CASE WHEN cum > 0 AND 100 * cum >= 99 * n THEN bk END) AS q99_c
+        |FROM w GROUP BY t ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val bk = when(col("c") < 1024, col("c"))
+        .when(col("c") < 32768, floor(col("c") / 16) * 16)
+        .when(col("c") < 65536, floor(col("c") / 256) * 256)
+        .otherwise(lit(65535L))
+      val st = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), kProp.as("k"), centsL.as("c"))
+        .groupBy(col("t"), bk.cast(LongType).as("bk"))
+        .agg(count(when(col("k") >= 50, 1)).as("cnt"))
+      val wCum = Window.partitionBy("t").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = st
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("t")))
+      def q(cond: Column): Column = min(when(col("cum") > 0 && cond, col("bk")))
+      w.groupBy("t").agg(max("n").cast(LongType).as("n_if"),
+        q(lit(2) * col("cum") >= col("n")).as("q50_c"),
+        q(lit(10) * col("cum") >= lit(9) * col("n")).as("q90_c"),
+        q(lit(100) * col("cum") >= lit(99) * col("n")).as("q99_c"))
+        .select(col("t").as("event_type"), col("n_if"), col("q50_c"),
+          col("q90_c"), col("q99_c"))
+        .orderBy("event_type")
+    },
+
+    // ---- #149 regression goodness-of-fit, closed form ----------------------
+    // R²/RMSE for the #136 two-feature model WITHOUT a scoring pass:
+    // SSE = Σy² − (b0·Σy + bk·Σky + bw·Σwy) (the normal-equation
+    // identity), SST = Σy² − (Σy)²/n — so fit diagnostics come from the
+    // SAME exact-integer moment sums as the fit itself. One partial-agg
+    // exchange; at 100 TB this is the difference between diagnosing a
+    // model and re-reading the corpus to score it. Scalar IEEE on the
+    // 5-row grain → round(·,4) clamp.
+    "linreg_fit_stats" -> OpDef(
+      """WITH f AS (
+        |  SELECT event_type AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+        |    date_part('dow', CAST(ts AS DATE)) AS w
+        |  FROM events),
+        |m AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(k) AS DOUBLE) AS sk, CAST(SUM(w) AS DOUBLE) AS sw,
+        |    CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) AS skk,
+        |    CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE) AS sww,
+        |    CAST(SUM(CAST(k AS HUGEINT) * w) AS DOUBLE) AS skw,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(k AS HUGEINT) * y) AS DOUBLE) AS sky,
+        |    CAST(SUM(CAST(w AS HUGEINT) * y) AS DOUBLE) AS swy,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM f GROUP BY t),
+        |b AS (
+        |  SELECT t, n, sy, sky, swy, syy,
+        |    (sy*(skk*sww - skw*skw) - sk*(sky*sww - skw*swy)
+        |       + sw*(sky*skw - skk*swy))
+        |      / (n*(skk*sww - skw*skw) - sk*(sk*sww - skw*sw)
+        |         + sw*(sk*skw - skk*sw)) AS b0,
+        |    (n*(sky*sww - skw*swy) - sy*(sk*sww - skw*sw)
+        |       + sw*(sk*swy - sky*sw))
+        |      / (n*(skk*sww - skw*skw) - sk*(sk*sww - skw*sw)
+        |         + sw*(sk*skw - skk*sw)) AS bk,
+        |    (n*(skk*swy - sky*skw) - sk*(sk*swy - sky*sw)
+        |       + sy*(sk*skw - skk*sw))
+        |      / (n*(skk*sww - skw*skw) - sk*(sk*sww - skw*sw)
+        |         + sw*(sk*skw - skk*sw)) AS bw
+        |  FROM m)
+        |SELECT t AS event_type, n,
+        |  round(1 - (syy - (b0*sy + bk*sky + bw*swy))
+        |          / (syy - sy*sy/n), 4) AS r2,
+        |  round(sqrt((syy - (b0*sy + bk*sky + bw*swy)) / n), 4) AS rmse
+        |FROM b ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val w = (dayofweek(col("ts").cast(DateType)) - 1).cast(LongType)
+      val f = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), centsL.as("y"), kProp.as("k"),
+          w.as("w"))
+      def sq(a: String, b: String) =
+        sum(col(a).cast(big) * col(b).cast(big)).cast(DoubleType)
+      val m = f.groupBy("t").agg(
+        count(lit(1)).as("n"),
+        sum("k").cast(DoubleType).as("sk"), sum("w").cast(DoubleType).as("sw"),
+        sq("k", "k").as("skk"), sq("w", "w").as("sww"), sq("k", "w").as("skw"),
+        sum("y").cast(DoubleType).as("sy"),
+        sq("k", "y").as("sky"), sq("w", "y").as("swy"), sq("y", "y").as("syy"))
+      val (n, sk, sw) = (col("n"), col("sk"), col("sw"))
+      val (skk, sww, skw) = (col("skk"), col("sww"), col("skw"))
+      val (sy, sky, swy, syy) = (col("sy"), col("sky"), col("swy"), col("syy"))
+      val det = n * (skk * sww - skw * skw) - sk * (sk * sww - skw * sw) +
+        sw * (sk * skw - skk * sw)
+      val b0 = (sy * (skk * sww - skw * skw) - sk * (sky * sww - skw * swy) +
+        sw * (sky * skw - skk * swy)) / det
+      val bK = (n * (sky * sww - skw * swy) - sy * (sk * sww - skw * sw) +
+        sw * (sk * swy - sky * sw)) / det
+      val bW = (n * (skk * swy - sky * skw) - sk * (sk * swy - sky * sw) +
+        sy * (sk * skw - skk * sw)) / det
+      val sse = syy - (b0 * sy + bK * sky + bW * swy)
+      m.select(col("t").as("event_type"), n,
+        round(lit(1) - sse / (syy - sy * sy / n), 4).as("r2"),
+        round(sqrt(sse / n), 4).as("rmse"))
+        .orderBy("event_type")
+    },
+
+    // ---- #150 Benford first-digit audit ------------------------------------
+    // The fraud/data-quality screen: observed first-significant-digit
+    // distribution of the cents values vs Benford's log10(1 + 1/d), with
+    // per-digit χ² terms. The digit comes from the DECIMAL STRING of the
+    // exact integer cents — never floor(log10(x)) (whose IEEE rounding at
+    // powers of 10 is engine-dependent). One collapse to a 9-row grain;
+    // margins ride a grain window; scalar IEEE → round(·,4).
+    "benford_digits" -> OpDef(
+      """WITH f AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM f WHERE c > 0),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |m AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM g)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / tot, 4) AS p_obs,
+        |  round(log10(1 + 1.0 / digit), 4) AS p_benford,
+        |  round(pow(CAST(n AS DOUBLE) / tot - log10(1 + 1.0 / digit), 2)
+        |        / log10(1 + 1.0 / digit), 4) AS chi2_term
+        |FROM m ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .select(centsL.as("c"))
+        .filter(col("c") > 0)
+        .select(substring(col("c").cast(StringType), 1, 1)
+          .cast(LongType).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val m = g.withColumn("tot", sum("n").over(Window.partitionBy()))
+      val pObs = col("n").cast(DoubleType) / col("tot")
+      val pBen = log10(lit(1) + lit(1.0) / col("digit"))
+      m.select(col("digit"), col("n"),
+        round(pObs, 4).as("p_obs"),
+        round(pBen, 4).as("p_benford"),
+        round(pow(pObs - pBen, 2) / pBen, 4).as("chi2_term"))
+        .orderBy("digit")
+    },
+
+    // ---- #151 exact two-sided trimmed mean ---------------------------------
+    // 10%-trimmed mean per type, exact at any SF: facts collapse to the
+    // (type, cents) value grain; the trim boundaries are integer ranks
+    // (k = n/10 from each side); each grain row contributes
+    // max(0, min(cum, n−k) − max(cum−cnt, k)) copies — pure integer
+    // clamp arithmetic riding the grain windows, so ties straddling a
+    // boundary split exactly. Numerator accumulates in DECIMAL(38,0)
+    // (the skew_kurt discipline) before ONE double divide → round(·,4).
+    "trimmed_mean" -> OpDef(
+      """WITH f AS (
+        |  SELECT event_type AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |g AS (SELECT t, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT t, c, cnt,
+        |    SUM(cnt) OVER (PARTITION BY t ORDER BY c) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY t) AS n
+        |  FROM g),
+        |x AS (
+        |  SELECT t, c, n,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(cum, n - n // 10) - GREATEST(cum - cnt, n // 10)) AS inc
+        |  FROM w)
+        |SELECT t AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(n) - 2 * (MAX(n) // 10) AS BIGINT) AS n_kept,
+        |  round(CAST(SUM(CAST(c AS HUGEINT) * inc) AS DOUBLE)
+        |        / (MAX(n) - 2 * (MAX(n) // 10)), 4) AS tmean_cents
+        |FROM x GROUP BY t ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), centsL.as("c"))
+        .groupBy("t", "c").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("t").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = g
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("t")))
+      val k = floor(col("n") / 10).cast(LongType)
+      val x = w.select(col("t"), col("c"), col("n"),
+        greatest(lit(0L),
+          least(col("cum"), col("n") - k) -
+            greatest(col("cum") - col("cnt"), k)).as("inc"))
+      val kept = max("n").cast(LongType) -
+        lit(2) * floor(max("n") / 10).cast(LongType)
+      x.groupBy("t").agg(max("n").cast(LongType).as("n"),
+        kept.as("n_kept"),
+        round(sum(col("c").cast(big) * col("inc").cast(big)).cast(DoubleType)
+          / kept, 4).as("tmean_cents"))
+        .select(col("t").as("event_type"), col("n"), col("n_kept"),
+          col("tmean_cents"))
+        .orderBy("event_type")
     }
   )
 }

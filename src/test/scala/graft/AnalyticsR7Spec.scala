@@ -288,4 +288,97 @@ class AnalyticsR7Spec extends SparkSpecBase {
     }
     assert(tp > 0 && tq > 0, "one half empty — PSI cut degenerate")
   }
+
+  test("quantile_timing_if: conditional quantiles equal the filtered brute force") {
+    def bucket(c: Long): Long =
+      if (c < 1024) c
+      else if (c < 32768) c / 16 * 16
+      else if (c < 65536) c / 256 * 256
+      else 65535L
+    val got = run("quantile_timing_if").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    events.groupBy(_._4).foreach { case (et, rs) =>
+      val sel = rs.filter(r => kOf(r._6) >= 50)
+      val bs = sel.map(r => bucket(cents(r._5))).sorted
+      val n = bs.length
+      def q(mulC: Long, mulN: Long): Long = {
+        var cum = 0L
+        bs.distinct.map { bk => cum += bs.count(_ == bk); (bk, cum) }
+          .collectFirst { case (bk, c) if mulC * c >= mulN * n => bk }.get
+      }
+      val (gn, g50, g90, g99) = got(et)
+      assert(gn == n.toLong, s"$et n_if")
+      assert(g50 == q(2, 1) && g90 == q(10, 9) && g99 == q(100, 99), s"$et")
+      assert(n < rs.length, s"$et predicate never pruned — -If vacuous")
+    }
+  }
+
+  test("linreg_fit_stats: R2/RMSE from the normal-equation identity") {
+    val got = run("linreg_fit_stats").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    events.groupBy(_._4).foreach { case (et, rs) =>
+      val n = rs.length.toDouble
+      val ys = rs.map(r => cents(r._5)); val ks = rs.map(r => kOf(r._6))
+      val ws = rs.map(r => dow(r._2))
+      def s(xs: Seq[Long]) = xs.map(BigInt(_)).sum.toDouble
+      def sp(a: Seq[Long], b: Seq[Long]) =
+        a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum.toDouble
+      val (sk, sw, sy) = (s(ks), s(ws), s(ys))
+      val (skk, sww, skw) = (sp(ks, ks), sp(ws, ws), sp(ks, ws))
+      val (sky, swy, syy) = (sp(ks, ys), sp(ws, ys), sp(ys, ys))
+      val det = n * (skk * sww - skw * skw) - sk * (sk * sww - skw * sw) +
+        sw * (sk * skw - skk * sw)
+      val b0 = (sy * (skk * sww - skw * skw) - sk * (sky * sww - skw * swy) +
+        sw * (sky * skw - skk * swy)) / det
+      val bK = (n * (sky * sww - skw * swy) - sy * (sk * sww - skw * sw) +
+        sw * (sk * swy - sky * sw)) / det
+      val bW = (n * (skk * swy - sky * skw) - sk * (sk * swy - sky * sw) +
+        sy * (sk * skw - skk * sw)) / det
+      val sse = syy - (b0 * sy + bK * sky + bW * swy)
+      val (gn, gr2, grmse) = got(et)
+      assert(gn == rs.length.toLong)
+      assert(math.abs(gr2 - (1 - sse / (syy - sy * sy / n))) <= 2e-4, s"$et r2")
+      assert(math.abs(grmse - math.sqrt(sse / n)) <= 2e-4, s"$et rmse")
+      assert(gr2 >= -0.001 && gr2 <= 1.0, s"$et r2 out of range")
+    }
+  }
+
+  test("benford_digits: first-digit histogram of the exact cents strings") {
+    val cs = events.map(r => cents(r._5)).filter(_ > 0)
+    val exp = cs.map(c => c.toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    val tot = exp.values.sum.toDouble
+    val got = run("benford_digits").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == exp.keySet)
+    assert(got.keySet.forall(d => d >= 1 && d <= 9))
+    got.foreach { case (d, (n, pObs, pBen, chi)) =>
+      assert(n == exp(d), s"digit $d count")
+      assert(math.abs(pObs - n / tot) <= 2e-4, s"digit $d p_obs")
+      val ben = math.log10(1 + 1.0 / d)
+      assert(math.abs(pBen - ben) <= 2e-4, s"digit $d p_benford")
+      assert(math.abs(chi - math.pow(n / tot - ben, 2) / ben) <= 2e-4, s"digit $d chi2")
+    }
+  }
+
+  test("trimmed_mean: exact 10%-trim against the sorted brute force") {
+    val got = run("trimmed_mean").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    events.groupBy(_._4).foreach { case (et, rs) =>
+      val cs = rs.map(r => cents(r._5)).sorted
+      val k = cs.length / 10
+      val kept = cs.slice(k, cs.length - k)
+      val exp = kept.map(BigInt(_)).sum.toDouble / kept.length
+      val (gn, gKept, gMean) = got(et)
+      assert(gn == cs.length.toLong && gKept == kept.length.toLong, s"$et counts")
+      assert(math.abs(gMean - exp) <= 2e-4, s"$et got=$gMean exp=$exp")
+      val plain = cs.map(BigInt(_)).sum.toDouble / cs.length
+      assert(k > 0 && math.abs(exp - plain) > 1e-9,
+        s"$et trim changed nothing — boundary handling untested")
+    }
+  }
 }

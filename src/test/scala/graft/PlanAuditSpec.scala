@@ -513,4 +513,32 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.sortMergeJoins == 0, s"$a")
     assert(a.fallbackExprs.isEmpty, s"$a")
   }
+
+  // the -If promise: conditional quantiles cost the same plan as the
+  // unconditional form — one fact exchange to the bucket cells, zero joins.
+  test("quantile_timing_if: same cell-grain shape as the unconditional form") {
+    val a = auditOf(run("quantile_timing_if"))
+    assert(a.scans == 1 && a.shuffles <= 4, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // fit diagnostics from the SAME single moment pass as the fit — no
+  // scoring rescan, no join.
+  test("linreg_fit_stats: one scan, one agg exchange, zero joins") {
+    val a = auditOf(run("linreg_fit_stats"))
+    assert(a.scans == 1 && a.shuffles <= 2, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
+
+  // benford: facts collapse straight to the 9-digit grain; trimmed_mean:
+  // facts collapse to the (type, cents) value grain — every later window
+  // and fold moves grain rows only, zero joins in either.
+  test("benford_digits / trimmed_mean: grain collapse first, zero joins") {
+    for (q <- Seq("benford_digits", "trimmed_mean")) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= 5, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty,
+        s"$q: $a")
+    }
+  }
 }
