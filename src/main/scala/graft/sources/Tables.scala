@@ -20,10 +20,17 @@ object Tables {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // locally-generated probe SFs (graft.GenTestData) write ts as
       // TIMESTAMP_MICROS directly — only the driver's NANOS files arrive
-      // as raw longs needing the truncating conversion
+      // as raw longs needing the truncating conversion. Driver files may
+      // also arrive as TIMESTAMP_NTZ (naive wall clock); the session tz is
+      // pinned to UTC, so casting to TimestampType is value-preserving and
+      // keeps every downstream consumer (and the DuckDB oracle, which is
+      // naive-timestamp anyway) on the schema the bank was built against.
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
     } else {
