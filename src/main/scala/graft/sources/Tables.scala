@@ -12,30 +12,33 @@ object Tables {
   )
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read it as raw nanos and truncate to a µs TimestampType column
-    // (`div` keeps the arithmetic in longs — nanos overflow a double).
-    if (name == "events") {
+    // events.ts is parquet TIMESTAMP(NANOS) in some driver rounds, which
+    // Spark's vectorized reader rejects; read it as raw nanos and truncate
+    // to a µs TimestampType column (`div` keeps the arithmetic in longs —
+    // nanos overflow a double).
+    if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      // locally-generated probe SFs (graft.GenTestData) write ts as
-      // TIMESTAMP_MICROS directly — only the driver's NANOS files arrive
-      // as raw longs needing the truncating conversion. Driver files may
-      // also arrive as TIMESTAMP_NTZ (naive wall clock); the session tz is
-      // pinned to UTC, so casting to TimestampType is value-preserving and
-      // keeps every downstream consumer (and the DuckDB oracle, which is
-      // naive-timestamp anyway) on the schema the bank was built against.
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn("ts",
-            col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df
-      }
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val fixed = if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+    normalizeNtz(fixed)
+  }
+
+  /** Driver rounds also vary the parquet timestamp encoding between
+    * instant (TIMESTAMP_MICROS) and naive (TIMESTAMP_NTZ). NTZ surfaces
+    * as LocalDateTime and breaks Row.getTimestamp call sites and schema
+    * pins, so normalize every NTZ column to µs TimestampType here at the
+    * single read chokepoint — the session timezone is pinned UTC, making
+    * the cast value-preserving, and the DuckDB oracle reads parquet as
+    * naive timestamps either way.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    ntz.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** Register every table as a temp view (for spark.sql-driven flows). */

@@ -541,4 +541,30 @@ class PlanAuditSpec extends SparkSpecBase {
         s"$q: $a")
     }
   }
+
+  // r8 shapes. cube: Expand feeds ONE partial aggregate — all four grouping
+  // sets in a single exchange, never four scans. range_window_sum: the
+  // RANGE frame rides ONE hashpartitioning(user_id) exchange — a date-band
+  // self-join here would re-shuffle the fact table ~7×. median_ci /
+  // anomaly_zscore: facts collapse to their grain first; windows and final
+  // folds move grain rows only.
+  test("cube_agg / range_window_sum / median_ci / anomaly_zscore: single-scan, zero joins") {
+    for ((q, maxShuf) <- Seq("cube_agg" -> 2, "range_window_sum" -> 2,
+        "median_ci" -> 3, "anomaly_zscore" -> 3)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty,
+        s"$q: $a")
+    }
+  }
+
+  // kendall_tau: the fact table is scanned exactly ONCE (n and both tie
+  // terms derive from the same collapsed grain + pair join — a per-statistic
+  // branch would be 5 corpus passes); the 70×70 cell self-join must stay a
+  // broadcast nested loop, never a shuffled join.
+  test("kendall_tau: one fact scan, tie terms ride the pair join") {
+    val a = auditOf(run("kendall_tau"))
+    assert(a.scans == 1, s"fact table re-scanned: $a")
+    assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+  }
 }
