@@ -87,7 +87,31 @@ object CapacityPins {
     Pin("spearman_corr", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     Pin("mannwhitney_utest", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     Pin("quantile_exact_interp", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
-    Pin("mad_exact", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain)
+    Pin("mad_exact", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
+    // the two remaining partition-less rank windows (r7 verdict): the
+    // bigram context rank sees only contexts with ≥100 pair occurrences
+    // (count ≤ total_tokens/100 and Heaps-law vocab growth — but that is
+    // a data premise, so it is audited here, not assumed); zipf's rank
+    // window sits behind a hard limit(1000), pinned so a future edit that
+    // drops the limit fails a named test instead of planning a
+    // vocab-wide single-partition sort.
+    Pin("bigram_condprob", ValueGrainCap,
+      "heavy contexts (ca ≥ 100) entering the partition-less ctx rank",
+      (s, dir) => {
+        val ts = split(col("text"), " ")
+        val n1 = greatest(size(ts) - 1, lit(0))
+        docsT(s, dir)
+          .select(explode(slice(ts, lit(1), n1)).as("a"))
+          .groupBy("a").agg(count(lit(1)).as("ca"))
+          .filter(col("ca") >= 100)
+          .count()
+      }),
+    Pin("zipf_fit", 1000, "rows entering the 1000-row rank window",
+      (s, dir) => docsT(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .count())
   )
 
   /** The inverse pins: premises of the form "the data EXCEEDS a bound",

@@ -115,13 +115,14 @@ object AnalyticsR8 {
         |  SELECT CAST(json_extract_string(props, 'k') AS BIGINT) // 10 AS x,
         |    date_part('dow', CAST(ts AS DATE)) AS y
         |  FROM events),
-        |g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+        |g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM f
+        |      WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2),
         |p AS (
         |  SELECT
-        |    SUM(CASE WHEN b.x > a.x AND b.y > a.y
-        |        THEN CAST(a.c AS HUGEINT) * b.c END) AS conc,
-        |    SUM(CASE WHEN b.x > a.x AND b.y < a.y
-        |        THEN CAST(a.c AS HUGEINT) * b.c END) AS disc
+        |    COALESCE(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+        |        THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS conc,
+        |    COALESCE(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+        |        THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS disc
         |  FROM g a, g b),
         |m AS (
         |  SELECT CAST(SUM(c) AS HUGEINT) AS n,
@@ -142,7 +143,9 @@ object AnalyticsR8 {
       val piv = tbl(s, dir, "events")
         .select((kProp / 10).cast(LongType).as("x"),
           (dayofweek(col("ts").cast(DateType)) - 1).cast(LongType).as("y"))
-        .groupBy("x").pivot("y", dows.map(Long.box)).agg(count(lit(1)))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .groupBy("x").pivot("y", dows.map(i => Long.box(i.toLong)))
+        .agg(count(lit(1)))
       def cAt(i: Int): Column = coalesce(col(s"$i"), lit(0L)).cast(big)
       val wCum = Window.orderBy("x")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -160,12 +163,13 @@ object AnalyticsR8 {
       val discRow = dows.map(y =>
         cAt(y) * afterRange(_ < y)).reduce(_ + _)
       val rowC = dows.map(cAt).reduce(_ + _)
-      val agg = withAfter.agg(
+      val aggCols: Seq[Column] = Seq(
         sum(rowC).as("n"),
         sum(concRow).as("conc"),
         sum(discRow).as("disc"),
-        sum(rowC * (rowC - 1)).as("tx"),
-        dows.map(i => max(col(s"tot_$i")).as(s"cc_$i")): _*)
+        sum(rowC * (rowC - 1)).as("tx")) ++
+        dows.map(i => max(col(s"tot_$i")).as(s"cc_$i"))
+      val agg = withAfter.agg(aggCols.head, aggCols.tail: _*)
       val nD = col("n").cast(DoubleType)
       val n0 = nD * (nD - 1) / 2
       val ty = dows.map(i => col(s"cc_$i") * (col(s"cc_$i") - 1))

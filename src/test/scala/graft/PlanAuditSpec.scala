@@ -558,11 +558,12 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
-  // kendall_tau: the fact table is scanned exactly ONCE (n and both tie
-  // terms derive from the same collapsed grain + pair join — a per-statistic
-  // branch would be 5 corpus passes); the 70×70 cell self-join must stay a
-  // broadcast nested loop, never a shuffled join.
-  test("kendall_tau: one fact scan, tie terms ride the pair join") {
+  // kendall_tau: the fact table is scanned exactly ONCE — the collapsed
+  // contingency grain PIVOTS on the 7 known dow values and concordant/
+  // discordant counts become dominance sums over per-column cumulative
+  // windows. No join anywhere in the plan (a per-statistic branch would be
+  // 5 corpus passes; even a cell self-join would scan twice).
+  test("kendall_tau: one fact scan, pivot + windows, zero joins") {
     val a = auditOf(run("kendall_tau"))
     assert(a.scans == 1, s"fact table re-scanned: $a")
     assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
