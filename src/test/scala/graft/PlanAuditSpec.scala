@@ -568,4 +568,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.scans == 1, s"fact table re-scanned: $a")
     assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
   }
+
+  // r8b shapes: every new op collapses facts ONCE and rides grain windows /
+  // partial aggs — single scan, zero joins anywhere. Shuffle budgets pin
+  // the exchange count (collapse + grain window(s) + final fold/sort); a
+  // breach means a window started repartitioning separately or a collapse
+  // split in two.
+  test("r8b ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("autocorr_daily" -> 4, "gini_inequality" -> 4,
+        "profile_columns" -> 2, "text_ttr" -> 3, "mean_family" -> 2,
+        "contingency_coef" -> 4, "interarrival_quantiles" -> 4,
+        "shingle_novelty" -> 4)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
