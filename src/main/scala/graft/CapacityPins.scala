@@ -88,6 +88,7 @@ object CapacityPins {
     Pin("mannwhitney_utest", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     Pin("quantile_exact_interp", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     Pin("mad_exact", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
+    Pin("cliffs_delta", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     // the two remaining partition-less rank windows (r7 verdict): the
     // bigram context rank sees only contexts with ≥100 pair occurrences
     // (count ≤ total_tokens/100 and Heaps-law vocab growth — but that is

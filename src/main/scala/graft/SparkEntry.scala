@@ -8,7 +8,7 @@ object SparkEntry {
   /** Every implemented SURVEY §2 operator, with oracle when SQL-expressible. */
   def allDefs: Map[String, OpDef] =
     ops.Relational.defs ++ ops.AnalyticsR7.defs ++ ops.AnalyticsR8.defs ++
-      ops.AnalyticsR8b.defs ++
+      ops.AnalyticsR8b.defs ++ ops.AnalyticsR8c.defs ++
       ops.CdcQueries.defs ++
       ops.StreamQueries.defs ++ text.TextOps.defs ++ dedup.Dedup.defs ++
       ann.Ann.defs ++ multimodal.MediaColumns.defs

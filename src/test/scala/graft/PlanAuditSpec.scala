@@ -585,4 +585,30 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // second r8 batch: kl/cliffs/streak/transitions are join-free grain
+  // pipelines like the rest of the bank; audience_overlap joins — but only
+  // the distinct (type,user) GRAIN with itself on user (hash or broadcast,
+  // never sort-merge at test SF AQE may pick either side), plus two
+  // broadcast count lookups on ≤10 pair rows.
+  test("r8c ops: grain pipelines stay join-free; overlap joins grain only") {
+    for ((q, maxShuf) <- Seq("kl_divergence" -> 4, "cliffs_delta" -> 3,
+        "max_streak" -> 3, "type_transitions" -> 4)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+    // the (type,user) grain is persisted: all four consumers (both join
+    // sides, both count lookups) must read the cache — the audit's static
+    // scan count sees the scan subtree duplicated inside each
+    // InMemoryTableScan, so assert the cache nodes directly instead.
+    val df = run("audience_overlap")
+    df.count()
+    val a = PlanAudit.audit(df.queryExecution.executedPlan)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"), "grain not served from cache")
+    assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+    graft.CacheRegistry.release()
+  }
 }
