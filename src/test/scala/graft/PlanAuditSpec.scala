@@ -611,4 +611,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
     graft.CacheRegistry.release()
   }
+
+  // fourth r8 batch: all grain pipelines, zero joins. cov_corr_matrix is
+  // ONE partial-agg exchange (the 3-pair stack is a post-agg explode, not
+  // a rescan); moving_median rides the day-grain window; theil and
+  // doc_length ride their value-grain windows.
+  test("r8d ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("cov_corr_matrix" -> 2, "moving_median_7d" -> 3,
+        "theil_index" -> 4, "doc_length_stats" -> 3)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
