@@ -625,4 +625,17 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // fifth r8 batch: all single-collapse partial-agg shapes — the cheapest
+  // class in the bank. value_cdf_probes must stay windowless (all probes
+  // inside ONE conditional agg); the other two add only a grain window.
+  test("r8e ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("log2_histogram" -> 3, "value_cdf_probes" -> 2,
+        "hour_profile" -> 3)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
