@@ -62,6 +62,24 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) => StreamOps.windowedUniques(ev(s, dir)).orderBy("day", "event_type") },
 
+    // ---- #177 windowed fixed-probe CDF counters --------------------------
+    // Live SLO-threshold monitoring (share of values ≤ X per window)
+    // without a quantile sketch: all five probe counters ride ONE
+    // watermarked windowed aggregate — exact, trivially incremental.
+    "stream_cdf" -> OpDef(
+      """WITH f AS (
+        |  SELECT date_trunc('day', ts) AS d, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+        |  CAST(COUNT(CASE WHEN c <= 1000 THEN 1 END) AS BIGINT) AS le_1000,
+        |  CAST(COUNT(CASE WHEN c <= 2500 THEN 1 END) AS BIGINT) AS le_2500,
+        |  CAST(COUNT(CASE WHEN c <= 5000 THEN 1 END) AS BIGINT) AS le_5000,
+        |  CAST(COUNT(CASE WHEN c <= 7500 THEN 1 END) AS BIGINT) AS le_7500,
+        |  CAST(COUNT(CASE WHEN c <= 9000 THEN 1 END) AS BIGINT) AS le_9000
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) => StreamOps.windowedCdf(ev(s, dir)).orderBy("day", "event_type") },
+
     // ---- #66 windowed heavy hitters (streaming-capable topK) -------------
     // Exact at test SF (capacity > distinct users/group), ties broken by
     // user string ascending on both engines. The streaming transform keeps

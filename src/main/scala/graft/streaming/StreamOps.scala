@@ -25,6 +25,26 @@ object StreamOps {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** #177 — windowed fixed-probe CDF counters per (day, type): every probe
+    * rides the SAME watermarked windowed aggregate — the -If / conditional
+    * count discipline lifted to streams. Conditional partial aggs are
+    * trivially incremental, so state per open window stays O(types ×
+    * probes) however hot the window — the live SLO-threshold monitor
+    * (share of values ≤ X) without a quantile sketch.
+    */
+  val cdfProbes: Seq[Long] = Seq(1000L, 2500L, 5000L, 7500L, 9000L)
+
+  def windowedCdf(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    src.select(col("ts"), col("event_type"), cents.as("c"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        cdfProbes.map(p => count(when(col("c") <= p, 1)).as(s"le_$p")): _*)
+      .select(Seq(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n")) ++ cdfProbes.map(p => col(s"le_$p")): _*)
+  }
+
   /** #43 — gap-based sessionization (4-hour inactivity gap) per user via the
     * native session_window operator: state is one open session per user,
     * closed by the watermark on streams.

@@ -364,6 +364,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.subsetOf(batch)) // emitted = closed windows; all must match batch
   }
 
+  test("windowed CDF probe counters on a stream match batch on closed windows") {
+    implicit val s = spark
+    import s.implicits._
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value")
+      .as[(Long, Long, String, java.sql.Timestamp, Double)]
+      .collect().sortBy(_._4.getTime)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val q = StreamOps.windowedCdf(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("wcdf").outputMode("append").start()
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    val got = spark.sql("select * from wcdf").collect().map(key).toSet
+    assert(got.nonEmpty, "no closed windows emitted")
+    val batch = StreamOps.windowedCdf(
+      spark.createDataFrame(ev.toSeq).toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .collect().map(key).toSet
+    assert(got.subsetOf(batch),
+      "streamed probe counters must equal the batch shape on closed windows")
+    // counters are monotone in the probe and bounded by n
+    got.foreach { case (_, _, n, a, b, c, d, e) =>
+      assert(a <= b && b <= c && c <= d && d <= e && e <= n)
+    }
+  }
+
   test("windowed DISTINCT users on a stream (chained stateful ops) match batch") {
     implicit val s = spark
     import s.implicits._
