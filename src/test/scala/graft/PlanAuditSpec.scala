@@ -638,4 +638,17 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // sixth r8 batch: all grain pipelines — dow/hill on per-type grain
+  // windows, newness on the (user, day) grain with the first-day window
+  // riding the user clustering. Zero joins throughout.
+  test("r8f ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("dow_seasonality" -> 3, "user_newness" -> 3,
+        "hill_tail" -> 4)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
