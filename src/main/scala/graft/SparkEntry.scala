@@ -10,7 +10,7 @@ object SparkEntry {
     ops.Relational.defs ++ ops.AnalyticsR7.defs ++ ops.AnalyticsR8.defs ++
       ops.AnalyticsR8b.defs ++ ops.AnalyticsR8c.defs ++
       ops.AnalyticsR8d.defs ++ ops.AnalyticsR8e.defs ++
-      ops.AnalyticsR8f.defs ++
+      ops.AnalyticsR8f.defs ++ ops.AnalyticsR8g.defs ++
       ops.CdcQueries.defs ++
       ops.StreamQueries.defs ++ text.TextOps.defs ++ dedup.Dedup.defs ++
       ann.Ann.defs ++ multimodal.MediaColumns.defs

@@ -651,4 +651,17 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // seventh r8 batch: all three are pure grain pipelines — zero joins.
+  // retention_curve's population size is the offset-0 grain row read by a
+  // window (total ≡ n_active(0)), so no second scan and no broadcast.
+  test("r8g ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("burstiness" -> 3, "gap_survival" -> 3,
+        "retention_curve" -> 4)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
