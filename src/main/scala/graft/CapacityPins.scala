@@ -89,6 +89,17 @@ object CapacityPins {
     Pin("quantile_exact_interp", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     Pin("mad_exact", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     Pin("cliffs_delta", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
+    // revenue_concentration's partition-less clamp windows run on the
+    // USER-TOTAL cents grain (distinct per-user spend totals) — a coarser
+    // but still data-dependent domain, audited like the value grain
+    Pin("revenue_concentration", ValueGrainCap,
+      "distinct user-total cents (grain window)",
+      (s, dir) => events(s, dir)
+        .select(col("user_id"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast(org.apache.spark.sql.types.LongType).as("c"))
+        .groupBy("user_id").agg(sum("c").as("c"))
+        .agg(countDistinct("c")).collect()(0).getLong(0)),
     // the two remaining partition-less rank windows (r7 verdict): the
     // bigram context rank sees only contexts with ≥100 pair occurrences
     // (count ≤ total_tokens/100 and Heaps-law vocab growth — but that is

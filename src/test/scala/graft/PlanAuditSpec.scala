@@ -664,4 +664,17 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // eighth r8 batch: all grain pipelines, zero joins — markov on the lag
+  // exchange + transition grain, active_days on two bounded collapses,
+  // revenue_concentration's clamp cuts on the pinned user-total grain.
+  test("r8h ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("markov_entropy" -> 4, "active_days_hist" -> 3,
+        "revenue_concentration" -> 5)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
