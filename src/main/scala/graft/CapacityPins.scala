@@ -89,6 +89,7 @@ object CapacityPins {
     Pin("quantile_exact_interp", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     Pin("mad_exact", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     Pin("cliffs_delta", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
+    Pin("rank_corr_matrix", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),
     // revenue_concentration's partition-less clamp windows run on the
     // USER-TOTAL cents grain (distinct per-user spend totals) — a coarser
     // but still data-dependent domain, audited like the value grain

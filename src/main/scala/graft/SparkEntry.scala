@@ -11,7 +11,7 @@ object SparkEntry {
       ops.AnalyticsR8b.defs ++ ops.AnalyticsR8c.defs ++
       ops.AnalyticsR8d.defs ++ ops.AnalyticsR8e.defs ++
       ops.AnalyticsR8f.defs ++ ops.AnalyticsR8g.defs ++
-      ops.AnalyticsR8h.defs ++
+      ops.AnalyticsR8h.defs ++ ops.AnalyticsR8i.defs ++
       ops.CdcQueries.defs ++
       ops.StreamQueries.defs ++ text.TextOps.defs ++ dedup.Dedup.defs ++
       ann.Ann.defs ++ multimodal.MediaColumns.defs

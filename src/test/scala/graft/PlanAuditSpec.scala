@@ -677,4 +677,17 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // ninth r8 batch: rank_corr_matrix's three rank maps must BROADCAST
+  // onto the fact pass (fact rows never shuffle — the spearman_corr
+  // promise, ×3); dup_rate is the canonical two-phase distinct.
+  test("r8i ops: rank maps broadcast, fact rows never shuffled") {
+    val a = auditOf(run("rank_corr_matrix"))
+    assert(a.broadcastJoins == 3 && a.sortMergeJoins == 0, s"$a")
+    assert(a.fallbackExprs.isEmpty, s"$a")
+    val b = auditOf(run("dup_rate_by_source"))
+    assert(b.scans == 1 && b.shuffles <= 3 &&
+      b.broadcastJoins + b.sortMergeJoins == 0 && b.fallbackExprs.isEmpty,
+      s"$b")
+  }
 }
