@@ -132,6 +132,44 @@ object AnalyticsR8i {
         .orderBy("pair")
     },
 
+    // ---- #190 week-over-week revenue change --------------------------------
+    // Per type per 7-day bucket: exact cents total and the WoW % change —
+    // the trend read-out monitoring dashboards lead with. Facts collapse
+    // ONCE to the week grain (day div 7 — pure integer bucketing, no
+    // calendar-library week numbering whose ISO edge rules differ across
+    // engines); the lag rides a per-type grain window; the % change is
+    // one divide → round(·,4), NULL for each type's first week.
+    "week_over_week" -> OpDef(
+      """WITH f AS (
+        |  SELECT event_type AS t,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |g AS (SELECT t, CAST(wk AS BIGINT) AS wk, CAST(SUM(c) AS BIGINT) AS s
+        |      FROM f GROUP BY 1, 2),
+        |l AS (
+        |  SELECT t, wk, s,
+        |    lag(s) OVER (PARTITION BY t ORDER BY wk) AS prev
+        |  FROM g)
+        |SELECT t AS event_type, wk, s AS week_cents,
+        |  round((CAST(s AS DOUBLE) - prev) / prev, 4) AS wow_pct
+        |FROM l ORDER BY t, wk""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .select(col("event_type").as("t"),
+          expr("(datediff(cast(ts as date), date'1970-01-01') div 7)")
+            .cast(LongType).as("wk"),
+          centsL.as("c"))
+        .groupBy("t", "wk").agg(sum("c").cast(LongType).as("s"))
+      val prev = lag(col("s"), 1).over(Window.partitionBy("t").orderBy("wk"))
+      g.withColumn("prev", prev)
+        .select(col("t").as("event_type"), col("wk"),
+          col("s").as("week_cents"),
+          round((col("s").cast(DoubleType) - col("prev")) / col("prev"), 4)
+            .as("wow_pct"))
+        .orderBy("event_type", "wk")
+    },
+
     // ---- #188 duplication rate by source -----------------------------------
     // Per (source): docs, exact-distinct texts (16-byte md5 keys — the
     // dedup_exact discipline: digests shuffle, never text bodies), and

@@ -76,6 +76,59 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- #189 declared-vs-predicted language confusion matrix -------------
+    // The language-metadata audit: crosstab of the corpus's DECLARED lang
+    // column against #36's predicted language, with the share within each
+    // declared language — where the feed's metadata disagrees with the
+    // text, curation must pick a side. Pred is computed inline on the
+    // same scan (no join); ONE collapse to the ≤25-cell grain; share
+    // rides a grain window; integers + one divide → round(·,4).
+    "lang_confusion" -> OpDef(
+      s"""WITH t AS (
+         |  SELECT lang, list_distinct(string_split(text, ' ')) AS ws
+         |  FROM documents),
+         |h AS (
+         |  SELECT lang,
+         |    len(list_intersect(ws, ${sqlList(lexicons(1)._2)})) AS h_en,
+         |    len(list_intersect(ws, ${sqlList(lexicons(0)._2)})) AS h_de,
+         |    len(list_intersect(ws, ${sqlList(lexicons(3)._2)})) AS h_fr,
+         |    len(list_intersect(ws, ${sqlList(lexicons(2)._2)})) AS h_es
+         |  FROM t),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
+         |         WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+         |         WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+         |         WHEN h_fr >= h_es THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM h),
+         |g AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n,
+         |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 4)
+         |    AS share
+         |FROM g ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val ws = array_distinct(words)
+      def hits(lex: Seq[String]): Column =
+        size(array_intersect(ws, array(lex.map(lit): _*)))
+      val hEn = hits(lexicons(1)._2); val hDe = hits(lexicons(0)._2)
+      val hFr = hits(lexicons(3)._2); val hEs = hits(lexicons(2)._2)
+      val g = docs(s, dir).select(
+          col("lang"),
+          when(hEn === 0 && hDe === 0 && hFr === 0 && hEs === 0, "und")
+            .when(hEn >= hDe && hEn >= hFr && hEn >= hEs, "en")
+            .when(hDe >= hFr && hDe >= hEs, "de")
+            .when(hFr >= hEs, "fr")
+            .otherwise("es").as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      g.select(col("lang"), col("pred_lang"),
+          col("n").cast(LongType).as("n"),
+          round(col("n").cast(DoubleType)
+            / sum("n").over(Window.partitionBy("lang")), 4).as("share"))
+        .orderBy("lang", "pred_lang")
+    },
+
     // ---- #37 quality scoring ---------------------------------------------
     // length / duplication / stopword signals; identical double expression
     // shape on both engines, round(·,4) for parity.

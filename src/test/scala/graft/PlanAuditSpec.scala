@@ -690,4 +690,16 @@ class PlanAuditSpec extends SparkSpecBase {
       b.broadcastJoins + b.sortMergeJoins == 0 && b.fallbackExprs.isEmpty,
       s"$b")
   }
+
+  // tenth r8 batch: lang_confusion computes the prediction inline on the
+  // scan (no join with a pred table); week_over_week is a week-grain
+  // collapse + per-type lag window.
+  test("r8j ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("lang_confusion" -> 3, "week_over_week" -> 3)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
