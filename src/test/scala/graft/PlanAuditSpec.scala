@@ -702,4 +702,17 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // eleventh r8 batch: first_touch carries argmin AND conversion in one
+  // user aggregate (no join of a first-event table back onto facts);
+  // conversion_by_decile is one conditional partial agg.
+  test("r8k ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("first_touch_conversion" -> 3,
+        "conversion_by_decile" -> 2)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
