@@ -715,4 +715,18 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // TPC-H-classic batch: no sort-merge joins at test SF (AQE broadcasts
+  // the pruned sides), the q14 part dim must broadcast (forced — it is
+  // constant-size at any fact scale), and no interpreted expressions.
+  test("tpch r8 batch: joins broadcast at test SF, no fallback") {
+    for (q <- Seq("q4_priority_slowship", "q12_priority_class",
+        "q14_promo_share")) {
+      val a = auditOf(run(q))
+      assert(a.sortMergeJoins == 0, s"$q: $a")
+      assert(a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+    val a = auditOf(run("q14_promo_share"))
+    assert(a.broadcastJoins == 1, s"part dim must broadcast: $a")
+  }
 }
