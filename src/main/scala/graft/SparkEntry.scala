@@ -12,7 +12,8 @@ object SparkEntry {
       ops.AnalyticsR8d.defs ++ ops.AnalyticsR8e.defs ++
       ops.AnalyticsR8f.defs ++ ops.AnalyticsR8g.defs ++
       ops.AnalyticsR8h.defs ++ ops.AnalyticsR8i.defs ++
-      ops.AnalyticsR8k.defs ++ ops.RelationalR8.defs ++
+      ops.AnalyticsR8k.defs ++ ops.AnalyticsR8l.defs ++
+      ops.RelationalR8.defs ++
       ops.CdcQueries.defs ++
       ops.StreamQueries.defs ++ text.TextOps.defs ++ dedup.Dedup.defs ++
       ann.Ann.defs ++ multimodal.MediaColumns.defs

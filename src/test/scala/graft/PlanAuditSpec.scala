@@ -729,4 +729,15 @@ class PlanAuditSpec extends SparkSpecBase {
     val a = auditOf(run("q14_promo_share"))
     assert(a.broadcastJoins == 1, s"part dim must broadcast: $a")
   }
+
+  // final r8 batch: two-level entity rollup + scan-riding token histogram.
+  test("r8l ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("orders_per_customer_stats" -> 3,
+        "tokens_per_doc_hist" -> 3)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
