@@ -740,4 +740,14 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // closing relational batch: no sort-merge joins at test SF; the brand
+  // dim must broadcast (forced — constant-size at any fact scale).
+  test("closing relational batch: joins broadcast, no fallback") {
+    val a = auditOf(run("delivery_lag_quantiles"))
+    assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+    val b = auditOf(run("brand_band_revenue"))
+    assert(b.broadcastJoins == 1 && b.sortMergeJoins == 0 &&
+      b.fallbackExprs.isEmpty, s"$b")
+  }
 }
