@@ -14,6 +14,7 @@ object SparkEntry {
       ops.AnalyticsR8h.defs ++ ops.AnalyticsR8i.defs ++
       ops.AnalyticsR8k.defs ++ ops.AnalyticsR8l.defs ++
       ops.RelationalR8.defs ++ ops.RelationalR8b.defs ++
+      ops.RelationalR8c.defs ++
       ops.CdcQueries.defs ++
       ops.StreamQueries.defs ++ text.TextOps.defs ++ dedup.Dedup.defs ++
       ann.Ann.defs ++ multimodal.MediaColumns.defs

@@ -750,4 +750,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(b.broadcastJoins == 1 && b.sortMergeJoins == 0 &&
       b.fallbackExprs.isEmpty, s"$b")
   }
+
+  // coda batch: pure single-table rollups.
+  test("coda ops: single-scan, zero-join, bounded exchanges") {
+    for ((q, maxShuf) <- Seq("status_revenue_rollup" -> 3,
+        "events_per_user_hist" -> 3)) {
+      val a = auditOf(run(q))
+      assert(a.scans == 1 && a.shuffles <= maxShuf, s"$q: $a")
+      assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
+        a.fallbackExprs.isEmpty, s"$q: $a")
+    }
+  }
 }
