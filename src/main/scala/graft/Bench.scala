@@ -32,9 +32,13 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // optional comma-separated query filter for focused runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // optional N repeats per query (warm, single-JVM timing); the MINIMUM
-    // wall time is reported — the least-noise estimator for a fixed plan
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // N repeats per query (warm, single-JVM timing); the MINIMUM wall time
+    // is reported — the least-noise estimator for a fixed plan. DEFAULT 2:
+    // full sweeps with a single timed run carried GC/compaction spikes big
+    // enough to simulate regressions (r8 driver sweep recorded range_group
+    // at 3.21 s vs 0.17 s warm truth — 19× pure noise); min-of-2 ends that
+    // class while only ~doubling sweep cost.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
     // steady-state mode (DEFAULT ON; opt out with SPARK_GRAFT_WARMUP_QUERY=0):
     // run each query once UNTIMED first, so a full sweep measures warmed
     // plans instead of first-run JIT/codegen compilation — full-sweep cold

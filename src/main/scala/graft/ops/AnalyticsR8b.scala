@@ -277,7 +277,9 @@ object AnalyticsR8b {
         |  SELECT event_type AS t,
         |    CAST(json_extract_string(props, 'k') AS BIGINT) // 10 AS b,
         |    CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events
+        |  WHERE json_extract_string(props, 'k') IS NOT NULL
+        |  GROUP BY 1, 2),
         |m AS (
         |  SELECT t, b, n,
         |    SUM(n) OVER (PARTITION BY t) AS rm,
@@ -299,10 +301,15 @@ object AnalyticsR8b {
         |    AS tschuprow_t
         |FROM x""".stripMargin
     ) { (s, dir) =>
+      // rows with missing k are EXCLUDED (matching cov_corr_matrix /
+      // rank_corr_matrix): a NULL decile would be counted as a χ² cell
+      // while COUNT(DISTINCT b) excludes NULL, understating n_cols in
+      // Tschuprow's normalizer — engine-consistent but statistically wrong
       val c = tbl(s, dir, "events")
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
         .groupBy(col("event_type").as("t"),
-          (get_json_object(col("props"), "$.k").cast(LongType) / 10)
-            .cast(LongType).as("b"))
+          parity.floorDiv(
+            get_json_object(col("props"), "$.k").cast(LongType), 10).as("b"))
         .agg(count(lit(1)).as("n"))
       val m = c
         .withColumn("rm", sum("n").over(Window.partitionBy("t")))
@@ -395,7 +402,7 @@ object AnalyticsR8b {
           expr("unix_micros(ts)").as("us"), col("event_id"))
         .withColumn("gap_us", col("us") - lag(col("us"), 1).over(lagW))
         .filter(col("gap_us").isNotNull)
-        .select(col("t"), expr("gap_us div 1000000").as("gs"))
+        .select(col("t"), parity.floorDiv(col("gap_us"), 1000000L).as("gs"))
       val g = l.groupBy("t", "gs").agg(count(lit(1)).as("cnt"))
       val cumW = Window.partitionBy("t").orderBy("gs")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -57,7 +57,7 @@ object AnalyticsR8c {
     ) { (s, dir) =>
       val c = tbl(s, dir, "events")
         .groupBy(col("event_type").as("t"),
-          (kProp / 10).cast(LongType).as("b"))
+          parity.floorDiv(kProp, 10).as("b"))
         .agg(count(lit(1)).as("n"))
       val m = c
         .withColumn("nt", sum("n").over(Window.partitionBy("t")))

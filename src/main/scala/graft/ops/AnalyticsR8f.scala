@@ -135,14 +135,14 @@ object AnalyticsR8f {
         |sel AS (
         |  SELECT t, c,
         |    GREATEST(0, LEAST(cnt, 100 - above)) AS take,
-        |    MAX(CASE WHEN above + cnt >= 100 THEN c END)
-        |      OVER (PARTITION BY t) AS x_ref,
+        |    COALESCE(MAX(CASE WHEN above + cnt >= 100 THEN c END)
+        |      OVER (PARTITION BY t), MIN(c) OVER (PARTITION BY t)) AS x_ref,
         |    n
         |  FROM w)
         |SELECT t AS event_type, CAST(SUM(take) AS BIGINT) AS k_eff,
         |  CAST(MAX(x_ref) AS BIGINT) AS x_ref_c,
-        |  round(SUM(take) / SUM(take * ln(CAST(c AS DOUBLE) / x_ref)), 4)
-        |    AS hill_alpha
+        |  round(SUM(take) / NULLIF(SUM(take * ln(CAST(c AS DOUBLE) / x_ref)), 0),
+        |    4) AS hill_alpha
         |FROM sel WHERE take > 0 GROUP BY t ORDER BY t""".stripMargin
     ) { (s, dir) =>
       val g = tbl(s, dir, "events")
@@ -161,17 +161,24 @@ object AnalyticsR8f {
         .withColumn("x_ref",
           // the k-th largest = the LARGEST c whose inclusive from-the-top
           // cumulative reaches k (every later row also qualifies — min
-          // would pick the distribution's smallest value)
-          max(when(col("above") + col("cnt") >= 100, col("c"))).over(tp))
+          // would pick the distribution's smallest value). A type with
+          // FEWER than k=100 grain rows has no such c; k=min(100,n) then
+          // selects everything and the k-th largest is the minimum — the
+          // COALESCE fallback (without it, x_ref is NULL and hill_alpha
+          // silently NULLs while k_eff still reports the clamped count)
+          coalesce(max(when(col("above") + col("cnt") >= 100, col("c"))).over(tp),
+            min("c").over(tp)))
       sel.filter(col("take") > 0)
         .groupBy("t").agg(
           sum("take").cast(LongType).as("k_eff"),
           max("x_ref").cast(LongType).as("x_ref_c"),
-          round(sum("take")
-            / sum(col("take") * log(col("c").cast(DoubleType) / col("x_ref"))),
-            4).as("hill_alpha"))
+          sum(col("take") * log(col("c").cast(DoubleType) / col("x_ref")))
+            .as("lnsum"))
         .select(col("t").as("event_type"), col("k_eff"), col("x_ref_c"),
-          col("hill_alpha"))
+          // NULLIF guard: a single-distinct-value group folds ln(1)=0 —
+          // NULL (both engines) beats an engine-dependent div-by-zero
+          round(when(col("lnsum") =!= 0.0,
+            col("k_eff").cast(DoubleType) / col("lnsum")), 4).as("hill_alpha"))
         .orderBy("event_type")
     }
   )

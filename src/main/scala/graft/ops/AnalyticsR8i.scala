@@ -157,8 +157,9 @@ object AnalyticsR8i {
     ) { (s, dir) =>
       val g = tbl(s, dir, "events")
         .select(col("event_type").as("t"),
-          expr("(datediff(cast(ts as date), date'1970-01-01') div 7)")
-            .cast(LongType).as("wk"),
+          parity.floorDiv(
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")), 7)
+            .as("wk"),
           centsL.as("c"))
         .groupBy("t", "wk").agg(sum("c").cast(LongType).as("s"))
       val prev = lag(col("s"), 1).over(Window.partitionBy("t").orderBy("wk"))

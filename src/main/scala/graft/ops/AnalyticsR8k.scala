@@ -77,7 +77,7 @@ object AnalyticsR8k {
     ) { (s, dir) =>
       tbl(s, dir, "events")
         .filter(get_json_object(col("props"), "$.k").isNotNull)
-        .select((kProp / 10).cast(LongType).as("b"),
+        .select(parity.floorDiv(kProp, 10).as("b"),
           col("event_type").as("t"))
         .groupBy("b")
         .agg(count(lit(1)).cast(LongType).as("n"),

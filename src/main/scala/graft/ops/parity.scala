@@ -27,4 +27,15 @@ object parity {
 
   /** DuckDB spelling of [[md5Long]]. */
   def md5LongSql(expr: String): String = s"('0x'||substr(md5($expr),1,15))::BIGINT"
+
+  /** Exact integer FLOOR division, matching DuckDB's `//` on negatives too.
+    * Spark's `div` (and `/` + cast) truncate toward zero, so `-1 div 7 = 0`
+    * while DuckDB's `-1 // 7 = -1` — divergent exactly when the dividend is
+    * negative (pre-1970 timestamps, negative json k). `x - pmod(x, n)` is
+    * exactly divisible by n and pmod is non-negative for a positive modulus,
+    * so the quotient is the true floor; the double intermediate is exact for
+    * |x| < 2^53 (day numbers, micros gaps, json k all qualify).
+    */
+  def floorDiv(c: Column, n: Long): Column =
+    ((c.cast(LongType) - pmod(c.cast(LongType), lit(n))) / n).cast(LongType)
 }
