@@ -7,14 +7,10 @@ object SparkEntry {
 
   /** Every implemented SURVEY §2 operator, with oracle when SQL-expressible. */
   def allDefs: Map[String, OpDef] =
-    ops.Relational.defs ++ ops.AnalyticsR7.defs ++ ops.AnalyticsR8.defs ++
-      ops.AnalyticsR8b.defs ++ ops.AnalyticsR8c.defs ++
-      ops.AnalyticsR8d.defs ++ ops.AnalyticsR8e.defs ++
-      ops.AnalyticsR8f.defs ++ ops.AnalyticsR8g.defs ++
-      ops.AnalyticsR8h.defs ++ ops.AnalyticsR8i.defs ++
-      ops.AnalyticsR8k.defs ++ ops.AnalyticsR8l.defs ++
-      ops.RelationalR8.defs ++ ops.RelationalR8b.defs ++
-      ops.RelationalR8c.defs ++
+    ops.Relational.defs ++ ops.AnalyticsR7.defs ++
+      ops.SeriesDiagnostics.defs ++ ops.AssociationStats.defs ++
+      ops.DistributionProfile.defs ++ ops.EngagementOps.defs ++
+      ops.CorpusProfile.defs ++ ops.TpchShapes.defs ++
       ops.CdcQueries.defs ++
       ops.StreamQueries.defs ++ text.TextOps.defs ++ dedup.Dedup.defs ++
       ann.Ann.defs ++ multimodal.MediaColumns.defs

@@ -178,7 +178,7 @@ object AnalyticsR7 {
     ) { (s, dir) =>
       val cdf = tbl(s, dir, "events")
         .groupBy(col("event_type").as("t"),
-          (kProp / 10).cast(LongType).as("b"))
+          parity.floorDiv(kProp, 10).as("b"))
         .agg(count(lit(1)).as("n"))
       val m = cdf
         .withColumn("rm", sum("n").over(Window.partitionBy("t")))
@@ -566,7 +566,7 @@ object AnalyticsR7 {
     ) { (s, dir) =>
       val c = tbl(s, dir, "events")
         .groupBy(col("event_type").as("t"),
-          (kProp / 10).cast(LongType).as("b"))
+          parity.floorDiv(kProp, 10).as("b"))
         .agg(count(lit(1)).as("n"))
       val m = c
         .withColumn("nt", sum("n").over(Window.partitionBy("t")))
@@ -613,7 +613,7 @@ object AnalyticsR7 {
       val f = tbl(s, dir, "events")
         .select(datediff(col("ts").cast(DateType),
           to_date(lit("1970-01-01"))).as("d"),
-          (kProp / 10).cast(LongType).as("b"))
+          parity.floorDiv(kProp, 10).as("b"))
       val bd = f.agg(floor((min("d") + max("d") + 1) / 2).as("cut"))
       val c = f.crossJoin(broadcast(bd))
         .groupBy("b")

@@ -1,0 +1,380 @@
+package graft.ops
+
+import graft.{GraftSession, OpDef}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.2 — user-lifecycle / engagement analytics: streaks,
+  * retention, attribution and per-user volume profiles. Shared
+  * discipline: ONE user-keyed aggregate carries every per-user fact
+  * (distinct-day sets are calendar-bounded), second collapses land on
+  * tiny grains, shares are single divides -> round(.,4).
+  * (Consolidated r9 from the r8 chronology files.)
+  */
+object EngagementOps {
+
+  private def tbl(s: SparkSession, dir: String, n: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables(s, dir, n)
+  }
+
+  private val kProp = get_json_object(col("props"), "$.k").cast(LongType)
+  private val centsL =
+    (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+  private val big = DecimalType(38, 0)
+  private val epochDay = datediff(col("ts").cast(DateType),
+    to_date(lit("1970-01-01"))).cast(LongType)
+
+  val defs: Map[String, OpDef] = Map(
+    // ---- #167 longest consecutive-day streak per user ----------------------
+    // The CH maxConsecutive / gaps-and-islands pass: per user, the longest
+    // run of consecutive active days plus the island count. Facts collapse
+    // to the distinct (user, day) grain; the island id is the classic
+    // d − row_number fold; BOTH windows and BOTH collapses ride one
+    // hashpartitioning(user_id) clustering. Pure integer arithmetic —
+    // exact, order-independent.
+    "max_streak" -> OpDef(
+      """WITH dd AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+        |  FROM dd),
+        |g AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len
+        |      FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val dd = tbl(s, dir, "events")
+        .select(col("user_id"), epochDay.as("d")).distinct()
+      val r = dd.withColumn("isl", col("d") - row_number().over(
+        Window.partitionBy("user_id").orderBy("d")))
+      r.groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").cast(LongType).as("max_streak"),
+          count(lit(1)).cast(LongType).as("n_islands"))
+        .orderBy("user_id")
+    },
+
+    // ---- #168 audience overlap (pairwise Jaccard of user sets) -------------
+    // |U_a ∩ U_b| / |U_a ∪ U_b| for every event-type pair — the audience
+    // cross-over matrix. Facts collapse ONCE to the distinct (type, user)
+    // grain; the pair intersection is a hash self-join of the GRAIN on
+    // user (each user contributes its type pairs — never a fact-row
+    // join); per-type sizes come from the same grain and broadcast onto
+    // the ≤10 pair rows. Exact integers; one divide → round(·,4).
+    "audience_overlap" -> OpDef(
+      """WITH g AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM g a JOIN g b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT ta AS type_a, tb AS type_b, n_common,
+        |  ca.n AS n_a, cb.n AS n_b,
+        |  round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 4)
+        |    AS jaccard
+        |FROM p JOIN c ca ON ca.t = p.ta JOIN c cb ON cb.t = p.tb
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      // the grain feeds BOTH join sides and both count lookups — cached so
+      // the fact table is scanned ONCE, not 4× (CacheRegistry discipline:
+      // production callers release via Graft.releaseCaches())
+      val g = graft.CacheRegistry.track(tbl(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val c = g.groupBy("t").agg(count(lit(1)).as("n"))
+      val p = g.as("a").join(g.as("b"),
+          col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+        .agg(count(lit(1)).as("n_common"))
+      p.join(broadcast(c.select(col("t").as("ta"), col("n").as("n_a"))), "ta")
+        .join(broadcast(c.select(col("t").as("tb"), col("n").as("n_b"))), "tb")
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("n_common").cast(LongType).as("n_common"),
+          col("n_a").cast(LongType).as("n_a"),
+          col("n_b").cast(LongType).as("n_b"),
+          round(col("n_common").cast(DoubleType)
+            / (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // ---- #179 new-vs-returning user decomposition --------------------------
+    // Per day: active users, first-seen-today users, returning users, and
+    // the new-user share — the growth-accounting pass every product
+    // dashboard leads with. Facts collapse to the distinct (user, day)
+    // grain; each user's first day is a min window on the SAME
+    // hashpartitioning(user) clustering; the day collapse is the only
+    // second exchange. Pure integers + one divide → round(·,4).
+    "user_newness" -> OpDef(
+      """WITH dd AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, d,
+        |    MIN(d) OVER (PARTITION BY user_id) AS first_d
+        |  FROM dd)
+        |SELECT CAST(d AS BIGINT) AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS active_users,
+        |  CAST(COUNT(CASE WHEN d = first_d THEN 1 END) AS BIGINT) AS new_users,
+        |  CAST(COUNT(CASE WHEN d > first_d THEN 1 END) AS BIGINT)
+        |    AS returning_users,
+        |  round(CAST(COUNT(CASE WHEN d = first_d THEN 1 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS new_ratio
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      // ONE user exchange: per-user distinct day set + first day come from
+      // the same groupBy (a (user,day)-keyed distinct + user-keyed window
+      // would exchange twice); the day list is calendar-bounded per user.
+      val byUser = tbl(s, dir, "events")
+        .select(col("user_id"), epochDay.as("d"))
+        .groupBy("user_id")
+        .agg(array_distinct(collect_list("d")).as("days"))
+      val f = byUser.select(explode(col("days")).as("d"),
+        array_min(col("days")).as("first_d"))
+      f.groupBy("d").agg(
+        count(lit(1)).cast(LongType).as("active_users"),
+        count(when(col("d") === col("first_d"), 1)).cast(LongType)
+          .as("new_users"),
+        count(when(col("d") > col("first_d"), 1)).cast(LongType)
+          .as("returning_users"),
+        round(count(when(col("d") === col("first_d"), 1)).cast(DoubleType)
+          / count(lit(1)), 4).as("new_ratio"))
+        .orderBy("d")
+    },
+
+    // ---- #182 day-offset retention curve -----------------------------------
+    // curve(o) = share of all users active o days after their own first
+    // day — the cohortless retention curve (cohort_retention's (cohort ×
+    // offset) matrix folded to its marginal). The user_newness shape: the
+    // distinct day set AND the first day come from ONE user-keyed
+    // aggregate (single exchange, calendar-bounded list) and offsets
+    // explode from grain rows. The population size needs NO second pass:
+    // every user is active at offset 0, so total ≡ n_active(0) — read by
+    // a window over the ≤calendar-sized offset grain. One scan, zero
+    // joins. Integers + one divide → round(·,4).
+    "retention_curve" -> OpDef(
+      """WITH dd AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, d - MIN(d) OVER (PARTITION BY user_id) AS o
+        |  FROM dd),
+        |g AS (SELECT o, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1)
+        |SELECT CAST(o AS BIGINT) AS day_offset, n AS n_active,
+        |  round(CAST(n AS DOUBLE)
+        |    / MAX(CASE WHEN o = 0 THEN n END) OVER (), 4) AS retention
+        |FROM g ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val byUser = tbl(s, dir, "events")
+        .select(col("user_id"), epochDay.as("d"))
+        .groupBy("user_id")
+        .agg(array_distinct(collect_list("d")).as("days"))
+      val g = byUser
+        .select(explode(col("days")).as("d"),
+          array_min(col("days")).as("first_d"))
+        .select((col("d") - col("first_d")).as("o"))
+        .groupBy("o").agg(count(lit(1)).as("n"))
+      val total = max(when(col("o") === 0, col("n")))
+        .over(Window.partitionBy())
+      g.select(col("o").cast(LongType).as("day_offset"),
+          col("n").cast(LongType).as("n_active"),
+          round(col("n").cast(DoubleType) / total, 4).as("retention"))
+        .orderBy("day_offset")
+    },
+
+    // ---- #183 inter-event gap survival function ----------------------------
+    // S(h) = P(gap > h) per type at the five standard horizons (1 min,
+    // 5 min, 30 min, 1 h, 6 h) — the tail view of interarrival_quantiles
+    // and the direct input to timeout/session-gap tuning. The lag rides
+    // ONE hashpartitioning(user_id) exchange; ALL horizons ride ONE
+    // conditional partial agg (value_cdf_probes discipline) and stack by
+    // inline explode. Exact integer µs comparisons; one divide →
+    // round(·,4).
+    "gap_survival" -> OpDef(
+      """WITH e AS (
+        |  SELECT event_type AS t, user_id, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |l AS (
+        |  SELECT t, us - lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+        |  FROM e),
+        |f AS (SELECT t, gap_us FROM l WHERE gap_us IS NOT NULL),
+        |m AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(CASE WHEN gap_us > 60000000 THEN 1 END) AS BIGINT) AS gt_60,
+        |    CAST(COUNT(CASE WHEN gap_us > 300000000 THEN 1 END) AS BIGINT) AS gt_300,
+        |    CAST(COUNT(CASE WHEN gap_us > 1800000000 THEN 1 END) AS BIGINT) AS gt_1800,
+        |    CAST(COUNT(CASE WHEN gap_us > 3600000000 THEN 1 END) AS BIGINT) AS gt_3600,
+        |    CAST(COUNT(CASE WHEN gap_us > 21600000000 THEN 1 END) AS BIGINT) AS gt_21600
+        |  FROM f GROUP BY 1),
+        |u AS (
+        |  SELECT t, n, 60 AS horizon_s, gt_60 AS n_gt FROM m
+        |  UNION ALL SELECT t, n, 300, gt_300 FROM m
+        |  UNION ALL SELECT t, n, 1800, gt_1800 FROM m
+        |  UNION ALL SELECT t, n, 3600, gt_3600 FROM m
+        |  UNION ALL SELECT t, n, 21600, gt_21600 FROM m)
+        |SELECT t AS event_type, CAST(horizon_s AS BIGINT) AS horizon_s, n_gt,
+        |  round(CAST(n_gt AS DOUBLE) / n, 4) AS survival
+        |FROM u ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val horizons = Seq(60L, 300L, 1800L, 3600L, 21600L)
+      val lagW = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val f = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_id"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(lagW))
+        .filter(col("gap_us").isNotNull)
+      val m = f.groupBy("t")
+        .agg(count(lit(1)).as("n"),
+          horizons.map(h =>
+            count(when(col("gap_us") > h * 1000000L, 1)).as(s"gt_$h")): _*)
+      m.select(col("t"), col("n"), explode(array(horizons.map(h =>
+          struct(lit(h).as("horizon_s"), col(s"gt_$h").as("n_gt"))): _*)).as("p"))
+        .select(col("t").as("event_type"),
+          col("p.horizon_s").cast(LongType).as("horizon_s"),
+          col("p.n_gt").cast(LongType).as("n_gt"),
+          round(col("p.n_gt").cast(DoubleType) / col("n"), 4).as("survival"))
+        .orderBy("event_type", "horizon_s")
+    },
+
+    // ---- #185 active-days engagement histogram -----------------------------
+    // How many users were active exactly k distinct days? The engagement
+    // frequency histogram behind DAU/MAU-style stickiness. ONE user-keyed
+    // aggregate builds the distinct day count (calendar-bounded), the
+    // histogram is a second ≤calendar-sized collapse, and the share rides
+    // a grain window. Pure integers + one divide → round(·,4).
+    "active_days_hist" -> OpDef(
+      """WITH dd AS (
+        |  SELECT user_id, CAST(COUNT(DISTINCT
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS BIGINT)
+        |    AS k
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_users FROM dd GROUP BY 1)
+        |SELECT k AS n_days_active, n_users,
+        |  round(CAST(n_users AS DOUBLE) / SUM(n_users) OVER (), 4) AS share
+        |FROM g ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      // size(array_distinct(collect_list)) = ONE user exchange; a
+      // countDistinct agg would plan the (user, d) pre-distinct as a
+      // second exchange. The list is calendar-bounded per user.
+      val dd = tbl(s, dir, "events")
+        .select(col("user_id"), epochDay.as("d"))
+        .groupBy("user_id")
+        .agg(size(array_distinct(collect_list("d"))).cast(LongType).as("k"))
+      val g = dd.groupBy("k").agg(count(lit(1)).as("n_users"))
+      g.select(col("k").cast(LongType).as("n_days_active"),
+          col("n_users").cast(LongType).as("n_users"),
+          round(col("n_users").cast(DoubleType)
+            / sum("n_users").over(Window.partitionBy()), 4).as("share"))
+        .orderBy("n_days_active")
+    },
+
+    // ---- #191 first-touch attribution × conversion -------------------------
+    // Per first-ever event type: how many users started there, and how
+    // many of them ever purchased — the first-touch attribution table.
+    // ONE user-keyed aggregate carries BOTH facts (argmin by exact
+    // (µs, event_id) via a struct min — deterministic under ties — and a
+    // conditional any); the attribution grain is a second ≤5-row
+    // collapse. Integers + one divide → round(·,4).
+    "first_touch_conversion" -> OpDef(
+      """WITH e AS (
+        |  SELECT user_id, event_type AS t, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    first(t ORDER BY us, event_id) AS first_type,
+        |    MAX(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM e GROUP BY 1)
+        |SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  round(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 4) AS cvr
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val u = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("t"),
+          expr("unix_micros(ts)").as("us"), col("event_id"))
+        .groupBy("user_id")
+        .agg(
+          min(struct(col("us"), col("event_id"), col("t")))
+            .getField("t").as("first_type"),
+          max(when(col("t") === "purchase", 1).otherwise(0)).as("conv"))
+      u.groupBy("first_type")
+        .agg(count(lit(1)).cast(LongType).as("n_users"),
+          sum("conv").cast(LongType).as("n_converted"),
+          round(sum("conv").cast(DoubleType) / count(lit(1)), 4).as("cvr"))
+        .orderBy("first_type")
+    },
+
+    // ---- #192 conversion rate by k-decile ----------------------------------
+    // P(event is a purchase | k-decile) — the score-band conversion curve
+    // feature screens read next to cat_iv. ONE conditional partial agg to
+    // the ≤10-row decile grain (agg_if discipline): one fact exchange,
+    // zero windows, zero joins; one divide → round(·,4).
+    "conversion_by_decile" -> OpDef(
+      """WITH f AS (
+        |  SELECT CAST(json_extract_string(props, 'k') AS BIGINT) // 10 AS b,
+        |    event_type AS t
+        |  FROM events
+        |  WHERE json_extract_string(props, 'k') IS NOT NULL)
+        |SELECT b AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(CASE WHEN t = 'purchase' THEN 1 END) AS BIGINT)
+        |    AS n_purchase,
+        |  round(CAST(COUNT(CASE WHEN t = 'purchase' THEN 1 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS purchase_rate
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      tbl(s, dir, "events")
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
+        .select(parity.floorDiv(kProp, 10).as("b"),
+          col("event_type").as("t"))
+        .groupBy("b")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          count(when(col("t") === "purchase", 1)).cast(LongType)
+            .as("n_purchase"),
+          round(count(when(col("t") === "purchase", 1)).cast(DoubleType)
+            / count(lit(1)), 4).as("purchase_rate"))
+        .select(col("b").as("decile"), col("n"), col("n_purchase"),
+          col("purchase_rate"))
+        .orderBy("decile")
+    },
+
+    // ---- #201 events-per-user engagement histogram -------------------------
+    // Users bucketed by power-of-two event count — active_days_hist's
+    // volume twin (how heavy-tailed is per-user activity?). ONE user
+    // collapse, bucket = bit LENGTH (log2_histogram discipline), share
+    // over the ≤30-cell grain → round(·,4).
+    "events_per_user_hist" -> OpDef(
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(length(printf('%b', k)) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(k) AS BIGINT) AS n_events
+        |  FROM u GROUP BY 1)
+        |SELECT bucket, n_users, n_events,
+        |  round(CAST(n_users AS DOUBLE) / SUM(n_users) OVER (), 4) AS share
+        |FROM g ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      val u = tbl(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("k"))
+      val g = u.groupBy(length(bin(col("k"))).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).cast(LongType).as("n_users"),
+          sum("k").cast(LongType).as("n_events"))
+      g.select(col("bucket"), col("n_users"), col("n_events"),
+          round(col("n_users").cast(DoubleType)
+            / sum("n_users").over(Window.partitionBy()), 4).as("share"))
+        .orderBy("bucket")
+    }
+  )
+}

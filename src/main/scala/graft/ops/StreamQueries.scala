@@ -80,6 +80,40 @@ object StreamQueries {
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) => StreamOps.windowedCdf(ev(s, dir)).orderBy("day", "event_type") },
 
+    // ---- #202 windowed PSI drift vs a fixed baseline ---------------------
+    // The live twin of psi_drift (#146): per-day PSI against the corpus
+    // decile marginal as the broadcast baseline. The baseline is a 10-row
+    // bounded-metadata collect (the ANN-centroid discipline) — in a real
+    // deployment it arrives precomputed with the job; the oracle re-derives
+    // it from the same table. Ten-term ln fold → round(·,4) clamp.
+    "stream_psi" -> OpDef(
+      """WITH f AS (
+        |  SELECT date_trunc('day', ts) AS d,
+        |    CAST(json_extract_string(props, 'k') AS BIGINT) // 10 AS b
+        |  FROM events),
+        |base AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM f GROUP BY 1),
+        |bt AS (SELECT CAST(SUM(nb) AS BIGINT) AS t FROM base),
+        |cur AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+        |ct AS (SELECT d, CAST(SUM(n) AS BIGINT) AS nd FROM cur GROUP BY 1)
+        |SELECT strftime(ct.d, '%Y-%m-%d') AS day, ct.nd AS n,
+        |  round(SUM((CAST(cur.n AS DOUBLE) / ct.nd - CAST(base.nb AS DOUBLE) / bt.t)
+        |    * ln((CAST(cur.n AS DOUBLE) / ct.nd)
+        |        / (CAST(base.nb AS DOUBLE) / bt.t))), 4) AS psi
+        |FROM cur JOIN base USING (b) JOIN ct ON cur.d = ct.d CROSS JOIN bt
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val e = ev(s, dir)
+      val b = graft.ops.parity.floorDiv(
+        get_json_object(col("props"), "$.k").cast("long"), 10)
+      // 10-row baseline histogram (bounded metadata): decile → share
+      val counts = e.select(b.as("b")).groupBy("b").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      val shares = (0 until 10).map(i =>
+        counts.getOrElse(i.toLong, 0L).toDouble / total)
+      StreamOps.windowedPsi(e, shares).orderBy("day")
+    },
+
     // ---- #66 windowed heavy hitters (streaming-capable topK) -------------
     // Exact at test SF (capacity > distinct users/group), ties broken by
     // user string ascending on both engines. The streaming transform keeps

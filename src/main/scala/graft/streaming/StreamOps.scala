@@ -34,6 +34,38 @@ object StreamOps {
     */
   val cdfProbes: Seq[Long] = Seq(1000L, 2500L, 5000L, 7500L, 9000L)
 
+  /** #202 — windowed PSI drift per 1-day window vs a FIXED baseline decile
+    * histogram (the train/serve drift monitor `psi_drift` computes in
+    * batch, as a live stream): all ten decile counters ride ONE
+    * watermarked windowed aggregate (conditional partial counts — the
+    * stream_cdf / -If discipline, trivially incremental, O(windows × 10)
+    * state), and the PSI fold is a STATELESS projection over the closed
+    * window's counters against broadcast-literal baseline shares — the
+    * deployment shape where the reference histogram is computed offline
+    * and shipped with the job. Cells empty in the window contribute 0 on
+    * both engines; `baseline` must be all-positive (a decile absent from
+    * the reference period would make ln(p/q) undefined — validate
+    * upstream, where the baseline is built).
+    */
+  def windowedPsi(events: DataFrame, baseline: Seq[Double]): DataFrame = {
+    require(baseline.length == 10 && baseline.forall(_ > 0),
+      "baseline must be 10 positive decile shares")
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    val b = graft.ops.parity.floorDiv(
+      get_json_object(col("props"), "$.k").cast("long"), 10)
+    val agged = src.select(col("ts"), b.as("b"))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"),
+        (0 until 10).map(i => count(when(col("b") === i, 1)).as(s"c_$i")): _*)
+    val psi = (0 until 10).map { i =>
+      val p = col(s"c_$i").cast("double") / col("n")
+      val q = lit(baseline(i))
+      when(col(s"c_$i") > 0, (p - q) * log(p / q)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    agged.select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+      col("n"), round(psi, 4).as("psi"))
+  }
+
   def windowedCdf(events: DataFrame): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")

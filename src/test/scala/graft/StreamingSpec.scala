@@ -490,4 +490,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.subsetOf(batch),
       "streamed topK must equal the batch shape on closed windows")
   }
+
+  test("windowed PSI drift on a stream matches the batch shape on closed windows") {
+    implicit val s = spark
+    import s.implicits._
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "ts", "props")
+      .as[(Long, java.sql.Timestamp, String)]
+      .collect().sortBy(_._2.getTime)
+    // fixed baseline: the corpus decile marginal, as a real deployment
+    // would precompute offline and ship broadcast with the job
+    val kRe = "\"k\"\\s*:\\s*(-?\\d+)".r
+    val deciles = ev.map(_._3).flatMap(p =>
+      kRe.findFirstMatchIn(p).map(m => Math.floorDiv(m.group(1).toLong, 10L)))
+    val counts = deciles.groupBy(identity).view.mapValues(_.size).toMap
+    val total = counts.values.sum
+    val shares = (0 until 10).map(i => counts(i.toLong).toDouble / total)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamOps.windowedPsi(
+        in.toDF().toDF("event_id", "ts", "props"), shares)
+      .writeStream.format("memory").queryName("wpsi").outputMode("append").start()
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2))
+    val got = spark.sql("select * from wpsi").collect().map(key).toSet
+    assert(got.nonEmpty, "no closed windows emitted")
+    val batch = StreamOps.windowedPsi(
+      spark.createDataFrame(ev.toSeq).toDF("event_id", "ts", "props"), shares)
+      .collect().map(key).toSet
+    assert(got.subsetOf(batch),
+      "streamed PSI must equal the batch shape on closed windows")
+    // PSI of the whole corpus against its own marginal is ~0 only per-day;
+    // each term is finite — NaN/Inf would mean a zero-cell leaked the guard
+    got.foreach { case (_, _, psi) => assert(!psi.isNaN && !psi.isInfinite) }
+  }
 }
