@@ -672,6 +672,71 @@ object Dedup {
       val contaminated = defs("contamination").fn(s, dir).select("doc_id")
       keptSet(docs(s, dir), quality, exDup, nonCanon, contaminated, 0.25)
         .orderBy("doc_id")
+    },
+
+    // ---- #214 cluster representative selection ---------------------------
+    // The step between clustering (#55) and pipeline_filter (#74): per
+    // near-dup cluster pick the QUALITY-AWARE representative — longest
+    // doc (n_chars), ties to the smallest doc_id — instead of #55's
+    // positional min-id canonical. Cluster assignments join the documents
+    // dim at the CLUSTERED-doc grain (near-dups are a ~1% slice, never
+    // the full corpus), the winner rides one row_number window
+    // partitioned by cluster, and size comes off the same window pass.
+    // Exact integers end to end.
+    "dedup_cluster_rep" -> OpDef(
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), i ->
+        |      CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM t),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 20)) & 1048575 AS bkey
+        |  FROM s, (SELECT unnest(generate_series(0, 2)) AS b)
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey) <= $LshBucketCap),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+        |  WHERE a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.sig, b.sig)) <= 2),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+        |cl AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+        |       FROM reach GROUP BY node),
+        |rk AS (
+        |  SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY d.n_chars DESC, cl.doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS csize
+        |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+        |SELECT cluster_id, doc_id AS rep_doc_id,
+        |  CAST(csize AS BIGINT) AS cluster_size,
+        |  CAST(n_chars AS BIGINT) AS rep_n_chars
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+    ) { (s, dir) =>
+      val cl = defs("dedup_clusters").fn(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("cluster_id")
+      cl.join(d, "doc_id")
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("csize", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+          col("csize").cast(LongType).as("cluster_size"),
+          col("n_chars").cast(LongType).as("rep_n_chars"))
+        .orderBy("cluster_id")
     }
   )
 

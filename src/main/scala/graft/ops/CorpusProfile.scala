@@ -201,6 +201,119 @@ object CorpusProfile {
           round(col("n_docs").cast(DoubleType)
             / sum("n_docs").over(Window.partitionBy()), 4).as("share"))
         .orderBy("bucket")
+    },
+
+    // ---- #215 training-mixture sampling weights ----------------------------
+    // Per-source sampling weight to hit a UNIFORM token mixture — the
+    // knob a data-recipe run turns before writing shards: weight =
+    // target_share / actual_share, so sampling each source at
+    // rate ∝ weight equalizes token mass. Token counts are size(split)
+    // scan-riding integers collapsed to the source grain (≤ sources
+    // rows); shares/weights are single IEEE divides of exact integers
+    // over a grain window → round(·,6). At 100 TB this is one partial-agg
+    // scan — the grain is the source vocabulary, never rows.
+    "mixture_weights" -> OpDef(
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_tokens) AS tt, COUNT(*) AS n_src FROM g)
+        |SELECT g.source, g.n_docs, g.n_tokens,
+        |  round(CAST(g.n_tokens AS DOUBLE) / tt, 6) AS token_share,
+        |  round((CAST(tt AS DOUBLE) / n_src) / g.n_tokens, 6) AS weight
+        |FROM g, t ORDER BY g.source""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast(LongType))
+            .cast(LongType).as("n_tokens"))
+      val w = Window.partitionBy()
+      g.select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast(DoubleType)
+            / sum("n_tokens").over(w), 6).as("token_share"),
+          round((sum("n_tokens").over(w).cast(DoubleType)
+            / count(lit(1)).over(w)) / col("n_tokens"), 6).as("weight"))
+        .orderBy("source")
+    },
+
+    // ---- #216 CCNet-style surprisal quality buckets ------------------------
+    // Per-doc mean unigram surprisal under the corpus LM, bucketed into
+    // per-language head/middle/tail by tercile SCORE THRESHOLDS (the
+    // CCNet split that decides what a pre-training run keeps). The LM is
+    // the corpus token frequency table (vocabulary-sized, broadcast — a
+    // shuffle join would key 10^8 exploded tokens on a tiny, skewed
+    // vocab). Per-doc means ROUND to 4 dp so scores collapse to a
+    // bounded (lang, score-cell) grain; tercile cutoffs come off ONE
+    // cumulative window over that grain with cross-multiplied integer
+    // thresholds (cum·3 ≥ n — the quantiles_exact_weighted discipline),
+    // then docs bucket by comparing to the broadcast per-lang cutoffs.
+    // No row-grain window anywhere: a billion docs per language rank via
+    // a ≤10^4-cell grain pass, exactly how CCNet shards at scale.
+    "surprisal_filter" -> OpDef(
+      """WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM c),
+        |ds AS (
+        |  SELECT w.doc_id, w.lang,
+        |    round(SUM(-ln(CAST(c.cnt AS DOUBLE) / tt)) / COUNT(*), 4) AS score
+        |  FROM w JOIN c ON w.tok = c.tok CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |g AS (SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM ds GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT lang, score, cnt,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY score) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM g),
+        |th AS (
+        |  SELECT lang,
+        |    MIN(CASE WHEN 3 * cum >= n THEN score END) AS t1,
+        |    MIN(CASE WHEN 3 * cum >= 2 * n THEN score END) AS t2
+        |  FROM cw GROUP BY 1),
+        |b AS (
+        |  SELECT ds.lang,
+        |    CASE WHEN ds.score <= th.t1 THEN 'head'
+        |         WHEN ds.score <= th.t2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket,
+        |    ds.score
+        |  FROM ds JOIN th ON ds.lang = th.lang)
+        |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*), 4) AS avg_score
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val w = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+      val c = w.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(sum("cnt").cast(LongType).as("tt"))
+      val ds = w.join(broadcast(c), "tok").crossJoin(broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(round(sum(-log(col("cnt").cast(DoubleType) / col("tt")))
+          / count(lit(1)), 4).as("score"))
+      val g = ds.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
+      val part = Window.partitionBy("lang")
+      val cw = g
+        .withColumn("cum", sum("cnt").over(part.orderBy("score")))
+        .withColumn("n", sum("cnt").over(part))
+      val th = cw.groupBy("lang")
+        .agg(min(when(lit(3) * col("cum") >= col("n"), col("score"))).as("t1"),
+          min(when(lit(3) * col("cum") >= lit(2) * col("n"), col("score")))
+            .as("t2"))
+      ds.join(broadcast(th), "lang")
+        .select(col("lang"),
+          when(col("score") <= col("t1"), "head")
+            .when(col("score") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"),
+          col("score"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          round(sum(col("score").cast(DecimalType(18, 4)))
+            .cast(DoubleType) / count(lit(1)), 4).as("avg_score"))
+        .orderBy("lang", "bucket")
     }
   )
 }

@@ -2541,6 +2541,177 @@ object Relational {
       val r3 = iterate(iterate(iterate(r0)))
       r3.orderBy(col("r").desc, col("node")).limit(20)
         .select(col("node"), col("r").as("rank"))
+    },
+
+    // ---- #217 strict-order funnel (CH windowFunnel strict_order mode) -----
+    // Funnel level per user where the signup→click→purchase chain must be
+    // CONTIGUOUS among tracked events (any interleaved tracked event
+    // breaks it — CH's strict_order). Untracked types filter out at the
+    // scan (no funnel semantics change, 40% fewer rows shuffle); the
+    // per-user tracked-event history is the sequence_count sorted-letter
+    // string, and strict contiguity is a plain substring test — 'scp'
+    // contiguous in the tracked string IS the strict_order chain. Users
+    // with no tracked events carry no funnel level (both engines drop
+    // them identically).
+    "funnel_strict_order" -> OpDef(
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+        |                    ELSE 'p' END AS ch
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        |u AS (
+        |  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS str
+        |  FROM m GROUP BY user_id),
+        |lv AS (
+        |  SELECT user_id,
+        |    CASE WHEN contains(str, 'scp') THEN 3
+        |         WHEN contains(str, 'sc') THEN 2
+        |         WHEN contains(str, 's') THEN 1
+        |         ELSE 0 END AS level
+        |  FROM u)
+        |SELECT CAST(level AS BIGINT) AS level,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val str = tbl(s, dir, "events")
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          when(col("event_type") === "signup", "s")
+            .when(col("event_type") === "click", "c")
+            .otherwise("p").as("ch")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("user_id"),
+          concat_ws("", col("es").getField("ch")).as("str"))
+      str.select(
+          when(col("str").contains("scp"), 3L)
+            .when(col("str").contains("sc"), 2L)
+            .when(col("str").contains("s"), 1L)
+            .otherwise(0L).as("level"))
+        .groupBy("level")
+        .agg(count(lit(1)).cast(LongType).as("n_users"))
+        .orderBy("level")
+    },
+
+    // ---- #218 exact quantile bounds (CH quantileExactLow/High surface) ----
+    // Low AND high exact-quantile variants for p ∈ {¼, ½, ¾} per event
+    // type in one pass — the quantiles_exact_weighted discipline (collapse
+    // to the (type, cents) grain, one cumulative window, cross-multiplied
+    // INTEGER rank thresholds) with two selection rules: 1-based low
+    // position ⌊(n−1)·k/4⌋+1, high position ⌈(n−1)·k/4⌉+1 — all-integer
+    // arithmetic, so both engines pick identical cells with zero float
+    // boundary drift.
+    "quantile_exact_bounds" -> OpDef(
+      """WITH f AS (
+        |  SELECT event_type AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |g AS (SELECT t, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT t, c, cnt,
+        |    SUM(cnt) OVER (PARTITION BY t ORDER BY c) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY t) AS n
+        |  FROM g)
+        |SELECT t AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN cum >= ((n-1) * 1) // 4 + 1 THEN c END) AS q25_low_c,
+        |  MIN(CASE WHEN cum >= ((n-1) * 1 + 3) // 4 + 1 THEN c END) AS q25_high_c,
+        |  MIN(CASE WHEN cum >= ((n-1) * 2) // 4 + 1 THEN c END) AS q50_low_c,
+        |  MIN(CASE WHEN cum >= ((n-1) * 2 + 3) // 4 + 1 THEN c END) AS q50_high_c,
+        |  MIN(CASE WHEN cum >= ((n-1) * 3) // 4 + 1 THEN c END) AS q75_low_c,
+        |  MIN(CASE WHEN cum >= ((n-1) * 3 + 3) // 4 + 1 THEN c END) AS q75_high_c
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .select(col("event_type").as("t"),
+          (col("value").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("c"))
+        .groupBy("t", "c").agg(count(lit(1)).as("cnt"))
+      val part = Window.partitionBy("t")
+      val w = g
+        .withColumn("cum", sum("cnt").over(part.orderBy("c")))
+        .withColumn("n", sum("cnt").over(part))
+      // (n−1)·k and the +3 offset are non-negative → truncation == floor.
+      def pos(k: Int, off: Int): Column =
+        (((col("n") - 1) * k + off) / 4).cast(LongType) + 1
+      def sel(k: Int, off: Int): Column =
+        min(when(col("cum") >= pos(k, off), col("c")))
+      w.groupBy("t").agg(max("n").cast(LongType).as("n"),
+          sel(1, 0).as("q25_low_c"), sel(1, 3).as("q25_high_c"),
+          sel(2, 0).as("q50_low_c"), sel(2, 3).as("q50_high_c"),
+          sel(3, 0).as("q75_low_c"), sel(3, 3).as("q75_high_c"))
+        .select(col("t").as("event_type"), col("n"),
+          col("q25_low_c"), col("q25_high_c"), col("q50_low_c"),
+          col("q50_high_c"), col("q75_low_c"), col("q75_high_c"))
+        .orderBy("event_type")
+    },
+
+    // ---- #219 bounded sorted array agg (CH groupArraySorted(N)) -----------
+    // The N smallest (value, event_id) rows per event type as an ordered
+    // scalar cell. CH keeps an O(N) heap per group; the Spark shape with
+    // the same bound is rank-then-collect: a row_number window keeps ≤ N
+    // rows per group BEFORE any collect, so aggregation state is O(N),
+    // never O(group) — the same reason topk_per_group never global-sorts.
+    // (event_id breaks value ties totally → deterministic cell text.)
+    "group_array_sorted" -> OpDef(
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |        event_id) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  string_agg(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS VARCHAR), ',' ORDER BY rn) AS smallest8
+        |FROM r WHERE rn <= 8 GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      tbl(s, dir, "events")
+        .select(col("event_type"), cents.as("c"), col("event_id"))
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("c"), col("event_id"))))
+        .filter(col("rn") <= 8)
+        .groupBy("event_type")
+        // the struct carries c pre-cast to string so getField yields
+        // array<string> directly (concat_ws takes no bigint arrays)
+        .agg(concat_ws(",",
+          sort_array(collect_list(
+            struct(col("rn"), col("c").cast(StringType).as("c"))))
+            .getField("c")).as("smallest8"))
+        .orderBy("event_type")
+    },
+
+    // ---- #220 time-decayed average (CH exponentialTimeDecayedAvg) ---------
+    // The #129 decayed sum normalized by the decayed weight mass —
+    // Σ x·2^(d−last) / Σ 2^(d−last) per user. Both folds use exact
+    // power-of-two weights (exponent shifts of 2-decimal values), the
+    // division is the single order-independent double step → round(·,4);
+    // same one-shuffle window+collapse shape as #129.
+    "exp_time_decayed_avg" -> OpDef(
+      """WITH o AS (
+        |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      OVER (PARTITION BY user_id) AS last_d
+        |  FROM events)
+        |SELECT user_id,
+        |  round(SUM(x * power(0.5, last_d - d))
+        |    / SUM(power(0.5, last_d - d)), 4) AS decayed_avg,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val day = datediff(col("ts").cast(DateType),
+        lit("1970-01-01").cast(DateType))
+      val o = tbl(s, dir, "events")
+        .select(col("user_id"), col("value").cast(DoubleType).as("x"),
+          day.as("d"))
+        .withColumn("last_d",
+          max("d").over(Window.partitionBy("user_id")))
+      val wgt = pow(lit(0.5), col("last_d") - col("d"))
+      o.groupBy("user_id")
+        .agg(round(sum(col("x") * wgt) / sum(wgt), 4).as("decayed_avg"),
+          count(lit(1)).cast(LongType).as("n"))
+        .orderBy("user_id")
     }
   )
 }

@@ -266,6 +266,489 @@ object TpchShapes {
             / sum("total").over(Window.partitionBy()).cast(DoubleType), 4)
             .as("share"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- #203 TPC-H Q7 shape: volume shipping between nation pair ----------
+    // Revenue by (supplier nation, customer nation, ship year) for the
+    // NATION_1/NATION_2 pair, both directions. The nation filter applies
+    // to the DIMS before any fact join (each side of the fact⋈fact join
+    // arrives pre-filtered to ~2/25 of suppliers/customers), so the big
+    // orderkey shuffle carries only qualifying lines. nation (25 rows,
+    // constant at any SF) broadcasts with a hint; supplier/customer scale
+    // with SF and stay AQE-decided (the #14 rule). Revenue sums in
+    // DECIMAL (§5), double at the boundary.
+    "q7_volume_shipping" -> OpDef(
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |cn AS (
+        |  SELECT c_custkey, n_name AS cust_nation
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |j AS (
+        |  SELECT sn.supp_nation, cn.cust_nation,
+        |    date_part('year', CAST(l.l_shipdate AS DATE)) AS l_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN sn ON l.l_suppkey = sn.s_suppkey
+        |  JOIN cn ON o.o_custkey = cn.c_custkey
+        |  WHERE sn.supp_nation <> cn.cust_nation)
+        |SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue
+        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    ) { (s, dir) =>
+      val nations = broadcast(tbl(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2")))
+      val sn = tbl(s, dir, "supplier")
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = tbl(s, dir, "customer")
+        .join(nations, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      val l = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate").cast(DateType)).cast(LongType).as("l_year"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(count(lit(1)).cast(LongType).as("n_lines"),
+          sum("rev").cast(DoubleType).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ---- #204 TPC-H Q10 shape: returned-item top customers -----------------
+    // Top-20 customers by revenue from returned ('R') lines. The revenue
+    // COLLAPSES to the customer grain before any dim join (the fact⋈dim
+    // join sees one row per customer, never per line); nation broadcasts;
+    // the top-20 is orderBy+limit = TakeOrderedAndProject (no global
+    // sort), ties at the cut pinned by c_custkey. Revenue exact in
+    // DECIMAL; acctbal passes through untouched (bit-identical).
+    "q10_returned_items" -> OpDef(
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |  GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+        |  CAST(r.revenue AS DOUBLE) AS revenue
+        |FROM rev r
+        |JOIN customer c ON r.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY r.revenue DESC, c.c_custkey LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val rev = tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("rev").as("revenue"))
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      val n = broadcast(tbl(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      rev.join(c, rev("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"), col("revenue").cast(DoubleType).as("revenue"))
+    },
+
+    // ---- #205 TPC-H Q15 shape: top supplier by quarter revenue -------------
+    // Supplier(s) achieving the MAX Q1-1996 revenue — the scalar-subquery
+    // = window-max-on-the-grain pattern: revenue collapses to the
+    // supplier grain (one shuffle), the max rides a partition-less window
+    // over that pinned-small grain (suppliers, not lines), and the
+    // equality filter is EXACT because revenue stays DECIMAL until after
+    // the comparison.
+    "q15_top_supplier" -> OpDef(
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_rev = (SELECT MAX(total_rev) FROM r)
+        |ORDER BY s.s_suppkey""".stripMargin
+    ) { (s, dir) =>
+      val r = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast(DateType) >= lit("1996-01-01") &&
+          col("l_shipdate").cast(DateType) < lit("1996-04-01"))
+        .select(col("l_suppkey"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+        .groupBy("l_suppkey").agg(sum("rev").as("total_rev"))
+      val top = r
+        .withColumn("mx", max("total_rev").over(Window.partitionBy()))
+        .filter(col("total_rev") === col("mx"))
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      top.join(sup, top("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast(DoubleType).as("total_rev"))
+        .orderBy("s_suppkey")
+    },
+
+    // ---- #206 TPC-H Q19 shape: disjunctive bracket predicate ---------------
+    // Revenue under an OR of (brand, quantity-range, size-range) brackets
+    // — the disjunctive-pushdown exercise. The derived envelope
+    // (quantity ≤ 30, size ≤ 15, brand ∈ {…}) pushes into EACH side's
+    // scan (PushedFilters prunes rows before the join); the exact
+    // disjunction evaluates after the broadcast-pruned part join. One
+    // global row out.
+    "q19_disjunctive_pred" -> OpDef(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+        |        AND p.p_size BETWEEN 1 AND 5)
+        |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+        |        AND p.p_size BETWEEN 1 AND 10)
+        |   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+        |        AND p.p_size BETWEEN 1 AND 15)""".stripMargin
+    ) { (s, dir) =>
+      val p = tbl(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = tbl(s, dir, "lineitem")
+        .filter(col("l_quantity").between(1, 30))
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+      def bracket(b: String, qLo: Int, qHi: Int, szHi: Int): Column =
+        col("p_brand") === b && col("l_quantity").between(qLo, qHi) &&
+          col("p_size").between(1, szHi)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(bracket("Brand#1", 1, 11, 5) ||
+          bracket("Brand#2", 10, 20, 10) ||
+          bracket("Brand#3", 20, 30, 15))
+        .agg(count(lit(1)).cast(LongType).as("n_lines"),
+          sum("rev").cast(DoubleType).as("revenue"))
+    },
+
+    // ---- #207 TPC-H Q16 shape: supplier count with NOT IN ------------------
+    // Distinct suppliers per (brand, size) excluding "complaint" suppliers
+    // (s_acctbal < 0) — the NOT-IN-subquery = left_anti pattern. The
+    // complaint set is a filtered dim (anti side broadcasts under AQE);
+    // the distinct collapses (brand, size, suppkey) BEFORE the count so
+    // the final agg sees grain rows, not lines.
+    "q16_supplier_cnt" -> OpDef(
+      """WITH pl AS (
+        |  SELECT DISTINCT p.p_brand, p.p_size, l.l_suppkey
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand <> 'Brand#1'
+        |    AND l.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(COUNT(*) AS BIGINT) AS supplier_cnt
+        |FROM pl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val p = tbl(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1")
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_size").cast(LongType).as("p_size"))
+      val complaints = tbl(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      tbl(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .select("p_brand", "p_size", "l_suppkey").distinct()
+        .groupBy("p_brand", "p_size")
+        .agg(count(lit(1)).cast(LongType).as("supplier_cnt"))
+        .orderBy("p_brand", "p_size")
+    },
+
+    // ---- #208 TPC-H Q18 shape: large-volume orders (HAVING subquery) -------
+    // Orders whose total quantity exceeds 250, with their customer — the
+    // group-HAVING-then-join-back pattern. Quantities sum EXACTLY in
+    // DECIMAL so the >250 cut is identical on both engines; the filter
+    // runs at the order grain BEFORE the customer join (the dim join sees
+    // only qualifying orders); top-100 by totalprice with the orderkey
+    // tie-break = TakeOrderedAndProject.
+    "q18_large_orders" -> OpDef(
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+        |  CAST(b.sum_qty AS DOUBLE) AS sum_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      val big = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty").cast(DoubleType).as("sum_qty"))
+    },
+
+    // ---- #209 TPC-H Q21 shape: suppliers who kept orders waiting -----------
+    // Suppliers with a late line (shipped >90 days after order date) in a
+    // finished multi-supplier order where they were the ONLY late
+    // supplier. The classic EXISTS + NOT-EXISTS double self-join
+    // re-expressed with ZERO fact-fact joins: lines collapse to the
+    // (order, supplier, was-late) grain, then n_supp / n_late become
+    // plain count/sum WINDOWS over the orderkey partition — the order-
+    // grain statistics and the per-supplier filter read off the same
+    // rows, so no aggregation-then-join-back round trip exists to
+    // sort-merge. The supplier name join is a dim join at the qualifying
+    // (supplier, order) grain.
+    "q21_waiting_supplier" -> OpDef(
+      """WITH l2 AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+        |        CAST(l.l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |os AS (
+        |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+        |  FROM l2 GROUP BY 1),
+        |q AS (
+        |  SELECT DISTINCT l2.l_suppkey, l2.l_orderkey
+        |  FROM l2 JOIN os ON l2.l_orderkey = os.l_orderkey
+        |  WHERE l2.late = 1 AND os.n_supp > 1 AND os.n_late = 1)
+        |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
+    ) { (s, dir) =>
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val g = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(datediff(col("l_shipdate").cast(DateType),
+          col("o_orderdate").cast(DateType)) > 90).as("late"))
+      val ow = Window.partitionBy("l_orderkey")
+      val q = g
+        .withColumn("n_supp", count(lit(1)).over(ow))
+        .withColumn("n_late",
+          sum(when(col("late"), 1L).otherwise(0L)).over(ow))
+        .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      q.join(sup, q("l_suppkey") === sup("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).cast(LongType).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(25)
+    },
+
+    // ---- #210 TPC-H Q22 shape: idle high-balance customers -----------------
+    // Customers above the average positive balance with NO orders since
+    // 1999, rolled up by nation — scalar-subquery broadcast + anti-join.
+    // (The original's "no orders at all" is empty at every test SF — the
+    // generator gives every customer early orders — so the recency cut is
+    // the non-degenerate form; it also pushes a date filter into the
+    // anti side's scan.) The average is an exact decimal sum over one
+    // double division (bit-identical both engines), broadcast as a 1-row
+    // frame; the NOT EXISTS is left_anti on the date-filtered orders key
+    // projection; nation broadcasts.
+    "q22_idle_customers" -> OpDef(
+      """WITH stats AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0),
+        |idle AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        |  FROM customer c, stats
+        |  WHERE c.c_acctbal > stats.avg_bal
+        |    AND NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |         AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+        |SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM idle JOIN nation n ON idle.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val stats = c.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2)))
+          .cast(DoubleType) / count(lit(1))).as("avg_bal"))
+      val okeys = tbl(s, dir, "orders")
+        .filter(col("o_orderdate").cast(DateType) >= lit("1999-01-01"))
+        .select(col("o_custkey"))
+      val n = broadcast(tbl(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      c.crossJoin(broadcast(stats))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(okeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).cast(LongType).as("numcust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("totacctbal"))
+        .orderBy("n_name")
+    },
+
+    // ---- #211 TPC-H Q2 shape: min-cost supplier per part -------------------
+    // For each small part (size ≤ 10), the supplier with the lowest
+    // realized unit price — the correlated-min-subquery pattern as a
+    // window rank on the COLLAPSED (part, supplier) grain: exact decimal
+    // price/quantity sums per pair ride one shuffle, one double division
+    // each, then row_number ordered by (unit_cost, suppkey) picks the
+    // minimum with a deterministic tie-break. Dims join at the winner
+    // grain (one row per part).
+    "q2_min_price_supplier" -> OpDef(
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_partkey, l_suppkey, unit_cost,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY unit_cost, l_suppkey) AS rn
+        |  FROM ps)
+        |SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+        |  round(m.unit_cost, 4) AS unit_cost
+        |FROM m
+        |JOIN part p ON m.l_partkey = p.p_partkey AND p.p_size <= 10
+        |JOIN supplier s ON m.l_suppkey = s.s_suppkey
+        |WHERE m.rn = 1 ORDER BY p.p_partkey""".stripMargin
+    ) { (s, dir) =>
+      val ps = tbl(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType) /
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType)).as("unit_cost"))
+      val m = ps
+        .withColumn("rn", row_number().over(Window.partitionBy("l_partkey")
+          .orderBy(col("unit_cost"), col("l_suppkey"))))
+        .filter(col("rn") === 1)
+      val p = tbl(s, dir, "part")
+        .filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"))
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      m.join(p, m("l_partkey") === p("p_partkey"))
+        .join(sup, m("l_suppkey") === sup("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), round(col("unit_cost"), 4).as("unit_cost"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- #212 TPC-H Q11 shape: top parts by value share --------------------
+    // The 50 parts carrying the most lineitem value, with their share of
+    // the grand total — Q11's "important stock" as a top-k (the fixed
+    // fraction cut degenerates as parts scale; top-k is the
+    // SF-invariant form). Value collapses to the part grain in DECIMAL,
+    // the grand total is ONE broadcast row off that same grain (no
+    // second fact scan), share = one double division → round(·,6).
+    "q11_important_parts" -> OpDef(
+      """WITH pv AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(val) AS total FROM pv)
+        |SELECT pv.l_partkey, CAST(pv.val AS DOUBLE) AS part_value,
+        |  round(CAST(pv.val AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+        |    AS value_share
+        |FROM pv, tot
+        |ORDER BY pv.val DESC, pv.l_partkey LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val pv = tbl(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("val"))
+      val tot = pv.agg(sum("val").as("total"))
+      pv.crossJoin(broadcast(tot))
+        .orderBy(col("val").desc, col("l_partkey"))
+        .limit(50)
+        .select(col("l_partkey"), col("val").cast(DoubleType).as("part_value"),
+          round(col("val").cast(DoubleType)
+            / col("total").cast(DoubleType), 6).as("value_share"))
+    },
+
+    // ---- #213 TPC-H Q8 shape: national market share ------------------------
+    // NATION_2's share of supplier revenue within ASIA-customer orders,
+    // per order year — the conditional-ratio star join. Customer-side
+    // region filter prunes facts via the dim chain (customer⋈nation⋈
+    // region, nation/region broadcast); the supplier side needs only a
+    // boolean (nation == target) projected BEFORE the fact join; both
+    // revenue sums ride one conditional decimal agg → round(·,4).
+    "q8_market_share" -> OpDef(
+      """WITH cust_asia AS (
+        |  SELECT c.c_custkey
+        |  FROM customer c
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'),
+        |supp_flag AS (
+        |  SELECT s.s_suppkey, sn.n_name = 'NATION_2' AS is_target
+        |  FROM supplier s JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+        |j AS (
+        |  SELECT date_part('year', CAST(o.o_orderdate AS DATE)) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+        |    sf.is_target
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN cust_asia ca ON o.o_custkey = ca.c_custkey
+        |  JOIN supp_flag sf ON l.l_suppkey = sf.s_suppkey)
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  round(CAST(SUM(CASE WHEN is_target THEN rev END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE), 4) AS mkt_share
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val n = broadcast(tbl(s, dir, "nation"))
+      val r = broadcast(tbl(s, dir, "region")
+        .filter(col("r_name") === "ASIA"))
+      val custAsia = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppFlag = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), (col("n_name") === "NATION_2").as("is_target"))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate").cast(DateType)).cast(LongType).as("o_year"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
+      val l = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+        .join(suppFlag, col("l_suppkey") === col("s_suppkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).cast(LongType).as("n_lines"),
+          round(sum(when(col("is_target"), col("rev"))).cast(DoubleType)
+            / sum("rev").cast(DoubleType), 4).as("mkt_share"))
+        .orderBy("o_year")
     }
   )
 }

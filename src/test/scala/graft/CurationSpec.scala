@@ -1,0 +1,172 @@
+package graft
+
+/** Round-9 curation batch (#214-#216) + CH-surface batch (#217-#220):
+  * independent re-derivations at sf0.001.
+  */
+class CurationSpec extends SparkSpecBase {
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val docs =
+    graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+
+  private lazy val events =
+    graft.sources.Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+
+  private def cents(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong
+
+  test("dedup_cluster_rep picks the longest doc per cluster, ties to min id") {
+    val clusters = run("dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nchars = docs.map(d => d._1 -> d._5).toMap
+    val exp = clusters.groupBy(_._2).map { case (cid, ms) =>
+      val rep = ms.map(_._1).minBy(id => (-nchars(id), id))
+      cid -> ((rep, ms.size.toLong, nchars(rep)))
+    }
+    val got = run("dedup_cluster_rep").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp)
+    // a representative is at least as long as every member of its cluster
+    clusters.foreach { case (id, cid) =>
+      assert(exp(cid)._3 >= nchars(id))
+    }
+  }
+
+  test("mixture_weights equalizes token mass (weight x tokens = target)") {
+    val bySrc = docs.groupBy(_._4).view.mapValues { ds =>
+      (ds.size.toLong, ds.map(_._2.split(" ").length.toLong).sum)
+    }.toMap
+    val tt = bySrc.values.map(_._2).sum
+    val target = tt.toDouble / bySrc.size
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = run("mixture_weights").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == bySrc.keySet)
+    got.foreach { case (src, (nd, nt, share, w)) =>
+      assert((nd, nt) == bySrc(src))
+      assert(share == r6(nt.toDouble / tt))
+      assert(w == r6(target / nt))
+      // sampling at rate ∝ weight equalizes token mass by construction
+      assert(math.abs(w * nt - target) < 1e-4 * target)
+    }
+  }
+
+  test("surprisal_filter: tercile score cutoffs bucket every doc") {
+    val toks = docs.flatMap(_._2.split(" "))
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tt = toks.length.toDouble
+    val score = docs.map { d =>
+      val ws = d._2.split(" ")
+      val s = ws.map(w => -math.log(cnt(w) / tt)).sum / ws.length
+      (d._1, d._3, r4(s))
+    }
+    val bucketed: Seq[(String, String, Double)] =
+      score.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+        val sorted = ds.map(_._3).sorted.toSeq
+        val n = sorted.length
+        // smallest score cell whose cumulative count clears k/3 of n
+        def cutoff(k: Int): Double =
+          sorted.zipWithIndex.collectFirst {
+            case (sc, i) if 3 * (i + 1) >= k * n => sc
+          }.get
+        val (t1, t2) = (cutoff(1), cutoff(2))
+        ds.map { d =>
+          val b = if (d._3 <= t1) "head"
+            else if (d._3 <= t2) "middle" else "tail"
+          (lang, b, d._3)
+        }.toSeq
+      }
+    val exp = bucketed.groupBy(x => (x._1, x._2)).map { case (k, vs) =>
+      val scores = vs.map(v => BigDecimal(v._3))
+      k -> ((vs.size.toLong, r4((scores.sum / vs.size).toDouble)))
+    }
+    val got = run("surprisal_filter").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == exp)
+    // cutoffs really split score mass: every head mean < middle < tail,
+    // and each bucket holds at least a quarter of its language's docs
+    // (ties can only fatten a bucket past n/3, never starve it below the
+    // cutoff mass at these SFs' near-distinct scores)
+    got.keys.groupBy(_._1).foreach { case (lang, ks) =>
+      val m = ks.map(k => k._2 -> got(k)).toMap
+      assert(m("head")._2 < m("middle")._2 && m("middle")._2 < m("tail")._2)
+      val n = m.values.map(_._1).sum
+      m.values.foreach { case (c, _) => assert(4 * c >= n - 3, lang) }
+    }
+  }
+
+  test("funnel_strict_order: contiguous-chain levels over tracked events") {
+    val tracked = Map("signup" -> "s", "click" -> "c", "purchase" -> "p")
+    val exp = events.filter(e => tracked.contains(e._4))
+      .groupBy(_._3).map { case (_, es) =>
+        val str = es.sortBy(e => (e._2.getTime, e._1))
+          .map(e => tracked(e._4)).mkString
+        if (str.contains("scp")) 3L
+        else if (str.contains("sc")) 2L
+        else if (str.contains("s")) 1L
+        else 0L
+      }.groupBy(identity).map { case (l, us) => l -> us.size.toLong }
+    val got = run("funnel_strict_order").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
+  test("quantile_exact_bounds matches nearest-index selection on sorted data") {
+    val byType = events.groupBy(_._4)
+    val got = run("quantile_exact_bounds").collect()
+      .map(r => r.getString(0) -> r).toMap
+    byType.foreach { case (t, es) =>
+      val sorted = es.map(e => cents(e._5)).sorted
+      val n = sorted.length
+      def low(k: Int) = sorted(((n - 1).toLong * k / 4).toInt)
+      def high(k: Int) = sorted((((n - 1).toLong * k + 3) / 4).toInt)
+      val r = got(t)
+      assert(r.getLong(1) == n.toLong)
+      assert((r.getLong(2), r.getLong(3)) == ((low(1), high(1))))
+      assert((r.getLong(4), r.getLong(5)) == ((low(2), high(2))))
+      assert((r.getLong(6), r.getLong(7)) == ((low(3), high(3))))
+    }
+  }
+
+  test("group_array_sorted returns the 8 smallest cents per type, in order") {
+    val exp = events.groupBy(_._4).map { case (t, es) =>
+      t -> es.map(e => (cents(e._5), e._1)).sorted.take(8)
+        .map(_._1).mkString(",")
+    }
+    val got = run("group_array_sorted").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == exp)
+  }
+
+  test("exp_time_decayed_avg equals the closed-form weighted mean") {
+    val exp = events.groupBy(_._3).map { case (u, es) =>
+      val days = es.map(e => java.time.Instant.ofEpochMilli(e._2.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay)
+      val last = days.max
+      val w = days.map(d => math.pow(0.5, (last - d).toDouble))
+      val xs = es.map(_._5).zip(w).map { case (x, wi) => x * wi }
+      u -> ((r4(xs.sum / w.sum), es.size.toLong))
+    }
+    val got = run("exp_time_decayed_avg").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.keySet == exp.keySet)
+    // the weighted mean itself is order-sensitive in the last bits; compare
+    // to 1e-9 (the op's 4-dp rounding sits far inside that window)
+    got.foreach { case (u, (avg, n)) =>
+      assert(n == exp(u)._2)
+      assert(math.abs(avg - exp(u)._1) < 1e-9, s"user $u")
+    }
+  }
+}
