@@ -80,6 +80,55 @@ object StreamQueries {
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) => StreamOps.windowedCdf(ev(s, dir)).orderBy("day", "event_type") },
 
+    // ---- #221 windowed z-score anomaly vs a fixed baseline ---------------
+    // The live twin of anomaly_zscore (#156), stream_psi-shaped: per
+    // closed (day, type) window the exact cents total z-scored against a
+    // per-type baseline (mean, std of daily totals) — a types-sized
+    // bounded-metadata collect here, precomputed offline in a real
+    // deployment. All double steps (mean, std, z) are single IEEE chains
+    // over exact integers, identical on both engines → round(·,4).
+    "stream_anomaly" -> OpDef(
+      """WITH f AS (
+        |  SELECT date_trunc('day', ts) AS d, event_type AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |g AS (SELECT t, d, CAST(SUM(c) AS BIGINT) AS s,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM f GROUP BY 1, 2),
+        |b AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(s) AS BIGINT) AS sw,
+        |    CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS sww
+        |  FROM g GROUP BY 1)
+        |SELECT strftime(g.d, '%Y-%m-%d') AS day, g.t AS event_type, g.n, g.s,
+        |  round(CASE WHEN b.k > 1
+        |      AND b.sww - CAST(b.sw AS DOUBLE) * b.sw / b.k > 0 THEN
+        |    (g.s - CAST(b.sw AS DOUBLE) / b.k)
+        |    / sqrt((b.sww - CAST(b.sw AS DOUBLE) * b.sw / b.k) / (b.k - 1))
+        |    END, 4) AS z
+        |FROM g JOIN b USING (t) ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val e = ev(s, dir)
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      // per-type baseline off the bounded (type, day) grain — the
+      // stream_psi bounded-metadata discipline
+      val g = e.select(to_date(col("ts")).as("d"), col("event_type").as("t"),
+          cents.as("c"))
+        .groupBy("t", "d").agg(sum("c").cast("long").as("s"))
+        .select("t", "s")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val baseline = g.groupBy(_._1).map { case (t, rows) =>
+        val k = rows.length
+        val sw = rows.map(x => BigInt(x._2)).sum
+        val sww = rows.map(x => BigInt(x._2) * BigInt(x._2)).sum.toDouble
+        val swD = sw.toDouble
+        val mean = swD / k
+        val varN = sww - swD * swD / k
+        val std = if (k > 1 && varN > 0) math.sqrt(varN / (k - 1)) else 0.0
+        (t, mean, std)
+      }.toSeq
+      StreamOps.windowedAnomaly(e, baseline).orderBy("day", "event_type")
+    },
+
     // ---- #202 windowed PSI drift vs a fixed baseline ---------------------
     // The live twin of psi_drift (#146): per-day PSI against the corpus
     // decile marginal as the broadcast baseline. The baseline is a 10-row

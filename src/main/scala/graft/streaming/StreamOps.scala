@@ -66,6 +66,34 @@ object StreamOps {
       col("n"), round(psi, 4).as("psi"))
   }
 
+  /** #221 — windowed z-score drift monitor: per closed (day, type) window
+    * the exact-integer cents total z-scored against a FIXED per-type
+    * baseline (mean, std of daily totals) computed offline and shipped
+    * broadcast-literal with the job — the stream_psi deployment shape for
+    * the anomaly_zscore family. The windowed aggregate is two conditional
+    * counters per open window (trivially incremental, O(windows × types)
+    * state); the z fold is a STATELESS projection over closed windows.
+    * Types absent from the baseline, or with a degenerate (k ≤ 1 or
+    * zero-variance) baseline, emit NULL z on both engines.
+    */
+  def windowedAnomaly(events: DataFrame,
+      baseline: Seq[(String, Double, Double)]): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val agged = src.select(col("ts"), col("event_type"), cents.as("c"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val mean = baseline.foldLeft(lit(null).cast("double")) {
+      case (acc, (t, m, _)) => when(col("event_type") === t, lit(m)).otherwise(acc)
+    }
+    val std = baseline.foldLeft(lit(null).cast("double")) {
+      case (acc, (t, _, sd)) => when(col("event_type") === t, lit(sd)).otherwise(acc)
+    }
+    agged.select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("n"), col("s").cast("long").as("s"),
+      round(when(std > 0, (col("s") - mean) / std), 4).as("z"))
+  }
+
   def windowedCdf(events: DataFrame): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")

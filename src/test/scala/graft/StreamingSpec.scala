@@ -528,4 +528,53 @@ class StreamingSpec extends SparkSpecBase {
     // each term is finite — NaN/Inf would mean a zero-cell leaked the guard
     got.foreach { case (_, _, psi) => assert(!psi.isNaN && !psi.isInfinite) }
   }
+
+  test("windowed z-score anomaly on a stream matches the batch shape on closed windows") {
+    implicit val s = spark
+    import s.implicits._
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("ts", "event_type", "value")
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect().sortBy(_._1.getTime)
+    // fixed per-type baseline (mean, std of exact daily cents totals) as a
+    // real deployment precomputes offline and ships with the job
+    def cents(v: Double) =
+      (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong
+    def day(ts: java.sql.Timestamp) =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val baseline = ev.groupBy(_._2).map { case (t, es) =>
+      val daily = es.groupBy(e => day(e._1))
+        .map { case (_, ds) => ds.map(e => BigInt(cents(e._3))).sum }.toSeq
+      val k = daily.length
+      val swD = daily.sum.toDouble
+      val sww = daily.map(x => x * x).sum.toDouble
+      val varN = sww - swD * swD / k
+      val std = if (k > 1 && varN > 0) math.sqrt(varN / (k - 1)) else 0.0
+      (t, swD / k, std)
+    }.toSeq
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StreamOps.windowedAnomaly(
+        in.toDF().toDF("ts", "event_type", "value"), baseline)
+      .writeStream.format("memory").queryName("wanom").outputMode("append").start()
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -9999.0 else r.getDouble(4)) // NULL sentinel (set-safe)
+    val got = spark.sql("select * from wanom").collect().map(key).toSet
+    assert(got.nonEmpty, "no closed windows emitted")
+    val batch = StreamOps.windowedAnomaly(
+      spark.createDataFrame(ev.toSeq).toDF("ts", "event_type", "value"), baseline)
+      .collect().map(key).toSet
+    assert(got.subsetOf(batch),
+      "streamed anomaly rows must equal the batch shape on closed windows")
+    // every emitted z against the corpus's own baseline is finite
+    got.foreach { case (_, _, _, _, z) =>
+      assert(!z.isNaN && !z.isInfinite)
+    }
+  }
 }
