@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""sf1 (10x probe) check for the recursive-component dedup rows.
+
+The DuckDB oracles for dedup_clusters / dedup_cluster_rep / pipeline_filter
+embed a recursive reachability CTE whose intermediate (node, label) set is
+sum(m^2) over components — quadratic in the giant near-dup component the
+10x corpus seeds, so the SQL oracle is infeasible at sf1 specifically.
+This script replaces ONLY that step with a linear union-find over the
+simhash pair set (itself DuckDB-verified at sf1 by the --only dedup pass),
+then re-derives all three results independently and compares them to the
+Spark parquet outputs cell-for-cell.
+
+Usage: python3 scripts/verify_clusters_sf1.py <sfDir> <verifyOutDir>
+"""
+import glob
+import sys
+
+import duckdb
+
+
+def read(con, pattern):
+    return con.execute(
+        f"SELECT * FROM read_parquet({glob.glob(pattern)!r})").fetchall()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+
+    # 1. components via union-find over the VERIFIED pair set
+    pairs = [(a, b) for a, b, _ in read(con, f"{out_dir}/dedup_simhash_pairs/*.parquet")]
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({n for p in pairs for n in p})
+    comp = {n: find(n) for n in nodes}
+
+    got_cl = sorted(read(con, f"{out_dir}/dedup_clusters/*.parquet"))
+    exp_cl = sorted((n, comp[n], n == comp[n]) for n in nodes)
+    assert got_cl == exp_cl, "dedup_clusters != union-find components"
+    print(f"PASS dedup_clusters ({len(exp_cl)} rows, "
+          f"{len(set(comp.values()))} components, "
+          f"max size {max(list(comp.values()).count(c) for c in set(comp.values()))})")
+
+    # 2. cluster representative: longest doc (n_chars), tie -> min doc_id
+    doc_dir = f"{sf_dir}/documents.parquet"
+    doc_glob = f"{doc_dir}/*.parquet" if glob.glob(f"{doc_dir}/*.parquet") else doc_dir
+    nchars = dict(con.execute(
+        f"SELECT doc_id, n_chars FROM read_parquet('{doc_glob}')").fetchall())
+    by_cluster = {}
+    for n, c in comp.items():
+        by_cluster.setdefault(c, []).append(n)
+    exp_rep = sorted(
+        (c, min(ms, key=lambda i: (-nchars[i], i)), len(ms),
+         max(nchars[i] for i in ms))
+        for c, ms in by_cluster.items())
+    got_rep = sorted(read(con, f"{out_dir}/dedup_cluster_rep/*.parquet"))
+    assert got_rep == exp_rep, "dedup_cluster_rep != quality-argmax derivation"
+    print(f"PASS dedup_cluster_rep ({len(exp_rep)} rows)")
+
+    # 3. pipeline_filter: re-compose kept set from its (verified) stages
+    quality = {r[0]: r for r in read(con, f"{out_dir}/text_quality/*.parquet")}
+    exdup = {r[0] for r in read(con, f"{out_dir}/dedup_exact/*.parquet")}
+    contaminated = {r[0] for r in read(con, f"{out_dir}/contamination/*.parquet")}
+    non_canon = {n for n, c in comp.items() if n != c}
+    lang = dict(con.execute(
+        f"SELECT doc_id, lang FROM read_parquet('{doc_glob}')").fetchall())
+    q_col = con.execute(
+        f"SELECT * FROM read_parquet({glob.glob(out_dir + '/text_quality/*.parquet')!r}) LIMIT 0")
+    qi = [d[0] for d in q_col.description].index("quality")
+    exp_keep = sorted(
+        (d, lang[d], quality[d][qi])
+        for d in lang
+        if d % 10 != 0 and d in quality and quality[d][qi] >= 0.25
+        and d not in exdup and d not in non_canon and d not in contaminated)
+    got_keep = sorted(read(con, f"{out_dir}/pipeline_filter/*.parquet"))
+    assert got_keep == exp_keep, "pipeline_filter != stage re-composition"
+    print(f"PASS pipeline_filter ({len(exp_keep)} rows)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -417,6 +417,48 @@ object SeriesDiagnostics {
           round((col("s").cast(DoubleType) - col("prev")) / col("prev"), 4)
             .as("wow_pct"))
         .orderBy("event_type", "wk")
+    },
+
+    // ---- #225 sparkbar (CH sparkbar surface) -------------------------------
+    // The per-type daily-count series rendered as a block-glyph sparkline
+    // — CH's dashboard one-liner. Counts collapse to the (type, day)
+    // grain; the glyph level is EXACT integer (c·7)//max (both engines
+    // truncate non-negatives identically); the bar is an ordered
+    // string_agg over the grain — and glyphs come from element_at on a
+    // literal array (Spark's chr() is ASCII-only, so no codepoint
+    // arithmetic on either engine).
+    "sparkbar" -> OpDef(
+      """WITH g AS (
+        |  SELECT event_type AS t,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT t, d, c, MAX(c) OVER (PARTITION BY t) AS mx FROM g)
+        |SELECT t AS event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(mx) AS BIGINT) AS max_day_count,
+        |  string_agg(['▁','▂','▃','▄','▅','▆','▇','█'][(c * 7) // mx + 1],
+        |    '' ORDER BY d) AS bar
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val glyphs = array(Seq("▁", "▂", "▃", "▄", "▅", "▆", "▇", "█")
+        .map(lit): _*)
+      val g = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), epochDay.as("d"))
+        .groupBy("t", "d").agg(count(lit(1)).as("c"))
+      val m = g.withColumn("mx", max("c").over(Window.partitionBy("t")))
+      // (c·7)//mx: non-negative → truncation == floor on both engines
+      m.select(col("t"), col("d"), col("mx"),
+          element_at(glyphs,
+            ((col("c") * 7) / col("mx")).cast(IntegerType) + 1).as("gl"))
+        .groupBy("t")
+        .agg(count(lit(1)).cast(LongType).as("n_days"),
+          max("mx").cast(LongType).as("max_day_count"),
+          concat_ws("", sort_array(collect_list(
+            struct(col("d"), col("gl").as("gl")))).getField("gl")).as("bar"))
+        .select(col("t").as("event_type"), col("n_days"),
+          col("max_day_count"), col("bar"))
+        .orderBy("event_type")
     }
   )
 }

@@ -614,6 +614,114 @@ object TpchShapes {
         .orderBy("n_name")
     },
 
+    // ---- #222 TPC-H Q6 shape: forecast revenue (pure pushdown agg) ---------
+    // Revenue delta from a (year, discount band, quantity cap) slice —
+    // the canonical predicate-pushdown probe: every filter is a plain
+    // column comparison that must reach the parquet scan (PushedFilters),
+    // no join, one partial-agg row per task. Discount compares in exact
+    // 2-dp DECIMAL (a double BETWEEN on 0.05/0.07 would be
+    // representation-dependent); revenue = price·disc sums in DECIMAL.
+    "q6_forecast_revenue" -> OpDef(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2))
+        |        BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+        |  AND l_quantity < 24""".stripMargin
+    ) { (s, dir) =>
+      val disc = col("l_discount").cast(DecimalType(18, 2))
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast(DateType) >= lit("1996-01-01") &&
+          col("l_shipdate").cast(DateType) < lit("1997-01-01") &&
+          disc >= lit(BigDecimal("0.05")) && disc <= lit(BigDecimal("0.07")) &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).cast(LongType).as("n_lines"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) * disc)
+            .cast(DoubleType).as("revenue"))
+    },
+
+    // ---- #223 TPC-H Q17 shape: small-quantity revenue per brand ------------
+    // Revenue from lines under 20% of their part's average quantity — the
+    // correlated-average subquery as a part-grain collapse + join-back:
+    // per-part thresholds are exact decimal sums over ONE shuffle
+    // (20·Σqty vs count·qty cross-multiplied in integers — no float
+    // threshold drift), the fact side re-joins on the SAME partkey
+    // clustering, and the brand dim prunes to ECONOMY-brand keys before
+    // the threshold join.
+    "q17_small_qty_revenue" -> OpDef(
+      """WITH pq AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_qty_revenue
+        |FROM lineitem l
+        |JOIN pq ON l.l_partkey = pq.l_partkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_type = 'ECONOMY'
+        |  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.cnt < pq.sq""".stripMargin
+    ) { (s, dir) =>
+      val pq = tbl(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_partkey").as("pk"), col("sq"), col("cnt"))
+      val p = tbl(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val l = tbl(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // qty < sq/(5·cnt) cross-multiplied: qty·5·cnt < sq — exact decimal
+      l.join(pq, l("l_partkey") === pq("pk"))
+        .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("cnt")
+          < col("sq"))
+        .agg(count(lit(1)).cast(LongType).as("n_lines"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("small_qty_revenue"))
+    },
+
+    // ---- #224 TPC-H Q20 shape: suppliers with surplus of promo parts -------
+    // Suppliers whose shipped quantity of some ECONOMY part in 1997
+    // exceeds 50 (impossible for a single line — max quantity is 50 — so only
+    // repeat-shipment pairs qualify) — the nested-semi-join chain (supplier ← qualifying
+    // (part, supplier) pairs ← part filter). The pair aggregation
+    // collapses lines to the (supp, part) grain FIRST; the >40 cut runs
+    // on the exact decimal grain sums; the supplier dim sees a left_semi
+    // of qualifying suppkeys (one row each, no blowup).
+    "q20_surplus_suppliers" -> OpDef(
+      """WITH qual AS (
+        |  SELECT l.l_suppkey
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'ECONOMY'
+        |    AND date_part('year', CAST(l.l_shipdate AS DATE)) = 1997
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50)
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)
+        |ORDER BY s.s_suppkey""".stripMargin
+    ) { (s, dir) =>
+      val p = tbl(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val qual = tbl(s, dir, "lineitem")
+        .filter(year(col("l_shipdate").cast(DateType)) === 1997)
+        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"))
+        .filter(col("sq") > 50)
+        .select(col("l_suppkey"))
+      tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+    },
+
     // ---- #211 TPC-H Q2 shape: min-cost supplier per part -------------------
     // For each small part (size ≤ 10), the supplier with the lowest
     // realized unit price — the correlated-min-subquery pattern as a

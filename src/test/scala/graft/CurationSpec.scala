@@ -150,6 +150,24 @@ class CurationSpec extends SparkSpecBase {
     assert(got == exp)
   }
 
+  test("sparkbar renders exact (c*7)//max glyph levels in day order") {
+    val glyphs = "▁▂▃▄▅▆▇█".toCharArray.map(_.toString)
+    def day(ts: java.sql.Timestamp) =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+    val exp = events.groupBy(_._4).map { case (t, es) =>
+      val daily = es.groupBy(e => day(e._2)).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val mx = daily.map(_._2).max
+      t -> ((daily.size.toLong, mx,
+        daily.map { case (_, c) => glyphs((c * 7 / mx).toInt) }.mkString))
+    }
+    val got = run("sparkbar").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == exp)
+  }
+
   test("exp_time_decayed_avg equals the closed-form weighted mean") {
     val exp = events.groupBy(_._3).map { case (u, es) =>
       val days = es.map(e => java.time.Instant.ofEpochMilli(e._2.getTime)

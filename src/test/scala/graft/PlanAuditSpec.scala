@@ -206,7 +206,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // statically size for a test-SF broadcast). At 100 TB the co-partitioned
     // sort-merge join IS the right plan — broadcasting a pair-filtered
     // orders table would OOM — so exactly one SMJ is the pinned shape.
-    val factFactShuffle = Set("q7_volume_shipping", "q8_market_share")
+    // Q20's supplier⋈qualifying-keys semi join is the same class: both
+    // sides are O(suppliers) (the HAVING output has no static stats to
+    // trigger a test-SF broadcast), and co-partitioned SMJ on suppkey is
+    // the shape that survives a 10^7-supplier catalog.
+    val factFactShuffle =
+      Set("q7_volume_shipping", "q8_market_share", "q20_surplus_suppliers")
     val finisherFallbacks = Map("uniq_hll" -> Set("hll_sketch_estimate"))
     for (name <- SparkEntry.allDefs.keys.toSeq.sorted) {
       val a = auditOf(run(name))

@@ -240,6 +240,51 @@ class TpchDeepSpec extends SparkSpecBase {
     assert(got == exp)
   }
 
+  test("q6_forecast_revenue equals the filtered decimal sum") {
+    val lo = java.time.LocalDate.parse("1996-01-01").toEpochDay
+    val hi = java.time.LocalDate.parse("1997-01-01").toEpochDay
+    val sel = lineitem.filter { l =>
+      val d = dayNum(l._8)
+      d >= lo && d < hi && d2(l._6) >= BigDecimal("0.05") &&
+        d2(l._6) <= BigDecimal("0.07") && l._4 < 24
+    }
+    val row = run("q6_forecast_revenue").collect().head
+    assert(row.getLong(0) == sel.size.toLong)
+    assert(row.getDouble(1) == sel.map(l => d2(l._5) * d2(l._6)).sum.toDouble)
+  }
+
+  test("q17_small_qty_revenue equals the correlated-average derivation") {
+    val byPart = lineitem.groupBy(_._2).view.mapValues { ls =>
+      (ls.map(l => d2(l._4)).sum, ls.size)
+    }.toMap
+    val econParts = graft.sources.Tables(spark, sfDir, "part")
+      .select("p_partkey", "p_type").collect()
+      .collect { case r if r.getString(1) == "ECONOMY" => r.getLong(0) }.toSet
+    val sel = lineitem.filter { l =>
+      val (sq, cnt) = byPart(l._2)
+      econParts(l._2) && d2(l._4) * 5 * cnt < sq
+    }
+    val row = run("q17_small_qty_revenue").collect().head
+    assert(row.getLong(0) == sel.size.toLong)
+    assert(row.getDouble(1) == sel.map(l => d2(l._5)).sum.toDouble)
+  }
+
+  test("q20_surplus_suppliers equals the semi-chain derivation") {
+    val econParts = graft.sources.Tables(spark, sfDir, "part")
+      .select("p_partkey", "p_type").collect()
+      .collect { case r if r.getString(1) == "ECONOMY" => r.getLong(0) }.toSet
+    val qual = lineitem
+      .filter(l => econParts(l._2) && yearOf(l._8) == 1997L)
+      .groupBy(l => (l._3, l._2))
+      .collect { case ((sk, _), ls)
+        if ls.map(l => d2(l._4)).sum > 50 => sk }.toSet
+    val names = supplier.map(s => s._1 -> s._2).toMap
+    val exp = qual.map(sk => (sk, names(sk)))
+    val got = run("q20_surplus_suppliers").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == exp)
+  }
+
   test("q8_market_share equals the conditional-ratio derivation") {
     val nmap = nations.map(n => n._1 -> ((n._2, n._3))).toMap
     val asia = regions.collect { case (rk, "ASIA") => rk }.toSet
