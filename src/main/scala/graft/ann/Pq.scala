@@ -139,16 +139,35 @@ object Pq extends Serializable {
     PqIndex(indexDir, cbs)
   }
 
+  /** Density-adaptive exact-re-rank shortlist: a FIXED depth stops working
+    * as the corpus densifies (at 10× vectors the 32-bit ADC ordering can
+    * no longer separate the near-equidistant top-100 — the sf1 probe
+    * measured recall@5 collapsing 0.84 → 0.14), so the default depth
+    * scales as n/10 with the old constant as the floor (n/20 recovered
+    * 0.74 at the 10× probe, n/10 recovers 1.0). The re-rank cost
+    * stays trivial (depth × probes exact dot products); on the IVF-PQ
+    * path candidates are already cell-pruned, so depth only widens the
+    * per-probe shortlist, never the scan. Parquet row-count is metadata
+    * (no scan).
+    */
+  private def adaptiveDepth(s: SparkSession, codesPath: String): Int = {
+    val n = s.read.parquet(codesPath).count()
+    math.max(RerankDepth, (n / 10).toInt)
+  }
+
   /** The ONLINE PQ query: probes build their M×K dot/norm lookup tables on
     * the driver (against the in-memory codebooks), the code table scores
     * through the codegen ADC expression (M int lookups per candidate — the
     * float corpus is never scanned), the top `rerankDepth` per probe
-    * re-rank exactly.
+    * re-rank exactly (≤ 0 → density-adaptive).
     */
   def query(s: SparkSession, dir: String, index: PqIndex, k: Int = K,
-      rerankDepth: Int = RerankDepth): DataFrame = {
+      rerankDepth: Int = -1): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    val depth =
+      if (rerankDepth > 0) rerankDepth
+      else adaptiveDepth(s, s"${index.indexDir}/codes")
     val probeArr = Ann.probes(s, dir)
     val probeTables = probeArr.toSeq.map { case (pid, pv) =>
       val dotT = new Array[Double](M * Ksub)
@@ -175,7 +194,7 @@ object Pq extends Serializable {
       .partitionBy("probe_id").orderBy(col("approx").desc, col("vec_id"))
     val cand = approx
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= rerankDepth)
+      .filter(col("rn") <= depth)
       .select("probe_id", "vec_id")
     Ann.rerank(s, dir, cand, probeArr, k)
   }
@@ -213,7 +232,7 @@ object Pq extends Serializable {
 
   /** PQ ANN against the (per-JVM cached) prebuilt index. */
   def pqTopK(s: SparkSession, dir: String, k: Int = K,
-      rerankDepth: Int = RerankDepth): DataFrame =
+      rerankDepth: Int = -1): DataFrame =
     query(s, dir, ensureIndex(s, dir), k, rerankDepth)
 
   // ---------------------------------------------------------------------
@@ -280,9 +299,12 @@ object Pq extends Serializable {
     * touched only for the re-ranked handful.
     */
   def ivfPqQuery(s: SparkSession, dir: String, index: IvfPqIndex, k: Int = K,
-      nprobe: Int = Ann.NProbe, rerankDepth: Int = RerankDepth): DataFrame = {
+      nprobe: Int = Ann.NProbe, rerankDepth: Int = -1): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    val depth =
+      if (rerankDepth > 0) rerankDepth
+      else adaptiveDepth(s, s"${index.indexDir}/rows")
     val probeArr = Ann.probes(s, dir)
     val probeSide = probeArr.toSeq.flatMap { case (pid, pv) =>
       val dotT = new Array[Double](M * Ksub)
@@ -310,7 +332,7 @@ object Pq extends Serializable {
       .partitionBy("probe_id").orderBy(col("approx").desc, col("vec_id"))
     val cand = approx
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= rerankDepth)
+      .filter(col("rn") <= depth)
       .select("probe_id", "vec_id")
     Ann.rerank(s, dir, cand, probeArr, k)
   }
@@ -348,6 +370,6 @@ object Pq extends Serializable {
 
   /** IVF-PQ ANN against the (per-JVM cached) prebuilt combined index. */
   def ivfPqTopK(s: SparkSession, dir: String, k: Int = K,
-      nprobe: Int = Ann.NProbe, rerankDepth: Int = RerankDepth): DataFrame =
+      nprobe: Int = Ann.NProbe, rerankDepth: Int = -1): DataFrame =
     ivfPqQuery(s, dir, ensureIvfPq(s, dir), k, nprobe, rerankDepth)
 }

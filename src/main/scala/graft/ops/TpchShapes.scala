@@ -729,7 +729,10 @@ object TpchShapes {
     // price/quantity sums per pair ride one shuffle, one double division
     // each, then row_number ordered by (unit_cost, suppkey) picks the
     // minimum with a deterministic tie-break. Dims join at the winner
-    // grain (one row per part).
+    // grain (one row per part). unit_cost ships RAW (one IEEE division of
+    // exact decimals is bit-identical on both engines; a round(·,4) here
+    // hash-diverged at sf1 — engines disagree within 1 ulp of the .xxxx5
+    // boundary, and 40k winner rows hit it ~3 times).
     "q2_min_price_supplier" -> OpDef(
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
@@ -743,7 +746,7 @@ object TpchShapes {
         |      ORDER BY unit_cost, l_suppkey) AS rn
         |  FROM ps)
         |SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
-        |  round(m.unit_cost, 4) AS unit_cost
+        |  m.unit_cost
         |FROM m
         |JOIN part p ON m.l_partkey = p.p_partkey AND p.p_size <= 10
         |JOIN supplier s ON m.l_suppkey = s.s_suppkey
@@ -766,7 +769,7 @@ object TpchShapes {
       m.join(p, m("l_partkey") === p("p_partkey"))
         .join(sup, m("l_suppkey") === sup("s_suppkey"))
         .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
-          col("s_name"), round(col("unit_cost"), 4).as("unit_cost"))
+          col("s_name"), col("unit_cost"))
         .orderBy("p_partkey")
     },
 

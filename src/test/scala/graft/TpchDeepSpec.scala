@@ -216,10 +216,8 @@ class TpchDeepSpec extends SparkSpecBase {
     }
     val pmap = partRows.filter(_._3 <= 10).map(p => p._1 -> p._2).toMap
     val sname = supplier.map(s => s._1 -> s._2).toMap
-    def r4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val exp = winner.collect { case (pk, (sk, c)) if pmap.contains(pk) =>
-      (pk, pmap(pk), sk, sname(sk), r4(c))
+      (pk, pmap(pk), sk, sname(sk), c) // raw IEEE ratio, no rounding (§5)
     }.toSet
     val got = run("q2_min_price_supplier").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
