@@ -514,6 +514,129 @@ object DistributionProfile {
       w.agg(max("n").cast(LongType).as("n_customers"),
         sel(0.50).as("p50_orders"), sel(0.90).as("p90_orders"),
         max("n_orders").cast(LongType).as("max_orders"))
+    },
+
+    // ---- #228 deterministic-sample median (CH quantileDeterministic) -------
+    // CH's quantileDeterministic(x, determinator): the quantile of a
+    // FIXED-SIZE sample selected by a deterministic hash of the
+    // determinator (event_id) — same rows chosen on every engine and
+    // every run, so even the SAMPLING regime is hash-exact (the topK
+    // exact-regime move, applied to a sampler). Scale shape: the 8192-th
+    // smallest hash is found WITHOUT a row-grain window — a scan-riding
+    // hash pre-filter (4× the expected threshold, off a 5-row count
+    // broadcast) bounds the candidates to ~4·8192 per type, and only
+    // those survivors rank; the median then reads off the sample's value
+    // grain with integer thresholds. n ≤ 8192 degenerates to the exact
+    // median (pinned at small SF); n ≫ 8192 is a true sample (sf1).
+    "quantile_deterministic" -> OpDef(
+      s"""WITH f AS (
+        |  SELECT event_type AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    ${parity.md5LongSql("CAST(event_id AS VARCHAR)")} AS h
+        |  FROM events),
+        |n AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS nt FROM f GROUP BY 1),
+        |cand AS (
+        |  SELECT f.t, f.c, f.h FROM f JOIN n USING (t)
+        |  WHERE n.nt <= 8192
+        |     OR f.h <= CAST(1152921504606846975 / n.nt AS BIGINT) * 32768),
+        |smp AS (
+        |  SELECT t, c,
+        |    row_number() OVER (PARTITION BY t ORDER BY h, c) AS rn
+        |  FROM cand),
+        |g AS (SELECT t, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM smp WHERE rn <= 8192 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT t, c, cnt,
+        |    SUM(cnt) OVER (PARTITION BY t ORDER BY c) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY t) AS ns
+        |  FROM g)
+        |SELECT w.t AS event_type, n.nt AS n_total,
+        |  CAST(MAX(w.ns) AS BIGINT) AS n_sample,
+        |  MIN(CASE WHEN 2 * w.cum >= w.ns THEN w.c END) AS med_c
+        |FROM w JOIN n ON w.t = n.t
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val f = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), centsL.as("c"),
+          parity.md5Long(col("event_id").cast(StringType)).as("h"))
+      val n = f.groupBy("t").agg(count(lit(1)).as("nt"))
+      // threshold ≈ hashSpace·(8192/nt)·4: (2^60−1)/nt · 8192·4 in exact
+      // integer arithmetic; survivors ≈ 4·8192 per type (margin-miss
+      // probability is Chernoff-negligible), so the rank window runs on a
+      // bounded grain, never the fact table
+      val cand = f.join(broadcast(n), "t")
+        .filter(col("nt") <= 8192 ||
+          col("h") <= (lit(1152921504606846975L) / col("nt")) * 32768)
+      val smp = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("t").orderBy(col("h"), col("c"))))
+        .filter(col("rn") <= 8192)
+      val part = Window.partitionBy("t")
+      val w = smp.groupBy("t", "c").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(part.orderBy("c")))
+        .withColumn("ns", sum("cnt").over(part))
+      w.groupBy("t")
+        .agg(max("ns").cast(LongType).as("n_sample"),
+          min(when(lit(2) * col("cum") >= col("ns"), col("c"))).as("med_c"))
+        .join(broadcast(n), "t")
+        .select(col("t").as("event_type"), col("nt").cast(LongType)
+          .as("n_total"), col("n_sample"), col("med_c"))
+        .orderBy("event_type")
+    },
+
+    // ---- #229 winsorized mean (trimmed_mean's clamping twin) ---------------
+    // Mean with the tails CLAMPED to the exact p10/p90 values instead of
+    // dropped — the robust-stats variant monitoring uses when outliers
+    // should saturate, not vanish. Bounds come off the value grain with
+    // cross-multiplied integer ranks; the winsorized total is then a pure
+    // INTEGER fold over the same grain (cnt·clamp(c, lo, hi)) — exact at
+    // any scale, one double division at the end.
+    "winsorized_mean" -> OpDef(
+      """WITH f AS (
+        |  SELECT event_type AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |g AS (SELECT t, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT t, c, cnt,
+        |    SUM(cnt) OVER (PARTITION BY t ORDER BY c) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY t) AS n
+        |  FROM g),
+        |b AS (
+        |  SELECT t, CAST(MAX(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN 10 * cum >= n THEN c END) AS lo,
+        |    MIN(CASE WHEN 10 * cum >= 9 * n THEN c END) AS hi
+        |  FROM w GROUP BY 1)
+        |SELECT g.t AS event_type, b.n,
+        |  b.lo AS p10_c, b.hi AS p90_c,
+        |  round(CAST(SUM(g.cnt * CASE WHEN g.c < b.lo THEN b.lo
+        |      WHEN g.c > b.hi THEN b.hi ELSE g.c END) AS DOUBLE)
+        |    / b.n / 100, 4) AS winsorized_mean
+        |FROM g JOIN b ON g.t = b.t
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), centsL.as("c"))
+        .groupBy("t", "c").agg(count(lit(1)).as("cnt"))
+      val part = Window.partitionBy("t")
+      val w = g
+        .withColumn("cum", sum("cnt").over(part.orderBy("c")))
+        .withColumn("n", sum("cnt").over(part))
+      val b = w.groupBy("t")
+        .agg(max("n").cast(LongType).as("n"),
+          min(when(lit(10) * col("cum") >= col("n"), col("c"))).as("lo"),
+          min(when(lit(10) * col("cum") >= lit(9) * col("n"), col("c")))
+            .as("hi"))
+      g.join(b, "t")
+        .groupBy(col("t"), col("n"), col("lo"), col("hi"))
+        .agg(round(
+          sum(col("cnt") * when(col("c") < col("lo"), col("lo"))
+            .when(col("c") > col("hi"), col("hi")).otherwise(col("c")))
+            .cast(DoubleType) / col("n") / 100, 4).as("winsorized_mean"))
+        .select(col("t").as("event_type"), col("n"),
+          col("lo").as("p10_c"), col("hi").as("p90_c"),
+          col("winsorized_mean"))
+        .orderBy("event_type")
     }
   )
 }

@@ -375,6 +375,51 @@ object EngagementOps {
           round(col("n_users").cast(DoubleType)
             / sum("n_users").over(Window.partitionBy()), 4).as("share"))
         .orderBy("bucket")
+    },
+
+    // ---- #226 multi-condition retention (CH retention() combinator) --------
+    // CH's retention(c1, c2, c3): per user, r1 = did c1; rK = did c1 AND
+    // did cK — each later condition counts only against the anchor. ONE
+    // user collapse with three bool_or partials (6 bytes of state per
+    // user), then a one-row global fold; ratios are single divides of
+    // exact integers → round(·,4). The #53 retention is the calendar
+    // variant; this is the condition-combinator surface. The later
+    // conditions carry value thresholds so the ratios discriminate
+    // (unconditioned, every user at test SF trips all three types).
+    "retention_conditions" -> OpDef(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+        |    MAX(CASE WHEN event_type = 'click' AND value > 95
+        |      THEN 1 ELSE 0 END) AS c2,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 99
+        |      THEN 1 ELSE 0 END) AS c3
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(c1) AS BIGINT) AS r1,
+        |  CAST(SUM(c1 * c2) AS BIGINT) AS r2,
+        |  CAST(SUM(c1 * c3) AS BIGINT) AS r3,
+        |  round(CAST(SUM(c1 * c2) AS DOUBLE) / SUM(c1), 4) AS r2_ratio,
+        |  round(CAST(SUM(c1 * c3) AS DOUBLE) / SUM(c1), 4) AS r3_ratio
+        |FROM u""".stripMargin
+    ) { (s, dir) =>
+      def did(t: String): Column =
+        max(when(col("event_type") === t, 1).otherwise(0))
+      val u = tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(did("signup").as("c1"),
+          max(when(col("event_type") === "click" && col("value") > 95, 1)
+            .otherwise(0)).as("c2"),
+          max(when(col("event_type") === "purchase" && col("value") > 99, 1)
+            .otherwise(0)).as("c3"))
+      u.agg(count(lit(1)).cast(LongType).as("n_users"),
+        sum("c1").cast(LongType).as("r1"),
+        sum(col("c1") * col("c2")).cast(LongType).as("r2"),
+        sum(col("c1") * col("c3")).cast(LongType).as("r3"),
+        round(sum(col("c1") * col("c2")).cast(DoubleType) / sum("c1"), 4)
+          .as("r2_ratio"),
+        round(sum(col("c1") * col("c3")).cast(DoubleType) / sum("c1"), 4)
+          .as("r3_ratio"))
     }
   )
 }

@@ -2593,6 +2593,53 @@ object Relational {
         .orderBy("level")
     },
 
+    // ---- #227 strict-dedup funnel (CH windowFunnel strict_dedup mode) -----
+    // The third windowFunnel mode: a REPEAT of any already-matched step
+    // between chain steps interrupts the search (s…c with a second 's'
+    // between them breaks; c…p with an interleaved 's' or 'c' breaks).
+    // On the per-user sorted tracked-letter string that automaton IS the
+    // regex s[^s]*c[^sc]*p — the character classes encode exactly the
+    // "no repeat of a matched step" rule, so no state machine and no
+    // second shuffle; same one-pass shape as #217.
+    "funnel_strict_dedup" -> OpDef(
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+        |                    ELSE 'p' END AS ch
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        |u AS (
+        |  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS str
+        |  FROM m GROUP BY user_id),
+        |lv AS (
+        |  SELECT user_id,
+        |    CASE WHEN regexp_matches(str, 's[^s]*c[^sc]*p') THEN 3
+        |         WHEN regexp_matches(str, 's[^s]*c') THEN 2
+        |         WHEN contains(str, 's') THEN 1
+        |         ELSE 0 END AS level
+        |  FROM u)
+        |SELECT CAST(level AS BIGINT) AS level,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val str = tbl(s, dir, "events")
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          when(col("event_type") === "signup", "s")
+            .when(col("event_type") === "click", "c")
+            .otherwise("p").as("ch")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(concat_ws("", col("es").getField("ch")).as("str"))
+      str.select(
+          when(col("str").rlike("s[^s]*c[^sc]*p"), 3L)
+            .when(col("str").rlike("s[^s]*c"), 2L)
+            .when(col("str").contains("s"), 1L)
+            .otherwise(0L).as("level"))
+        .groupBy("level")
+        .agg(count(lit(1)).cast(LongType).as("n_users"))
+        .orderBy("level")
+    },
+
     // ---- #218 exact quantile bounds (CH quantileExactLow/High surface) ----
     // Low AND high exact-quantile variants for p ∈ {¼, ½, ¾} per event
     // type in one pass — the quantiles_exact_weighted discipline (collapse

@@ -168,6 +168,79 @@ class CurationSpec extends SparkSpecBase {
     assert(got == exp)
   }
 
+  test("retention_conditions equals the per-user bool fold") {
+    val byUser = events.groupBy(_._3)
+    val flags = byUser.values.map { es =>
+      (es.exists(_._4 == "signup"),
+        es.exists(e => e._4 == "click" && e._5 > 95),
+        es.exists(e => e._4 == "purchase" && e._5 > 99))
+    }.toSeq
+    val r1 = flags.count(_._1).toLong
+    val r2 = flags.count(f => f._1 && f._2).toLong
+    val r3 = flags.count(f => f._1 && f._3).toLong
+    val row = run("retention_conditions").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((byUser.size.toLong, r1, r2, r3)))
+    assert(row.getDouble(4) == r4(r2.toDouble / r1))
+    assert(row.getDouble(5) == r4(r3.toDouble / r1))
+  }
+
+  test("funnel_strict_dedup: repeat-of-matched-step interrupts the chain") {
+    val tracked = Map("signup" -> "s", "click" -> "c", "purchase" -> "p")
+    val exp = events.filter(e => tracked.contains(e._4))
+      .groupBy(_._3).map { case (_, es) =>
+        val str = es.sortBy(e => (e._2.getTime, e._1))
+          .map(e => tracked(e._4)).mkString
+        if ("s[^s]*c[^sc]*p".r.findFirstIn(str).isDefined) 3L
+        else if ("s[^s]*c".r.findFirstIn(str).isDefined) 2L
+        else if (str.contains("s")) 1L
+        else 0L
+      }.groupBy(identity).map { case (l, us) => l -> us.size.toLong }
+    val got = run("funnel_strict_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+    // strict_order (contiguity) is strictly harder than strict_dedup
+    // (no-repeat-of-matched): every strict_order level-3 user is a
+    // strict_dedup level-3 user, and both modes see the same user set
+    val strictOrder = run("funnel_strict_order").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strictOrder.getOrElse(3L, 0L) <= got.getOrElse(3L, 0L))
+    assert(strictOrder.values.sum == got.values.sum)
+  }
+
+  test("quantile_deterministic: hash-selected sample, exact at small n") {
+    // at sf0.001 every type has < 8192 events → the sample IS the full
+    // set and med_c equals the exact nearest-rank median
+    val got = run("quantile_deterministic").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    events.groupBy(_._4).foreach { case (t, es) =>
+      val cs = es.map(e => cents(e._5)).sorted
+      val n = cs.length
+      val med = cs(math.max(0, (n + 1) / 2 - 1))
+      val (nTotal, nSample, medC) = got(t)
+      assert(nTotal == n.toLong && nSample == n.toLong, t)
+      assert(medC == med, t)
+    }
+  }
+
+  test("winsorized_mean equals the clamp-at-decile fold") {
+    val got = run("winsorized_mean").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    events.groupBy(_._4).foreach { case (t, es) =>
+      val cs = es.map(e => cents(e._5)).sorted
+      val n = cs.length
+      def rank(k: Int, of: Int) = // min value with 10·cum >= k·n over grain
+        cs(cs.indices.find(i => 10 * (i + 1) >= k * n).get)
+      val lo = rank(1, 10); val hi = rank(9, 10)
+      val tot = cs.map(c => math.min(math.max(c, lo), hi)).sum
+      val (gn, glo, ghi, gmean) = got(t)
+      assert(gn == n.toLong && glo == lo && ghi == hi, t)
+      assert(gmean == r4(tot.toDouble / n / 100), t)
+    }
+  }
+
   test("exp_time_decayed_avg equals the closed-form weighted mean") {
     val exp = events.groupBy(_._3).map { case (u, es) =>
       val days = es.map(e => java.time.Instant.ofEpochMilli(e._2.getTime)
