@@ -18,6 +18,7 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> { args => CosineSimilarity(args(0), args(1)) },
     "simhash64" -> { args => SimHash64(args(0)) },
+    "lttb_idx" -> { args => LttbIdx(args(0), args(1), args(2)) },
     "md5_chain" -> { args => Md5Chain(args(0)) },
     "bpe_cost" -> { args => BpeCost(args(0)) },
     "count_in" -> { args => CountIn(args(0), args(1)) },

@@ -459,6 +459,101 @@ object SeriesDiagnostics {
         .select(col("t").as("event_type"), col("n_days"),
           col("max_day_count"), col("bar"))
         .orderBy("event_type")
+    },
+
+    // ---- #230 LTTB downsample (CH largestTriangleThreeBuckets) -------------
+    // Steinarsson's visual-fidelity downsampler over the per-type daily
+    // cents series (M4's perceptual sibling): endpoints kept, each of 8
+    // middle buckets contributes the point maximizing the triangle area
+    // against the previous pick and the next bucket's mean. The argmax is
+    // EXACT INTEGER (area scaled by the anchor bucket's count — see
+    // [[graft.functions.LttbIdx]]), so the inherently sequential
+    // selection chain is still bit-reproducible cross-engine: Spark runs
+    // it as one compiled loop over the collapsed ≤days-per-type array
+    // (a custom codegen Expression — per-GROUP narrow work, never fact
+    // rows), the oracle as 8 unrolled argmax CTE steps in the same
+    // integer arithmetic.
+    "ts_downsample_lttb" -> OpDef(lttbOracleSql) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val g = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), epochDay.as("d"), centsL.as("c"))
+        .groupBy("t", "d").agg(sum("c").cast(LongType).as("s"))
+      val arr = g.groupBy("t")
+        .agg(sort_array(collect_list(struct(col("d"), col("s")))).as("ps"))
+        .select(col("t"), col("ps").getField("d").as("xs"),
+          col("ps").getField("s").as("ys"))
+      arr.select(col("t"), col("xs"), col("ys"),
+          explode(call_function("lttb_idx", col("xs"), col("ys"), lit(10)))
+            .as("pos"))
+        .select(col("t").as("event_type"),
+          element_at(col("xs"), col("pos") + 1).as("d"),
+          element_at(col("ys"), col("pos") + 1).as("s_c"))
+        .orderBy("event_type", "d")
     }
   )
+
+  /** The unrolled-argmax LTTB oracle (nb = 8 middle buckets): recursion-free
+    * SQL whose per-step integer area/tie-break arithmetic mirrors
+    * [[graft.functions.LttbIdx.compute]] term for term.
+    */
+  private lazy val lttbOracleSql: String = {
+    val NB = 8
+    val area = "abs(a.cnt*s.d*b.s - s.d*a.sy + b.d*a.sy - a.cnt*b.d*s.s " +
+      "+ a.sx*s.s - a.sx*b.s)"
+    val steps = (0 until NB).map { k =>
+      val prev = if (k == 0) "sel0" else s"w$k"
+      s"""sel${k + 1} AS (
+         |  SELECT s.t, arg_max(struct_pack(pos := b.pos, d := b.d, s := b.s),
+         |    CAST($area AS HUGEINT) * 1000000 - b.pos) AS w
+         |  FROM $prev s
+         |  JOIN rng r ON r.t = s.t AND r.k = $k
+         |  JOIN anch a ON a.t = s.t AND a.k = $k
+         |  JOIN p b ON b.t = s.t AND b.pos BETWEEN r.lo AND r.hi
+         |  GROUP BY 1),
+         |w${k + 1} AS (SELECT t, (w).pos AS pos, (w).d AS d, (w).s AS s
+         |              FROM sel${k + 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to NB)
+      .map(k => s"UNION ALL SELECT t, pos, d, s FROM w$k").mkString("\n  ")
+    s"""WITH g AS (
+       |  SELECT event_type AS t,
+       |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS s
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT t, CAST(d AS BIGINT) AS d, s,
+       |    CAST(row_number() OVER (PARTITION BY t ORDER BY d) - 1 AS BIGINT)
+       |      AS pos,
+       |    CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n
+       |  FROM g),
+       |c AS (SELECT DISTINCT t, n FROM p),
+       |kk AS (SELECT unnest(generate_series(0, ${NB - 1})) AS k),
+       |rng AS (
+       |  SELECT c.t, kk.k, c.n,
+       |    1 + (kk.k * (c.n - 2)) // $NB AS lo,
+       |    ((kk.k + 1) * (c.n - 2)) // $NB AS hi
+       |  FROM c, kk),
+       |banch AS (
+       |  SELECT r2.t, r2.k - 1 AS k, SUM(p.d) AS sx, SUM(p.s) AS sy,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM rng r2 JOIN p ON p.t = r2.t AND p.pos BETWEEN r2.lo AND r2.hi
+       |  GROUP BY 1, 2),
+       |anch AS (
+       |  SELECT r.t, r.k,
+       |    CASE WHEN r.k < ${NB - 1} THEN ba.sx ELSE lp.d END AS sx,
+       |    CASE WHEN r.k < ${NB - 1} THEN ba.sy ELSE lp.s END AS sy,
+       |    CASE WHEN r.k < ${NB - 1} THEN ba.cnt ELSE 1 END AS cnt
+       |  FROM rng r
+       |  LEFT JOIN banch ba ON ba.t = r.t AND ba.k = r.k
+       |  LEFT JOIN (SELECT t, d, s FROM p WHERE pos = n - 1) lp
+       |    ON lp.t = r.t),
+       |sel0 AS (SELECT t, pos, d, s FROM p WHERE pos = 0),
+       |$steps,
+       |allsel AS (
+       |  SELECT t, pos, d, s FROM sel0
+       |  $unions
+       |  UNION ALL SELECT t, pos, d, s FROM p WHERE pos = n - 1)
+       |SELECT t AS event_type, d, s AS s_c FROM allsel ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -241,6 +241,54 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("ts_downsample_lttb equals an independent integer LTTB") {
+    def day(ts: java.sql.Timestamp) =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+    val exp = events.groupBy(_._4).flatMap { case (t, es) =>
+      val series = es.groupBy(e => day(e._2)).view
+        .mapValues(_.map(e => BigInt(cents(e._5))).sum.toLong)
+        .toSeq.sortBy(_._1)
+      val n = series.length
+      val sel = if (n <= 10) series.indices
+      else {
+        val nb = 8; val nMid = n - 2
+        val picks = scala.collection.mutable.ArrayBuffer(0)
+        for (k <- 0 until nb) {
+          val lo = 1 + (k.toLong * nMid / nb).toInt
+          val hi = 1 + ((k + 1).toLong * nMid / nb).toInt - 1
+          val (sx, sy, cnt) = if (k + 1 < nb) {
+            val nlo = 1 + ((k + 1).toLong * nMid / nb).toInt
+            val nhi = 1 + ((k + 2).toLong * nMid / nb).toInt - 1
+            val pts = (nlo to nhi).map(series)
+            (pts.map(_._1).sum, pts.map(_._2).sum, pts.size.toLong)
+          } else (series(n - 1)._1, series(n - 1)._2, 1L)
+          val (xa, ya) = series(picks.last)
+          val best = (lo to hi).maxBy { b =>
+            val (xb, yb) = series(b)
+            val area = (BigInt(cnt) * xa * yb - BigInt(xa) * sy +
+              BigInt(xb) * sy - BigInt(cnt) * xb * ya +
+              BigInt(sx) * ya - BigInt(sx) * yb).abs
+            (area, BigInt(-b)) // earliest wins ties
+          }
+          picks += best
+        }
+        picks += (n - 1)
+        picks.toSeq
+      }
+      sel.map(i => (t, series(i)._1, series(i)._2))
+    }.toSet
+    val got = run("ts_downsample_lttb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+    // endpoints always survive downsampling
+    events.groupBy(_._4).foreach { case (t, es) =>
+      val days = es.map(e => day(e._2))
+      assert(got.exists(p => p._1 == t && p._2 == days.min), t)
+      assert(got.exists(p => p._1 == t && p._2 == days.max), t)
+    }
+  }
+
   test("exp_time_decayed_avg equals the closed-form weighted mean") {
     val exp = events.groupBy(_._3).map { case (u, es) =>
       val days = es.map(e => java.time.Instant.ofEpochMilli(e._2.getTime)
