@@ -722,6 +722,92 @@ object TpchShapes {
         .orderBy("s_suppkey")
     },
 
+    // ---- #231 TPC-H Q13 shape: customer order-count distribution -----------
+    // How many customers placed 0, 1, 2… qualifying orders — the LEFT
+    // OUTER JOIN + count(NULL)=0 distribution (zero-order customers MUST
+    // appear, which no inner-join shape can produce). Orders pre-filter
+    // (non-URGENT) BEFORE the join; the per-customer count collapses on
+    // the custkey shuffle; the final histogram is a ≤max-orders grain
+    // collapse. Pure integers.
+    "q13_customer_distribution" -> OpDef(
+      """WITH co AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |  CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+    ) { (s, dir) =>
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).cast(LongType).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).cast(LongType).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---- #232 TPC-H Q9 shape: product profit by nation and year ------------
+    // Profit per (supplier nation, order year) for blue parts (an adjective both the driver and probe generators emit) —
+    // Q9 with the one schema liberty documented: partsupp does not exist
+    // here, so supply cost proxies as 60% of p_retailprice (a constant
+    // per part, preserving the join topology: lineitem⋈part⋈supplier⋈
+    // nation⋈orders). Profit = rev − qty·cost sums EXACTLY in DECIMAL;
+    // the part/supplier dims project to (key, needed columns) before the
+    // fact joins; nation broadcasts.
+    "q9_product_profit" -> OpDef(
+      """WITH profit AS (
+        |  SELECT sn.n_name AS nation,
+        |    date_part('year', CAST(o.o_orderdate AS DATE)) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        |      - CAST(ROUND(0.6 * p.p_retailprice, 2) AS DECIMAL(18,2))
+        |        * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |    AND p.p_name LIKE '%blue%'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM profit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val p = tbl(s, dir, "part")
+        .filter(col("p_name").like("%blue%"))
+        .select(col("p_partkey"),
+          round(lit(0.6) * col("p_retailprice"), 2)
+            .cast(DecimalType(18, 2)).as("cost"))
+      val sup = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = broadcast(tbl(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate").cast(DateType)).cast(LongType).as("o_year"))
+      val l = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey"))
+        .join(n, col("s_nationkey") === n("n_nationkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("n_name").as("nation"), col("o_year"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2))) -
+            col("cost") * col("l_quantity").cast(DecimalType(18, 2)))
+            .as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(count(lit(1)).cast(LongType).as("n_lines"),
+          sum("amount").cast(DoubleType).as("sum_profit"))
+        .orderBy("nation", "o_year")
+    },
+
     // ---- #211 TPC-H Q2 shape: min-cost supplier per part -------------------
     // For each small part (size ≤ 10), the supplier with the lowest
     // realized unit price — the correlated-min-subquery pattern as a

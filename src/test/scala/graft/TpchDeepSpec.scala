@@ -283,6 +283,43 @@ class TpchDeepSpec extends SparkSpecBase {
     assert(got == exp)
   }
 
+  test("q13_customer_distribution counts zero-order customers") {
+    val prio = graft.sources.Tables(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = prio.filter(_._2 != "1-URGENT")
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val exp = customer.map(c => counts.getOrElse(c._1, 0L))
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val got = run("q13_customer_distribution").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
+  test("q9_product_profit equals the dim-chain profit derivation") {
+    val blue = graft.sources.Tables(spark, sfDir, "part")
+      .select("p_partkey", "p_name", "p_retailprice").collect()
+      .collect { case r if r.getString(1).contains("blue") =>
+        r.getLong(0) -> BigDecimal(0.6 * r.getDouble(2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      }.toMap
+    val nname = nations.map(n => n._1 -> n._2).toMap
+    val snat = supplier.map(s => s._1 -> nname(s._3)).toMap
+    val oyear = orders.map(o => o._1 -> yearOf(o._5)).toMap
+    val exp = lineitem.flatMap { l =>
+      blue.get(l._2).map { cost =>
+        ((snat(l._3), oyear(l._1)),
+          rev(l) - cost * d2(l._4))
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._2).sum.toDouble))
+    }
+    val got = run("q9_product_profit").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == exp)
+  }
+
   test("q8_market_share equals the conditional-ratio derivation") {
     val nmap = nations.map(n => n._1 -> ((n._2, n._3))).toMap
     val asia = regions.collect { case (rk, "ASIA") => rk }.toSet
