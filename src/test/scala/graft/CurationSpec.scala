@@ -289,6 +289,26 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("interval_overlap_count: complement counting equals the pair join") {
+    // two INDEPENDENT plans for the same number: #72 enumerates pairs
+    // through the bucket join, #233 never builds a pair
+    val viaJoin = run("interval_overlap").collect().head.getLong(0)
+    val viaSweep = run("interval_overlap_count").collect().head.getLong(0)
+    assert(viaSweep == viaJoin)
+    // and the brute-force derivation agrees with both
+    def day(ts: java.sql.Timestamp) =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+    val iv = events.groupBy(_._3).view
+      .mapValues(es => (es.map(e => day(e._2)).min, es.map(e => day(e._2)).max))
+      .toMap.values.toSeq
+    val exp = (for {
+      i <- iv.indices; j <- (i + 1) until iv.size
+      if iv(i)._1 <= iv(j)._2 && iv(j)._1 <= iv(i)._2
+    } yield 1).size.toLong
+    assert(viaSweep == exp)
+  }
+
   test("exp_time_decayed_avg equals the closed-form weighted mean") {
     val exp = events.groupBy(_._3).map { case (u, es) =>
       val days = es.map(e => java.time.Instant.ofEpochMilli(e._2.getTime)
