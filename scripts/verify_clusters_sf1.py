@@ -23,12 +23,9 @@ def read(con, pattern):
         f"SELECT * FROM read_parquet({glob.glob(pattern)!r})").fetchall()
 
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-
-    # 1. components via union-find over the VERIFIED pair set
-    pairs = [(a, b) for a, b, _ in read(con, f"{out_dir}/dedup_simhash_pairs/*.parquet")]
+def components(pairs):
+    """Min-root union-find: component id = min node id, like the engine's
+    min-label propagation."""
     parent = {}
 
     def find(x):
@@ -44,7 +41,17 @@ def main(sf_dir, out_dir):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     nodes = sorted({n for p in pairs for n in p})
-    comp = {n: find(n) for n in nodes}
+    return {n: find(n) for n in nodes}
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+
+    # 1. components via union-find over the VERIFIED pair set
+    pairs = [(a, b) for a, b, _ in read(con, f"{out_dir}/dedup_simhash_pairs/*.parquet")]
+    comp = components(pairs)
+    nodes = sorted(comp)
 
     got_cl = sorted(read(con, f"{out_dir}/dedup_clusters/*.parquet"))
     exp_cl = sorted((n, comp[n], n == comp[n]) for n in nodes)
@@ -87,6 +94,31 @@ def main(sf_dir, out_dir):
     got_keep = sorted(read(con, f"{out_dir}/pipeline_filter/*.parquet"))
     assert got_keep == exp_keep, "pipeline_filter != stage re-composition"
     print(f"PASS pipeline_filter ({len(exp_keep)} rows)")
+
+    # 4. semdedup: union-find over the VERIFIED embedding pair set
+    emb_pairs = [(a, b) for a, b, _ in read(
+        con, f"{out_dir}/dedup_embedding/*.parquet")]
+    ecomp = components(emb_pairs)
+    dropped = {n for n, c in ecomp.items() if n != c}
+    emb_dir = f"{sf_dir}/embeddings.parquet"
+    emb_glob = (f"{emb_dir}/*.parquet"
+                if glob.glob(f"{emb_dir}/*.parquet") else emb_dir)
+    vl = con.execute(
+        f"SELECT vec_id, label FROM read_parquet('{emb_glob}')").fetchall()
+    by_label = {}
+    for vid, lab in vl:
+        t = by_label.setdefault(lab, [0, 0, 0, 0])  # n, id_sum, n_drop, drop_sum
+        t[0] += 1
+        t[1] += vid
+        if vid in dropped:
+            t[2] += 1
+            t[3] += vid
+    exp_sd = sorted(
+        (lab, n, n - nd, nd, round(nd / n, 4), ids - ds)
+        for lab, (n, ids, nd, ds) in by_label.items())
+    got_sd = sorted(read(con, f"{out_dir}/semdedup/*.parquet"))
+    assert got_sd == exp_sd, "semdedup != union-find over verified pairs"
+    print(f"PASS semdedup ({len(exp_sd)} rows, {len(dropped)} dropped)")
 
 
 if __name__ == "__main__":

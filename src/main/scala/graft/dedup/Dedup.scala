@@ -484,6 +484,84 @@ object Dedup {
         .orderBy("vec_a", "vec_b")
     },
 
+    // ---- #234 SemDeDup: semantic-cluster dedup (Abbas et al. 2023) -------
+    // The embedding-space dedup pass a pre-training pipeline runs on TOP
+    // of exact/fuzzy text dedup: within each semantic cluster (label —
+    // at 100 TB these come from the SAME k-means the IVF index trains),
+    // cosine-≥τ groups collapse to ONE representative (min vec_id), and
+    // the read-out is per-cluster keep/drop mass. Pair generation is the
+    // #33 block join (never cross-cluster); components ride the shared
+    // [[connectedComponents]] min-label propagation; kept_id_sum pins the
+    // exact KEPT SET (not just its size) cross-engine. The oracle replays
+    // components as the reachability CTE — feasible at driver SF, and at
+    // the 10× probe the union-find script path applies (SKILL §4).
+    "semdedup" -> OpDef(
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(generate_series(1, 64),
+        |        i -> a.e[i] * b.e[i]))
+        |      / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.35),
+        |edges AS (
+        |  SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p),
+        |reach AS (
+        |  SELECT a AS node, a AS lbl FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+        |comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY 1),
+        |dropped AS (SELECT node FROM comp WHERE node <> root),
+        |lb AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |    CAST(SUM(vec_id) AS BIGINT) AS id_sum
+        |  FROM v GROUP BY 1),
+        |dl AS (
+        |  SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+        |    CAST(SUM(d.node) AS BIGINT) AS drop_sum
+        |  FROM dropped d JOIN v ON v.vec_id = d.node GROUP BY 1)
+        |SELECT lb.label, lb.n_vectors,
+        |  lb.n_vectors - COALESCE(dl.n_dropped, 0) AS n_kept,
+        |  COALESCE(dl.n_dropped, 0) AS n_dropped,
+        |  round(CAST(COALESCE(dl.n_dropped, 0) AS DOUBLE) / lb.n_vectors, 4)
+        |    AS drop_rate,
+        |  lb.id_sum - COALESCE(dl.drop_sum, 0) AS kept_id_sum
+        |FROM lb LEFT JOIN dl ON lb.label = dl.label
+        |ORDER BY lb.label""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = embs(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      val a = v.select(col("label"), col("vec_id").as("va"), col("e").as("e_a"))
+      val b = v.select(col("label"), col("vec_id").as("vb"), col("e").as("e_b"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("va") < col("vb") &&
+          call_function("cosine_sim", col("e_a"), col("e_b")) >= 0.35)
+        .select(col("va").as("a"), col("vb").as("b"))
+      val dropped = connectedComponents(pairs)
+        .filter(col("node") =!= col("component"))
+        .select(col("node"))
+      val lb = v.groupBy("label")
+        .agg(count(lit(1)).cast(LongType).as("n_vectors"),
+          sum("vec_id").cast(LongType).as("id_sum"))
+      val dl = v.join(dropped, v("vec_id") === col("node"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast(LongType).as("n_dropped"),
+          sum("vec_id").cast(LongType).as("drop_sum"))
+      lb.join(dl, Seq("label"), "left_outer")
+        .select(col("label"), col("n_vectors"),
+          (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          round(coalesce(col("n_dropped"), lit(0L)).cast(DoubleType)
+            / col("n_vectors"), 4).as("drop_rate"),
+          (col("id_sum") - coalesce(col("drop_sum"), lit(0L)))
+            .as("kept_id_sum"))
+        .orderBy("label")
+    },
+
     // ---- #55 dedup clustering: near-dup pairs → components → canonical ---
     // The step a real training pipeline runs AFTER pair generation: group
     // transitive near-dups into clusters and keep one canonical doc (the

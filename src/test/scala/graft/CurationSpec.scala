@@ -289,6 +289,37 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("semdedup keeps exactly one representative per cosine component") {
+    val pairs = run("dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // union-find with min roots
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val dropped = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(n => find(n) != n).toSet
+    val vecs = graft.sources.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val exp = vecs.groupBy(_._2).map { case (lab, vs) =>
+      val ids = vs.map(_._1)
+      val nd = ids.count(dropped)
+      lab -> ((ids.size.toLong, ids.size.toLong - nd, nd.toLong,
+        ids.sum - ids.filter(dropped).sum))
+    }
+    val got = run("semdedup").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(got == exp)
+  }
+
   test("interval_overlap_count: complement counting equals the pair join") {
     // two INDEPENDENT plans for the same number: #72 enumerates pairs
     // through the bucket join, #233 never builds a pair
