@@ -209,9 +209,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // Q20's supplier⋈qualifying-keys semi join is the same class: both
     // sides are O(suppliers) (the HAVING output has no static stats to
     // trigger a test-SF broadcast), and co-partitioned SMJ on suppkey is
-    // the shape that survives a 10^7-supplier catalog.
-    val factFactShuffle =
-      Set("q7_volume_shipping", "q8_market_share", "q20_surplus_suppliers")
+    // the shape that survives a 10^7-supplier catalog. semdedup's
+    // vec_id join of embeddings against the dropped-node set likewise:
+    // the near-dup mass is O(corpus) (19,990/20,000 at the 10× probe's
+    // density), so broadcasting it would OOM exactly when dedup matters.
+    val factFactShuffle = Set("q7_volume_shipping", "q8_market_share",
+      "q20_surplus_suppliers", "semdedup")
     val finisherFallbacks = Map("uniq_hll" -> Set("hll_sketch_estimate"))
     for (name <- SparkEntry.allDefs.keys.toSeq.sorted) {
       val a = auditOf(run(name))
