@@ -2687,6 +2687,87 @@ object Relational {
         .orderBy("level")
     },
 
+    // ---- #235 matched-chain events (CH sequenceMatchEvents surface) -------
+    // For each user completing signup→click→purchase, the EVENT IDS of
+    // the leftmost chain (first signup, first click after it, first
+    // purchase after that) — seq_match's boolean upgraded to the actual
+    // evidence rows. Three chained min-aggregates on the SAME user_id
+    // clustering (each join keys on the previous agg's key → exchange
+    // reuse, the retention discipline); order is exact (µs, event_id)
+    // lexicographic on both engines.
+    "seq_match_events" -> OpDef(
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+        |                    ELSE 'p' END AS ch
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, MIN([us, event_id]) AS a
+        |       FROM m WHERE ch = 's' GROUP BY 1),
+        |s2 AS (SELECT m.user_id, MIN([m.us, m.event_id]) AS b
+        |       FROM m JOIN s1 USING (user_id)
+        |       WHERE m.ch = 'c' AND [m.us, m.event_id] > s1.a GROUP BY 1),
+        |s3 AS (SELECT m.user_id, MIN([m.us, m.event_id]) AS c
+        |       FROM m JOIN s2 USING (user_id)
+        |       WHERE m.ch = 'p' AND [m.us, m.event_id] > s2.b GROUP BY 1)
+        |SELECT s1.user_id, s1.a[2] AS signup_event, s2.b[2] AS click_event,
+        |  s3.c[2] AS purchase_event
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin
+    ) { (s, dir) =>
+      val m = tbl(s, dir, "events")
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"))
+            .as("k"),
+          when(col("event_type") === "signup", "s")
+            .when(col("event_type") === "click", "c")
+            .otherwise("p").as("ch"))
+      val s1 = m.filter(col("ch") === "s")
+        .groupBy("user_id").agg(min("k").as("a"))
+      val s2 = m.join(s1, "user_id")
+        .filter(col("ch") === "c" && col("k") > col("a"))
+        .groupBy("user_id").agg(min("k").as("b"))
+      val s3 = m.join(s2, "user_id")
+        .filter(col("ch") === "p" && col("k") > col("b"))
+        .groupBy("user_id").agg(min("k").as("c"))
+      s1.join(s2, "user_id").join(s3, "user_id")
+        .select(col("user_id"), col("a.eid").as("signup_event"),
+          col("b.eid").as("click_event"), col("c.eid").as("purchase_event"))
+        .orderBy("user_id")
+    },
+
+    // ---- #236 bounded last-N array agg (CH groupArrayLast(N)) -------------
+    // The N most recent (by ts, event_id) cents values per type as an
+    // ordered scalar cell — group_array_sorted's recency twin, same
+    // rank-then-collect bound: a row_number window keeps ≤ N rows per
+    // group BEFORE any collect, state O(N) never O(group).
+    "group_array_last" -> OpDef(
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY rn DESC) AS last8
+        |FROM r WHERE rn <= 8 GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      tbl(s, dir, "events")
+        .select(col("event_type"), cents.as("c"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") <= 8)
+        .groupBy("event_type")
+        // oldest-to-newest: sort by rn DESC via the (-rn) struct key
+        .agg(concat_ws(",",
+          sort_array(collect_list(
+            struct((-col("rn")).as("o"), col("c").cast(StringType).as("c"))))
+            .getField("c")).as("last8"))
+        .orderBy("event_type")
+    },
+
     // ---- #218 exact quantile bounds (CH quantileExactLow/High surface) ----
     // Low AND high exact-quantile variants for p ∈ {¼, ½, ¾} per event
     // type in one pass — the quantiles_exact_weighted discipline (collapse

@@ -340,6 +340,42 @@ class CurationSpec extends SparkSpecBase {
     assert(viaSweep == exp)
   }
 
+  // full µs precision — getTime alone truncates to millis and could
+  // misorder events sharing a millisecond
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  test("seq_match_events returns each user's leftmost chain") {
+    val tracked = Set("signup", "click", "purchase")
+    val exp = events.filter(e => tracked(e._4)).groupBy(_._3)
+      .flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (micros(e._2), e._1))
+        val ord = Ordering.Tuple2[Long, Long]
+        def firstAfter(t: String, after: Option[(Long, Long)]) =
+          sorted.find(e => e._4 == t && after.forall(a =>
+            ord.gt((micros(e._2), e._1), a))).map(e => (micros(e._2), e._1))
+        for {
+          s <- firstAfter("signup", None)
+          c <- firstAfter("click", Some(s))
+          p <- firstAfter("purchase", Some(c))
+        } yield u -> ((s._2, c._2, p._2))
+      }
+    val got = run("seq_match_events").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp.toMap)
+  }
+
+  test("group_array_last returns the 8 most recent cents, oldest first") {
+    val exp = events.groupBy(_._4).map { case (t, es) =>
+      t -> es.sortBy(e => (-micros(e._2), -e._1)).take(8).reverse
+        .map(e => cents(e._5)).mkString(",")
+    }
+    val got = run("group_array_last").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == exp)
+  }
+
   test("exp_time_decayed_avg equals the closed-form weighted mean") {
     val exp = events.groupBy(_._3).map { case (u, es) =>
       val days = es.map(e => java.time.Instant.ofEpochMilli(e._2.getTime)
