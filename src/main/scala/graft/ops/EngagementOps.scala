@@ -420,6 +420,203 @@ object EngagementOps {
           .as("r2_ratio"),
         round(sum(col("c1") * col("c3")).cast(DoubleType) / sum("c1"), 4)
           .as("r3_ratio"))
+    },
+
+    // ---- #237 RFM segmentation ---------------------------------------------
+    // Classic recency/frequency/monetary quartile coding per customer,
+    // reported at the segment grain (≤4³ rows). The scale discipline is
+    // what makes this an operator and not a notebook cell: quartile
+    // CUTPOINTS come from exact rank selection over each metric's VALUE
+    // grain (days / order counts / whole dollars — all domain-bounded,
+    // never one-row-per-customer ntile, which is a partition-less window
+    // over the full customer set and dies at 100 TB), broadcast as one
+    // 1-row frame per metric, and codes are plain comparisons riding the
+    // customer collapse. Monetary totals sum EXACTLY in DECIMAL cents
+    // (§5) and coarsen to whole dollars (truncating div on a positive
+    // domain — '//' vs 'div' agree, the r8-advice divergence can't bite).
+    // Code k ∈ 1..4 = 1 + #{cutpoints strictly below the value}, so code
+    // 4 = largest values (most orders / most spend / LONGEST ago for
+    // recency — mechanical, documented, engine-identical).
+    "rfm_segments" -> OpDef(
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) // 100 AS BIGINT) AS mon,
+        |    CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS lastd
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS dmax FROM orders),
+        |cm AS (
+        |  SELECT o_custkey, freq, mon,
+        |    CAST(datediff('day', lastd, dmax) AS BIGINT) AS rec
+        |  FROM c CROSS JOIN mx),
+        |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cm),
+        |gr AS (SELECT rec AS v, COUNT(*) AS cnt FROM cm GROUP BY 1),
+        |wr AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM gr),
+        |qr AS (SELECT
+        |    MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |    MIN(CASE WHEN cum * 2 >= n THEN v END) AS q2,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM wr CROSS JOIN nr),
+        |gf AS (SELECT freq AS v, COUNT(*) AS cnt FROM cm GROUP BY 1),
+        |wf AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM gf),
+        |qf AS (SELECT
+        |    MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |    MIN(CASE WHEN cum * 2 >= n THEN v END) AS q2,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM wf CROSS JOIN nr),
+        |gm AS (SELECT mon AS v, COUNT(*) AS cnt FROM cm GROUP BY 1),
+        |wm AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM gm),
+        |qm AS (SELECT
+        |    MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |    MIN(CASE WHEN cum * 2 >= n THEN v END) AS q2,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM wm CROSS JOIN nr)
+        |SELECT
+        |  CAST(1 + CAST(rec > qr.q1 AS INTEGER) + CAST(rec > qr.q2 AS INTEGER) + CAST(rec > qr.q3 AS INTEGER) AS BIGINT)
+        |    AS r_code,
+        |  CAST(1 + CAST(freq > qf.q1 AS INTEGER) + CAST(freq > qf.q2 AS INTEGER) + CAST(freq > qf.q3 AS INTEGER) AS BIGINT)
+        |    AS f_code,
+        |  CAST(1 + CAST(mon > qm.q1 AS INTEGER) + CAST(mon > qm.q2 AS INTEGER) + CAST(mon > qm.q3 AS INTEGER) AS BIGINT)
+        |    AS m_code,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  round(CAST(SUM(mon) AS DOUBLE) / COUNT(*), 4) AS avg_monetary_usd
+        |FROM cm CROSS JOIN qr CROSS JOIN qf CROSS JOIN qm
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    ) { (s, dir) =>
+      val ordersT = tbl(s, dir, "orders")
+      val mx = ordersT.agg(max(col("o_orderdate").cast(DateType)).as("dmax"))
+      val cm = ordersT.groupBy("o_custkey")
+        .agg(count(lit(1)).cast(LongType).as("freq"),
+          sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType)).as("cents"),
+          max(col("o_orderdate").cast(DateType)).as("lastd"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"), col("freq"),
+          expr("cents div 100").as("mon"),
+          datediff(col("dmax"), col("lastd")).cast(LongType).as("rec"))
+      val nr = cm.agg(count(lit(1)).as("n"))
+      def cuts(metric: String, pre: String): DataFrame = {
+        val g = cm.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+        g.withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+          .crossJoin(broadcast(nr))
+          .agg(
+            min(when(col("cum") * 4 >= col("n"), col("v"))).as(s"${pre}1"),
+            min(when(col("cum") * 2 >= col("n"), col("v"))).as(s"${pre}2"),
+            min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as(s"${pre}3"))
+      }
+      def code(metric: String, pre: String): Column =
+        (lit(1) + (col(metric) > col(s"${pre}1")).cast(LongType)
+          + (col(metric) > col(s"${pre}2")).cast(LongType)
+          + (col(metric) > col(s"${pre}3")).cast(LongType)).as(s"${metric.take(1)}_code")
+      cm.crossJoin(broadcast(cuts("rec", "rq")))
+        .crossJoin(broadcast(cuts("freq", "fq")))
+        .crossJoin(broadcast(cuts("mon", "mq")))
+        .select(code("rec", "rq"), code("freq", "fq"), code("mon", "mq"),
+          col("mon"))
+        .groupBy("r_code", "f_code", "m_code")
+        .agg(count(lit(1)).cast(LongType).as("n_customers"),
+          round(sum("mon").cast(DoubleType) / count(lit(1)), 4)
+            .as("avg_monetary_usd"))
+        .orderBy("r_code", "f_code", "m_code")
+    },
+
+    // ---- #238 signup→purchase conversion-lag quantiles ---------------------
+    // Exact p25/p50/p75 of the seconds between a user's FIRST signup and
+    // their first purchase strictly after it. Two user-keyed collapses on
+    // the SAME hashpartitioning(user_id) clustering (anchor min rides a
+    // conditional agg; the purchase side pre-filters to one event type at
+    // the scan before the join), then the bank's value-grain quantile
+    // discipline over integer lag-seconds (grain bounded by the time
+    // domain, never one row per user). Microsecond integers end to end;
+    // '// 1000000' on a strictly-positive lag, so floor-vs-truncate
+    // cannot diverge.
+    "conversion_lag_quantiles" -> OpDef(
+      """WITH su AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.s_us
+        |  GROUP BY 1),
+        |lag_g AS (
+        |  SELECT (pu.p_us - su.s_us) // 1000000 AS lag_s,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pu JOIN su ON pu.user_id = su.user_id GROUP BY 1),
+        |w AS (
+        |  SELECT lag_s, cnt, SUM(cnt) OVER (ORDER BY lag_s) AS cum,
+        |    SUM(cnt) OVER () AS n
+        |  FROM lag_g)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+        |  CAST(MIN(CASE WHEN cum * 4 >= n THEN lag_s END) AS BIGINT) AS p25_s,
+        |  CAST(MIN(CASE WHEN cum * 2 >= n THEN lag_s END) AS BIGINT) AS p50_s,
+        |  CAST(MIN(CASE WHEN cum * 4 >= n * 3 THEN lag_s END) AS BIGINT) AS p75_s
+        |FROM w""".stripMargin
+    ) { (s, dir) =>
+      val ev = tbl(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .join(su, "user_id")
+        .filter(col("us") > col("s_us"))
+        .groupBy("user_id").agg(min("us").as("p_us"), min("s_us").as("s_us"))
+      val lagG = pu
+        .select(expr("(p_us - s_us) div 1000000").as("lag_s"))
+        .groupBy("lag_s").agg(count(lit(1)).as("cnt"))
+      val w = lagG
+        .withColumn("cum", sum("cnt").over(Window.orderBy("lag_s")))
+        .withColumn("n", sum("cnt").over(
+          Window.orderBy("lag_s").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      def sel(num: Int, den: Int): Column =
+        min(when(col("cum") * den >= col("n") * num, col("lag_s")))
+          .cast(LongType)
+      w.agg(max("n").cast(LongType).as("n_users"),
+        sel(1, 4).as("p25_s"), sel(1, 2).as("p50_s"), sel(3, 4).as("p75_s"))
+    },
+
+    // ---- #239 dwell time by event type -------------------------------------
+    // Session-style dwell: the gap from each event to the SAME user's next
+    // event (any type), capped at 30 min (beyond = session break, excluded
+    // — the sessionize_batch convention), attributed to the FIRST event's
+    // type. One lead window on the (µs, event_id) total order riding one
+    // hashpartitioning(user_id) shuffle, then a ≤5-row type collapse.
+    // Integer microsecond sums are exact and order-independent; the
+    // average is the single double divide → round(·,4).
+    "dwell_time_by_type" -> OpDef(
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |      AS dwell_us
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_dwells,
+        |  CAST(SUM(dwell_us) // 1000000 AS BIGINT) AS total_s,
+        |  round(CAST(SUM(dwell_us) AS DOUBLE) / COUNT(*) / 1000000, 4)
+        |    AS avg_s
+        |FROM d
+        |WHERE dwell_us IS NOT NULL AND dwell_us <= 1800 * 1000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val d = e.withColumn("dwell_us",
+        lead("us", 1).over(
+          Window.partitionBy("user_id").orderBy("us", "event_id"))
+          - col("us"))
+      d.filter(col("dwell_us").isNotNull &&
+          col("dwell_us") <= lit(1800L * 1000000L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(LongType).as("n_dwells"),
+          expr("sum(dwell_us) div 1000000").as("total_s"),
+          round(sum("dwell_us").cast(DoubleType) / count(lit(1)) / 1000000, 4)
+            .as("avg_s"))
+        .orderBy("event_type")
     }
   )
 }
