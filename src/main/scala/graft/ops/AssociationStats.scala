@@ -539,6 +539,99 @@ object AssociationStats {
         (nD * col("sab") - col("sa") * col("sb")) / sqrt(va * vb))
       u.select(col("pair"), col("n"), round(rho, 4).as("spearman_rho"))
         .orderBy("pair")
+    },
+
+    // ---- #241 Herfindahl-Hirschman concentration per market ----------------
+    // HHI of supplier revenue shares within each brand — the antitrust /
+    // marketplace concentration read-out (gini_inequality's square-share
+    // sibling). Facts collapse ONCE to the (brand, supplier) grain in
+    // exact DECIMAL cents on one shuffle; HHI = Σsᵢ²/S² evaluates on the
+    // grain with DECIMAL(38,0)/HUGEINT-exact squares (cents² ≈ 10¹⁸ at
+    // big SFs — past BIGINT, inside 38 digits), so the only IEEE step is
+    // the final divide → round(·,6).
+    "hhi_concentration" -> OpDef(
+      """WITH g AS (
+        |  SELECT p.p_brand, l.l_suppkey,
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 100
+        |      AS BIGINT)) AS BIGINT) AS s
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  round(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)
+        |    / (CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)), 6) AS hhi
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val l = tbl(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2))) * 100)
+            .cast(LongType).as("cents"))
+      val g = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(sum("cents").cast(LongType).as("s"))
+      g.groupBy("p_brand")
+        .agg(count(lit(1)).cast(LongType).as("n_suppliers"),
+          round(sum(col("s").cast(big) * col("s").cast(big))
+            .cast(DoubleType)
+            / (sum("s").cast(DoubleType) * sum("s").cast(DoubleType)), 6)
+            .as("hhi"))
+        .orderBy("p_brand")
+    },
+
+    // ---- #242 market-basket brand lift -------------------------------------
+    // Co-occurrence lift for every brand pair appearing in one order:
+    // lift(a,b) = N·n_ab / (n_a·n_b) — the association-rule primitive.
+    // Scale shape: the ONLY pair generator is a self-join of the distinct
+    // (order, brand) grain on orderkey — pairs per order are bounded by
+    // the order's line count (≤ C(13,2) here, never corpus-quadratic),
+    // the association-rule analogue of the dedup bank's bucketed joins.
+    // Brand marginals and the order total come from the same grain and
+    // broadcast onto the ≤C(25,2) pair rows. Integers + one divide.
+    "basket_lift" -> OpDef(
+      """WITH g AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n_ord AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM g),
+        |m AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM g GROUP BY 1),
+        |pr AS (
+        |  SELECT a.b AS brand_a, c.b AS brand_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM g a JOIN g c ON a.ok = c.ok AND a.b < c.b
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab,
+        |  round(CAST(n.n * n_ab AS DOUBLE) / (ma.nb * mb.nb), 4) AS lift
+        |FROM pr JOIN m ma ON ma.b = brand_a JOIN m mb ON mb.b = brand_b
+        |CROSS JOIN n_ord n
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      // the grain feeds the pair join, both marginal lookups and the order
+      // count — cached so the fact join runs once (CacheRegistry
+      // discipline; production callers release via Graft.releaseCaches())
+      val l = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"))
+      val g = graft.CacheRegistry.track(
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nOrd = g.agg(countDistinct("ok").as("n"))
+      val m = g.groupBy("b").agg(count(lit(1)).as("nb"))
+      val pr = g.as("a").join(g.as("c"),
+          col("a.ok") === col("c.ok") && col("a.b") < col("c.b"))
+        .groupBy(col("a.b").as("brand_a"), col("c.b").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pr.join(broadcast(m.select(col("b").as("brand_a"), col("nb").as("na"))),
+          "brand_a")
+        .join(broadcast(m.select(col("b").as("brand_b"), col("nb").as("nb"))),
+          "brand_b")
+        .crossJoin(broadcast(nOrd))
+        .select(col("brand_a"), col("brand_b"),
+          col("n_ab").cast(LongType).as("n_ab"),
+          round((col("n") * col("n_ab")).cast(DoubleType)
+            / (col("na") * col("nb")), 4).as("lift"))
+        .orderBy("brand_a", "brand_b")
     }
   )
 }

@@ -489,6 +489,63 @@ object SeriesDiagnostics {
           element_at(col("xs"), col("pos") + 1).as("d"),
           element_at(col("ys"), col("pos") + 1).as("s_c"))
         .orderBy("event_type", "d")
+    },
+
+    // ---- #240 CUSUM changepoint per series ---------------------------------
+    // The classic mean-shift detector: per type, the day k maximizing
+    // |Σ_{i≤k}(x_i − x̄)| over the daily-count series — reported with the
+    // statistic SCALED BY n (c_k = n·prefix_k − k·S), so the argmax runs
+    // on exact integers; the float x̄ never exists and the argmax can
+    // never flip on a 1-ulp boundary (the q2 lesson from the sf1 gate).
+    // Facts collapse ONCE to the (type, day) grain; prefix/argmax windows
+    // ride the calendar-bounded grain, never fact rows; n·S stays far
+    // inside BIGINT at any SF (days × corpus count).
+    "cusum_changepoint" -> OpDef(
+      """WITH g AS (
+        |  SELECT event_type AS t,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT t, d, x,
+        |    SUM(x) OVER (PARTITION BY t ORDER BY d) AS pre,
+        |    CAST(row_number() OVER (PARTITION BY t ORDER BY d) AS BIGINT)
+        |      AS k,
+        |    SUM(x) OVER (PARTITION BY t) AS s,
+        |    CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n
+        |  FROM g),
+        |c AS (
+        |  SELECT t, d, n,
+        |    CAST(n * pre - k * s AS BIGINT) AS cusum,
+        |    row_number() OVER (PARTITION BY t
+        |      ORDER BY abs(CAST(n * pre - k * s AS BIGINT)) DESC, d) AS rk
+        |  FROM w)
+        |SELECT t AS event_type,
+        |  strftime(DATE '1970-01-01' + to_days(CAST(d AS INTEGER)),
+        |    '%Y-%m-%d') AS change_day,
+        |  cusum AS cusum_scaled, n AS n_days
+        |FROM c WHERE rk = 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .select(col("event_type").as("t"), epochDay.as("d"))
+        .groupBy("t", "d").agg(count(lit(1)).as("x"))
+      val byT = Window.partitionBy("t")
+      val w = g
+        .withColumn("pre", sum("x").over(byT.orderBy("d")))
+        .withColumn("k", row_number().over(byT.orderBy("d")).cast(LongType))
+        .withColumn("s", sum("x").over(byT))
+        .withColumn("n", count(lit(1)).over(byT).cast(LongType))
+      val c = w
+        .withColumn("cusum",
+          (col("n") * col("pre") - col("k") * col("s")).cast(LongType))
+        .withColumn("rk", row_number().over(
+          byT.orderBy(abs(col("cusum")).desc, col("d"))))
+      c.filter(col("rk") === 1)
+        .select(col("t").as("event_type"),
+          date_format(date_add(to_date(lit("1970-01-01")),
+            col("d").cast(IntegerType)), "yyyy-MM-dd").as("change_day"),
+          col("cusum").as("cusum_scaled"), col("n").as("n_days"))
+        .orderBy("event_type")
     }
   )
 
