@@ -229,6 +229,61 @@ object Ann extends Serializable {
             .otherwise(round(lit(127.0) / col("mx"), 6)).as("scale"),
           call_function("quantize_i8", col("embedding")).as("q"))
         .orderBy("vec_id")
+    },
+
+    // ---- #244 per-dimension embedding profile ------------------------------
+    // mean / population std / min / max per embedding dimension — the
+    // normalization-statistics pass every embedding pipeline runs before
+    // whitening, quantization-range selection, or drift monitoring.
+    // Cross-engine determinism: float components are floored to integer
+    // micro-units (float→double widening is exact, ⌊·⌋ of a double is the
+    // identical IEEE op on both engines — never round-half, which can sit
+    // 1 ulp off), so Σq and Σq² are EXACT integer/DECIMAL(38,0) sums
+    // (order-independent; q² ≈ 10¹² · corpus outgrows BIGINT at big SFs)
+    // and the only float steps are the final divides + sqrt — one
+    // identical chain → round(·,6). One posexplode + one dim-grain
+    // collapse (64 groups), map-side partial-merged; no window, no join.
+    "embed_dim_stats" -> OpDef(
+      """WITH x AS (
+        |  SELECT i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS t(i)),
+        |m AS (
+        |  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS sq,
+        |    SUM(CAST(q AS HUGEINT) * q) AS ssq,
+        |    CAST(MIN(q) AS BIGINT) AS qmin, CAST(MAX(q) AS BIGINT) AS qmax
+        |  FROM x GROUP BY 1)
+        |SELECT CAST(i AS BIGINT) AS dim, n,
+        |  round(CAST(sq AS DOUBLE) / n / 1000000, 6) AS mean,
+        |  round(sqrt(CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)
+        |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / n / 1000000, 6)
+        |    AS std,
+        |  round(CAST(qmin AS DOUBLE) / 1000000, 6) AS vmin,
+        |  round(CAST(qmax AS DOUBLE) / 1000000, 6) AS vmax
+        |FROM m ORDER BY dim""".stripMargin
+    ) { (s, dir) =>
+      GraftSession.tune(s)
+      val big = org.apache.spark.sql.types.DecimalType(38, 0)
+      val x = Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("p", "e")))
+        .select((col("p") + 1).cast(LongType).as("i"),
+          floor(col("e").cast(DoubleType) * 1000000).as("q"))
+      x.groupBy("i")
+        .agg(count(lit(1)).as("n"), sum("q").cast(LongType).as("sq"),
+          sum(col("q").cast(big) * col("q").cast(big)).as("ssq"),
+          min("q").as("qmin"), max("q").as("qmax"))
+        .select(col("i").as("dim"), col("n"),
+          round(col("sq").cast(DoubleType) / col("n") / 1000000, 6)
+            .as("mean"),
+          round(sqrt(col("n").cast(DoubleType) * col("ssq").cast(DoubleType)
+            - col("sq").cast(DoubleType) * col("sq").cast(DoubleType))
+            / col("n") / 1000000, 6).as("std"),
+          round(col("qmin").cast(DoubleType) / 1000000, 6).as("vmin"),
+          round(col("qmax").cast(DoubleType) / 1000000, 6).as("vmax"))
+        .orderBy("dim")
     }
   )
 

@@ -615,6 +615,61 @@ object TextOps {
       pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
+    },
+
+    // ---- #243 DSIR importance scoring (data-selection log-ratio) -----------
+    // Xie et al.'s Data Selection via Importance Resampling, unigram form:
+    // per doc, the mean log-ratio of target-domain vs corpus token
+    // likelihoods (add-1 smoothed) — positive score ⇒ the doc "looks like"
+    // the target (here lang='en'), the signal DSIR resamples on when
+    // curating pretraining mixes. Scale shape: BOTH frequency tables ride
+    // ONE token-grain collapse of a single corpus scan (the target side
+    // is a conditional partial agg, not a second scan); the weight table
+    // is vocab-bounded (hash-bucketed at open-vocab scale, the
+    // contamination-op discipline) and joins the per-occurrence stream as
+    // a broadcast-able grain. Per-doc mean = one double divide after a
+    // round(·,4)-absorbed float sum (the unigram_surprisal precedent).
+    "dsir_logratio" -> OpDef(
+      """WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS na,
+        |    CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS nt
+        |  FROM w GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+        |        CAST(SUM(na) AS BIGINT) AS atot,
+        |        CAST(SUM(nt) AS BIGINT) AS ttot
+        |      FROM g),
+        |wt AS (
+        |  SELECT g.tok,
+        |    ln((g.nt + 1.0) / (v.ttot + v.vocab))
+        |      - ln((g.na + 1.0) / (v.atot + v.vocab)) AS lw
+        |  FROM g CROSS JOIN v)
+        |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  round(SUM(lw) / COUNT(*), 4) AS dsir_score
+        |FROM w JOIN wt ON w.tok = wt.tok
+        |WHERE w.doc_id < 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val w = docs(s, dir).select(col("doc_id"), col("lang"),
+        explode(words).as("tok"))
+      val g = w.groupBy("tok").agg(count(lit(1)).as("na"),
+        count(when(col("lang") === "en", 1)).as("nt"))
+      val v = g.agg(count(lit(1)).as("vocab"),
+        sum("na").cast(LongType).as("atot"),
+        sum("nt").cast(LongType).as("ttot"))
+      val wt = g.crossJoin(broadcast(v))
+        .select(col("tok"),
+          (log((col("nt") + 1.0) / (col("ttot") + col("vocab")))
+            - log((col("na") + 1.0) / (col("atot") + col("vocab"))))
+            .as("lw"))
+      w.filter(col("doc_id") < 100)
+        .join(wt, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum("lw") / count(lit(1)), 4).as("dsir_score"))
+        .orderBy("doc_id")
     }
   )
 }
