@@ -257,7 +257,7 @@ object Ann extends Serializable {
         |    CAST(MIN(q) AS BIGINT) AS qmin, CAST(MAX(q) AS BIGINT) AS qmax
         |  FROM x GROUP BY 1)
         |SELECT CAST(i AS BIGINT) AS dim, n,
-        |  round(CAST(sq AS DOUBLE) / n / 1000000, 6) AS mean,
+        |  round(CAST(sq AS DOUBLE) / n / 1000000, 6) + 0.0 AS mean,
         |  round(sqrt(CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)
         |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / n / 1000000, 6)
         |    AS std,
@@ -276,7 +276,9 @@ object Ann extends Serializable {
           sum(col("q").cast(big) * col("q").cast(big)).as("ssq"),
           min("q").as("qmin"), max("q").as("qmax"))
         .select(col("i").as("dim"), col("n"),
-          round(col("sq").cast(DoubleType) / col("n") / 1000000, 6)
+          // + 0.0: IEEE negative zero (a tiny negative mean rounding to
+          // -0.0) renders differently across engines - normalize to +0.0
+          (round(col("sq").cast(DoubleType) / col("n") / 1000000, 6) + 0.0)
             .as("mean"),
           round(sqrt(col("n").cast(DoubleType) * col("ssq").cast(DoubleType)
             - col("sq").cast(DoubleType) * col("sq").cast(DoubleType))

@@ -647,7 +647,7 @@ object TextOps {
         |      - ln((g.na + 1.0) / (v.atot + v.vocab)) AS lw
         |  FROM g CROSS JOIN v)
         |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-        |  round(SUM(lw) / COUNT(*), 4) AS dsir_score
+        |  round(SUM(lw) / COUNT(*), 4) + 0.0 AS dsir_score
         |FROM w JOIN wt ON w.tok = wt.tok
         |WHERE w.doc_id < 100
         |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -668,7 +668,9 @@ object TextOps {
         .join(wt, "tok")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
-          round(sum("lw") / count(lit(1)), 4).as("dsir_score"))
+          // + 0.0 collapses IEEE negative zero (round(-0.00004, 4) = -0.0)
+          // to +0.0 on both engines - a rendering, not a value, divergence
+          (round(sum("lw") / count(lit(1)), 4) + 0.0).as("dsir_score"))
         .orderBy("doc_id")
     }
   )
