@@ -637,6 +637,131 @@ object DistributionProfile {
           col("lo").as("p10_c"), col("hi").as("p90_c"),
           col("winsorized_mean"))
         .orderBy("event_type")
+    },
+
+    // ---- #245 interpolated weighted quantile (CH surface) ------------------
+    // CH quantileInterpolatedWeighted: the quantile of the weight-expanded
+    // multiset with LINEAR interpolation between adjacent distinct values
+    // (weight = the json k prop). Positions are pure integers on the
+    // cumulative-weight grain — rank i = ⌊(W−1)·p⌋+1 and the fractional
+    // part both come from ONE integer division of exact integers, and the
+    // two bracketing values are min-over-threshold selections (the
+    // quantiles_exact_weighted discipline); the interpolation is the
+    // single IEEE step → round(·,4). i+1 ≤ W always holds for p<1, so the
+    // upper bracket exists by construction.
+    "quantile_interp_weighted" -> OpDef(
+      """WITH g AS (
+        |  SELECT event_type AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT))
+        |      AS BIGINT) AS w
+        |  FROM events
+        |  WHERE CAST(json_extract_string(props, 'k') AS BIGINT) > 0
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT t, v, w,
+        |    SUM(w) OVER (PARTITION BY t ORDER BY v) AS cumw,
+        |    SUM(w) OVER (PARTITION BY t) AS tw
+        |  FROM g),
+        |a AS (
+        |  SELECT t, CAST(MAX(tw) AS BIGINT) AS tw,
+        |    MIN(CASE WHEN cumw >= (tw - 1) // 2 + 1 THEN v END) AS lo50,
+        |    MIN(CASE WHEN cumw >= (tw - 1) // 2 + 2 THEN v END) AS hi50,
+        |    MIN(CASE WHEN cumw >= ((tw - 1) * 9) // 10 + 1 THEN v END)
+        |      AS lo90,
+        |    MIN(CASE WHEN cumw >= ((tw - 1) * 9) // 10 + 2 THEN v END)
+        |      AS hi90
+        |  FROM c GROUP BY t)
+        |SELECT t AS event_type, tw AS total_weight,
+        |  round((lo50 + ((tw - 1) % 2) / 2.0 * (hi50 - lo50)) / 100.0, 4)
+        |    AS p50_w,
+        |  round((lo90 + (((tw - 1) * 9) % 10) / 10.0 * (hi90 - lo90))
+        |    / 100.0, 4) AS p90_w
+        |FROM a ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .filter(kProp > 0)
+        .select(col("event_type").as("t"), centsL.as("v"), kProp.as("wgt"))
+        .groupBy("t", "v").agg(sum("wgt").cast(LongType).as("w"))
+      val part = Window.partitionBy("t")
+      val c = g
+        .withColumn("cumw", sum("w").over(part.orderBy("v")))
+        .withColumn("tw", sum("w").over(part))
+      val a = c.groupBy("t")
+        .agg(max("tw").cast(LongType).as("tw"),
+          min(when(col("cumw") >= expr("(tw - 1) div 2 + 1"), col("v")))
+            .as("lo50"),
+          min(when(col("cumw") >= expr("(tw - 1) div 2 + 2"), col("v")))
+            .as("hi50"),
+          min(when(col("cumw") >= expr("((tw - 1) * 9) div 10 + 1"),
+            col("v"))).as("lo90"),
+          min(when(col("cumw") >= expr("((tw - 1) * 9) div 10 + 2"),
+            col("v"))).as("hi90"))
+      a.select(col("t").as("event_type"), col("tw").as("total_weight"),
+          round((col("lo50") + expr("(tw - 1) % 2") / 2.0
+            * (col("hi50") - col("lo50"))) / 100.0, 4).as("p50_w"),
+          round((col("lo90") + expr("((tw - 1) * 9) % 10") / 10.0
+            * (col("hi90") - col("lo90"))) / 100.0, 4).as("p90_w"))
+        .orderBy("event_type")
+    },
+
+    // ---- #246 Lorenz curve decile points -----------------------------------
+    // cum_share(d) = share of total purchase revenue held by the bottom
+    // ⌊n·d/10⌋ users — the curve gini_inequality integrates, read out at
+    // the 10 decile cuts. The 100 TB move: NO per-user ranking window.
+    // Users collapse once, then collapse again to the revenue VALUE grain
+    // (cnt users + group revenue per distinct cents value); cumulative
+    // users/revenue ride the bounded grain, and the decile cut lands
+    // INSIDE a tie group by linear apportionment ((cumcnt−k_d)·v backed
+    // out) — exact because equal-revenue users are interchangeable. The
+    // ≤10-row decile frame broadcasts onto the grain; integers/DECIMAL
+    // end to end, one divide per point → round(·,6).
+    "lorenz_points" -> OpDef(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT rev, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+        |c AS (
+        |  SELECT rev, cnt,
+        |    SUM(cnt) OVER (ORDER BY rev) AS cumcnt,
+        |    SUM(CAST(rev AS HUGEINT) * cnt) OVER (ORDER BY rev) AS cumrev,
+        |    SUM(cnt) OVER () AS n,
+        |    SUM(CAST(rev AS HUGEINT) * cnt) OVER () AS tot
+        |  FROM g)
+        |SELECT CAST(t.d AS BIGINT) AS decile,
+        |  CAST((n * t.d) // 10 AS BIGINT) AS cutoff_users,
+        |  round(CAST(cumrev - (cumcnt - (n * t.d) // 10) * rev AS DOUBLE)
+        |    / CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM c CROSS JOIN range(1, 11) AS t(d)
+        |WHERE cumcnt - cnt < (n * t.d) // 10
+        |  AND (n * t.d) // 10 <= cumcnt
+        |ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val u = tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum(centsL).cast(LongType).as("rev"))
+      val g = u.groupBy("rev").agg(count(lit(1)).as("cnt"))
+      val all = Window.orderBy("rev")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val c = g
+        .withColumn("cumcnt", sum("cnt").over(Window.orderBy("rev")))
+        .withColumn("cumrev",
+          sum(col("rev").cast(big) * col("cnt")).over(Window.orderBy("rev")))
+        .withColumn("n", sum("cnt").over(all))
+        .withColumn("tot", sum(col("rev").cast(big) * col("cnt")).over(all))
+      val deciles = broadcast(s.range(1, 11).toDF("d"))
+      c.crossJoin(deciles)
+        .withColumn("kd", expr("(n * d) div 10"))
+        .filter(col("cumcnt") - col("cnt") < col("kd") &&
+          col("kd") <= col("cumcnt"))
+        .select(col("d").as("decile"), col("kd").as("cutoff_users"),
+          round((col("cumrev")
+            - (col("cumcnt") - col("kd")).cast(big) * col("rev"))
+            .cast(DoubleType) / col("tot").cast(DoubleType), 6)
+            .as("cum_share"))
+        .orderBy("decile")
     }
   )
 }

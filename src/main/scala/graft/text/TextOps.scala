@@ -672,6 +672,63 @@ object TextOps {
           // to +0.0 on both engines - a rendering, not a value, divergence
           (round(sum("lw") / count(lit(1)), 4) + 0.0).as("dsir_score"))
         .orderBy("doc_id")
+    },
+
+    // ---- #247 logistic quality classifier ----------------------------------
+    // Model-based quality filtering (the fastText-classifier slot in a
+    // CCNet/RefinedWeb-style pipeline) with a fixed, interpretable weight
+    // vector over the #37 features: score = σ(w·x) per doc, keep = score
+    // ≥ ½. Every feature is a scan-riding scalar (size/intersect on the
+    // split array — no explode, no shuffle, whole-stage codegen), and the
+    // score is ONE per-doc IEEE chain with no variable-order float sums —
+    // the strongest parity class in the bank. At 100 TB this is a pure
+    // narrow map: throughput = parquet scan. Swapping learned weights for
+    // these constants changes numbers, not shape.
+    "quality_logistic" -> OpDef(
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars, len(ws) AS nw,
+        |    len(list_distinct(ws)) AS nd,
+        |    len(list_filter(ws,
+        |      w -> list_contains(['the','and','of','to','in','is','a'], w)))
+        |      AS nstop
+        |  FROM t),
+        |z AS (
+        |  SELECT doc_id,
+        |    -1.5 + 2.2 * (least(CAST(nw AS DOUBLE), 200.0) / 200.0)
+        |      + 1.8 * (CAST(nd AS DOUBLE) / nw)
+        |      + 3.0 * (CAST(nstop AS DOUBLE) / nw)
+        |      - 0.1 * (CAST(n_chars - nw + 1 AS DOUBLE) / nw) AS z
+        |  FROM m)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+        |  CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS keep
+        |FROM z ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val enLex = array(lexicons(1)._2.map(lit): _*)
+      val m = docs(s, dir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          words.as("ws"))
+        .select(col("doc_id"), col("n_chars"), size(col("ws")).as("nw"),
+          size(array_distinct(col("ws"))).as("nd"),
+          call_function("count_in", col("ws"), enLex).as("nstop"))
+      val z = m.select(col("doc_id"),
+        (lit(-1.5)
+          + lit(2.2) * (least(col("nw").cast(DoubleType), lit(200.0)) / 200.0)
+          + lit(1.8) * (col("nd").cast(DoubleType) / col("nw"))
+          + lit(3.0) * (col("nstop").cast(DoubleType) / col("nw"))
+          - lit(0.1) * ((col("n_chars") - col("nw") + 1).cast(DoubleType)
+            / col("nw"))).as("z"))
+      z.select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4)
+            .as("quality_score"),
+          when(lit(1.0) / (lit(1.0) + exp(-col("z"))) >= 0.5, 1L)
+            .otherwise(0L).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }
