@@ -286,6 +286,82 @@ object Ann extends Serializable {
           round(col("qmin").cast(DoubleType) / 1000000, 6).as("vmin"),
           round(col("qmax").cast(DoubleType) / 1000000, 6).as("vmax"))
         .orderBy("dim")
+    },
+
+    // ---- #248 k-NN label evaluation ----------------------------------------
+    // Leave-one-out 5-NN majority-vote classification of the first 50
+    // vectors against their `label` column — the standard embedding-space
+    // sanity eval (are labels clusterable?) run with the #34 discipline:
+    // eval probes broadcast in the task closure, each partition emits its
+    // k-bounded local top-k (constant memory, no score shuffle), the
+    // global merge sees ≤ partitions·probes·k rows, and neighbor labels
+    // join at the CANDIDATE grain (≤ probes·k rows — the corpus-sized
+    // label dim is never shuffled). Majority vote = count/rank on the
+    // ≤ probes·k grain with a (count desc, label asc) total tie-break.
+    "knn_label_eval" -> OpDef(
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, label AS true_label, e AS pe
+         |      FROM v WHERE vec_id < 50),
+         |sc AS (
+         |  SELECT probe_id, true_label, v.vec_id, v.label,
+         |    list_sum(list_transform(generate_series(1, $Dim),
+         |      i -> pe[i] * e[i]))
+         |      / (sqrt(list_sum(list_transform(pe, x -> x * x)))
+         |         * sqrt(list_sum(list_transform(e, x -> x * x)))) AS cos
+         |  FROM p, v WHERE v.vec_id <> probe_id),
+         |r AS (
+         |  SELECT probe_id, true_label, label,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM sc),
+         |votes AS (
+         |  SELECT probe_id, true_label, label,
+         |    CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM r WHERE rn <= $K GROUP BY 1, 2, 3),
+         |w AS (
+         |  SELECT probe_id, true_label, label AS pred_label, n_votes,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY n_votes DESC, label) AS vr
+         |  FROM votes)
+         |SELECT probe_id, CAST(true_label AS BIGINT) AS true_label,
+         |  CAST(pred_label AS BIGINT) AS pred_label, n_votes,
+         |  CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END
+         |    AS BIGINT) AS correct
+         |FROM w WHERE vr = 1 ORDER BY probe_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val evalProbes = embDs(s, dir).filter(col("vec_id") < 50).collect()
+        .sortBy(_.vec_id)
+      val probeArr = evalProbes.map(e => e.vec_id -> e.embedding.toArray)
+      val trueLabels = broadcast(
+        evalProbes.toSeq.toDF().select(col("vec_id").as("probe_id"),
+          col("label").as("true_label")))
+      val labels = embDs(s, dir).toDF().select(col("vec_id").as("neighbor_id"),
+        col("label"))
+      val local = embDs(s, dir).mapPartitions(localTopK(probeArr, K))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val top = local.toDF()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+      val votes = top.join(labels, "neighbor_id")
+        .groupBy("probe_id", "label")
+        .agg(count(lit(1)).as("n_votes"))
+      val vw = Window.partitionBy("probe_id")
+        .orderBy(col("n_votes").desc, col("label"))
+      votes.withColumn("vr", row_number().over(vw))
+        .filter(col("vr") === 1)
+        .join(trueLabels, "probe_id")
+        .select(col("probe_id"),
+          col("true_label").cast(LongType).as("true_label"),
+          col("label").cast(LongType).as("pred_label"),
+          col("n_votes").cast(LongType).as("n_votes"),
+          when(col("label") === col("true_label"), 1L).otherwise(0L)
+            .as("correct"))
+        .orderBy("probe_id")
     }
   )
 

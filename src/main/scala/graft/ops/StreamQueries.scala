@@ -163,6 +163,33 @@ object StreamQueries {
       StreamOps.windowedPsi(e, shares).orderBy("day")
     },
 
+    // ---- #249 stateful dwell-time stream ---------------------------------
+    // The live twin of dwell_time_by_type (#239) at the (day, type) grain:
+    // per-user custom state (flatMapGroupsWithState holding ONE cell — the
+    // latest event) emits each event's gap to its successor; the batch
+    // shape here is the identical lead window, pinned ≡ the stateful
+    // emission by the streaming spec. Integer µs end to end.
+    "stream_dwell" -> OpDef(
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |      AS dwell_us
+        |  FROM e)
+        |SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_dwells,
+        |  CAST(SUM(dwell_us) // 1000000 AS BIGINT) AS total_s,
+        |  round(CAST(SUM(dwell_us) AS DOUBLE) / COUNT(*) / 1000000, 4)
+        |    AS avg_s
+        |FROM d
+        |WHERE dwell_us IS NOT NULL AND dwell_us <= 1800 * 1000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.windowedDwell(ev(s, dir)).orderBy("day", "event_type")
+    },
+
     // ---- #66 windowed heavy hitters (streaming-capable topK) -------------
     // Exact at test SF (capacity > distinct users/group), ties broken by
     // user string ascending on both engines. The streaming transform keeps

@@ -1,7 +1,19 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event for the per-user dwell state machine (µs event time). */
+final case class DwellEv(user_id: Long, event_type: String, us: Long,
+    event_id: Long)
+
+/** One emitted dwell: the gap from an event to the same user's next one,
+  * attributed to the FIRST event's type and day.
+  */
+final case class DwellOut(user_id: Long, event_type: String, day: String,
+    dwell_us: Long)
 
 /** SURVEY §2.4 — streaming analytics transforms.
   *
@@ -239,6 +251,69 @@ object StreamOps {
         col("p_ts") > col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
+
+  /** #249 — per-event dwell rows (gap to the same user's next event, ≤ 30
+    * min, attributed to the FIRST event's type/day — the #239 semantics).
+    *
+    * Streaming: `flatMapGroupsWithState` per user holding exactly ONE cell
+    * (the latest event) — O(users) state, each arrival emits its
+    * predecessor's dwell. The custom-state shape because no windowed
+    * aggregate expresses "join each event to its successor". Premise (the
+    * usual one for sequence state machines): per-user arrivals are in
+    * event-time order — enforce upstream by keying the source by user.
+    * Batch: the IDENTICAL semantics as one lead window; the streaming spec
+    * pins emitted rows ≡ the batch set on a replayed feed.
+    */
+  def dwellRows(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sel = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id")).as[DwellEv]
+    val capUs = 1800L * 1000000L
+    def dayOf(us: Long): String =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L)).toString
+    if (events.isStreaming)
+      sel.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (uid: Long, it: Iterator[DwellEv],
+           state: GroupState[(Long, String, Long)]) => {
+            val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+            val out = Seq.newBuilder[DwellOut]
+            var prev = state.getOption
+            evs.foreach { e =>
+              prev.foreach { case (pus, ptype, _) =>
+                val d = e.us - pus
+                if (d <= capUs) out += DwellOut(uid, ptype, dayOf(pus), d)
+              }
+              prev = Some((e.us, e.event_type, e.event_id))
+            }
+            prev.foreach(state.update)
+            out.result().iterator
+          }).toDF()
+    else {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      sel.toDF()
+        .withColumn("dwell_us", lead("us", 1).over(w) - col("us"))
+        .filter(col("dwell_us").isNotNull && col("dwell_us") <= capUs)
+        .select(col("user_id"), col("event_type"),
+          date_format((col("us") / 1000000L).cast("timestamp"), "yyyy-MM-dd")
+            .as("day"),
+          col("dwell_us"))
+    }
+  }
+
+  /** The (day, type) dwell roll-up over [[dwellRows]] — the shape the batch
+    * oracle checks (`stream_dwell`); on a stream, run [[dwellRows]] into a
+    * rollup sink and fold there (the -State/-Merge handoff: dwell counts
+    * and µs totals are additive).
+    */
+  def windowedDwell(events: DataFrame): DataFrame =
+    dwellRows(events)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_dwells"),
+        expr("sum(dwell_us) div 1000000").as("total_s"),
+        round(sum("dwell_us").cast("double") / count(lit(1)) / 1000000, 4)
+          .as("avg_s"))
 
   /** #44 — drop duplicate (user_id, event_type) arrivals; on streams the
     * watermark bounds the dedup state (dropDuplicatesWithinWatermark), in

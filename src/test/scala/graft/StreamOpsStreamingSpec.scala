@@ -158,4 +158,32 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
     assert(got == batch, s"stream≠batch: ${got.diff(batch).take(3)} / ${batch.diff(got).take(3)}")
     assert(batch.nonEmpty, "no click→purchase pair at this SF — vacuous")
   }
+
+  test("stateful dwell stream emits exactly the batch lead-window dwell set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = eventRows() // ts-ordered: the per-user in-order premise holds
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.dwellRows(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("dw").outputMode("append").start()
+    try {
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select * from dw").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val batch = StreamOps.dwellRows(
+        graft.sources.Tables(spark, sfDir, "events")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // NoTimeout state + in-order feed: the stateful emission is EXACTLY
+    // the batch lead-window dwell multiset, including the cross-batch
+    // boundary pairs (state carried the last event of the first half)
+    assert(got.nonEmpty)
+    assert(got == batch,
+      s"multiset diff: ${(got.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff got.toSet).take(3)}")
+  }
 }
