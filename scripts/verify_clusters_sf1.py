@@ -60,6 +60,17 @@ def main(sf_dir, out_dir):
           f"{len(set(comp.values()))} components, "
           f"max size {max(list(comp.values()).count(c) for c in set(comp.values()))})")
 
+    # 1b. cluster size histogram off the same components
+    hist = {}
+    for c in set(comp.values()):
+        sz = list(comp.values()).count(c)
+        hist[sz] = hist.get(sz, 0) + 1
+    exp_h = sorted((sz, k, sz * k, (sz - 1) * k) for sz, k in hist.items())
+    if glob.glob(f"{out_dir}/dedup_cluster_size_hist/*.parquet"):
+        got_h = sorted(read(con, f"{out_dir}/dedup_cluster_size_hist/*.parquet"))
+        assert got_h == exp_h, "dedup_cluster_size_hist != component sizes"
+        print(f"PASS dedup_cluster_size_hist ({len(exp_h)} rows)")
+
     # 2. cluster representative: longest doc (n_chars), tie -> min doc_id
     doc_dir = f"{sf_dir}/documents.parquet"
     doc_glob = f"{doc_dir}/*.parquet" if glob.glob(f"{doc_dir}/*.parquet") else doc_dir

@@ -362,6 +362,63 @@ object Ann extends Serializable {
           when(col("label") === col("true_label"), 1L).otherwise(0L)
             .as("correct"))
         .orderBy("probe_id")
+    },
+
+    // ---- #252 per-label centroid tightness ---------------------------------
+    // Cluster-quality profile per label: n, mean squared distance to the
+    // label centroid, and the centroid's L2 norm — WITHOUT a second pass:
+    // E‖x−c‖² = Σ_d (n·S2_d − S1_d²)/n² over per-dimension micro-unit
+    // moment sums (the embed_dim_stats quantization, so every sum is an
+    // exact order-independent integer/DECIMAL fold and the centroid never
+    // materializes). One posexplode → one (label, dim) collapse (≤ labels
+    // ×64 cells) → one label fold; the only IEEE steps are the two final
+    // divides + sqrt → round(·,6).
+    "label_centroid_stats" -> OpDef(
+      """WITH x AS (
+        |  SELECT label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS t(i)),
+        |m AS (
+        |  SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS s1,
+        |    SUM(CAST(q AS HUGEINT) * q) AS s2
+        |  FROM x GROUP BY 1, 2),
+        |f AS (
+        |  SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(SUM(n * s2 - CAST(s1 AS HUGEINT) * s1) AS DOUBLE) AS num,
+        |    CAST(SUM(CAST(s1 AS HUGEINT) * s1) AS DOUBLE) AS c2
+        |  FROM m GROUP BY 1)
+        |SELECT CAST(label AS BIGINT) AS label, n,
+        |  round(num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12, 6)
+        |    AS mean_sq_dist,
+        |  round(sqrt(c2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12), 6)
+        |    AS centroid_norm
+        |FROM f ORDER BY label""".stripMargin
+    ) { (s, dir) =>
+      GraftSession.tune(s)
+      val big = org.apache.spark.sql.types.DecimalType(38, 0)
+      val x = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "e")))
+        .select(col("label"), (col("p") + 1).as("i"),
+          floor(col("e").cast(DoubleType) * 1000000).as("q"))
+      val m = x.groupBy("label", "i")
+        .agg(count(lit(1)).as("n"), sum("q").cast(LongType).as("s1"),
+          sum(col("q").cast(big) * col("q").cast(big)).as("s2"))
+      val f = m.groupBy("label")
+        .agg(max("n").cast(LongType).as("n"),
+          sum(col("n").cast(big) * col("s2")
+            - col("s1").cast(big) * col("s1").cast(big))
+            .cast(DoubleType).as("num"),
+          sum(col("s1").cast(big) * col("s1").cast(big))
+            .cast(DoubleType).as("c2"))
+      f.select(col("label").cast(LongType).as("label"), col("n"),
+          round(col("num") / (col("n").cast(DoubleType)
+            * col("n").cast(DoubleType)) / 1e12, 6).as("mean_sq_dist"),
+          round(sqrt(col("c2") / (col("n").cast(DoubleType)
+            * col("n").cast(DoubleType)) / 1e12), 6).as("centroid_norm"))
+        .orderBy("label")
     }
   )
 

@@ -608,6 +608,68 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- #251 near-dup cluster size histogram ------------------------------
+    // The curation report read off #55's components: how many near-dup
+    // clusters exist at each size, plus the docs they absorb — the number
+    // that says whether dedup is removing a long tail of pairs or a few
+    // mega-clusters (which decide representative-selection and cap
+    // policy). Two grain collapses on top of the same propagation run
+    // (component → size → histogram cell); every cluster here has ≥ 2
+    // members by construction (components come from the pair graph).
+    // Oracle shares dedup_clusters' recursive-CTE regime: driver-SF
+    // checked, union-find script at 10× (Σm² CTE infeasible there).
+    "dedup_cluster_size_hist" -> OpDef(
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), i ->
+        |      CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM t),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 20)) & 1048575 AS bkey
+        |  FROM s, (SELECT unnest(generate_series(0, 2)) AS b)
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey) <= $LshBucketCap),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+        |  WHERE a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.sig, b.sig)) <= 2),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+        |comp AS (
+        |  SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+        |sizes AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+        |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin
+    ) { (s, dir) =>
+      val pairs = simhashPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val sizes = connectedComponents(pairs)
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+      sizes.groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").cast(LongType).as("cluster_size"),
+          col("n_clusters").cast(LongType).as("n_clusters"),
+          (col("sz") * col("n_clusters")).cast(LongType).as("n_docs"),
+          ((col("sz") - 1) * col("n_clusters")).cast(LongType)
+            .as("n_removable"))
+        .orderBy("cluster_size")
+    },
+
     // ---- #73 benchmark decontamination (8-gram overlap) -------------------
     // The standard pre-training hygiene pass: flag corpus documents sharing
     // ANY word 8-gram with a held-out benchmark set (here the deterministic

@@ -729,6 +729,45 @@ object TextOps {
           when(lit(1.0) / (lit(1.0) + exp(-col("z"))) >= 0.5, 1L)
             .otherwise(0L).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ---- #250 tokenizer fertility by language ------------------------------
+    // Corpus-level tokens-per-word fertility per language for both #38
+    // tokenizations (BPE-cost and the char-class regex) — the number that
+    // decides how many training tokens a corpus actually yields per
+    // language, and the first thing to check before fixing a token budget.
+    // Pure scan-riding integer counts (native bpe_cost codegen fold, no
+    // explode) collapsed to the ≤5-row lang grain; ratios are single
+    // divides of exact integers → round(·,4).
+    "tok_fertility" -> OpDef(
+      """WITH t AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS nw,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS re_t
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(SUM(bpe) AS DOUBLE) / SUM(nw), 4) AS bpe_fertility,
+        |  round(CAST(SUM(re_t) AS DOUBLE) / SUM(nw), 4) AS regex_fertility
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val t = docs(s, dir).select(col("lang"), size(words).as("nw"),
+        call_function("bpe_cost", words).as("bpe"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_t"))
+      t.groupBy("lang")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum("nw").cast(LongType).as("n_words"),
+          sum("bpe").cast(LongType).as("n_bpe_tokens"),
+          round(sum("bpe").cast(DoubleType) / sum("nw"), 4)
+            .as("bpe_fertility"),
+          round(sum("re_t").cast(DoubleType) / sum("nw"), 4)
+            .as("regex_fertility"))
+        .orderBy("lang")
     }
   )
 }
