@@ -60,6 +60,34 @@ object MediaCodec {
   def features(a: MediaAsset): MediaFeatures =
     MediaFeatures(a.doc_id,
       (0 until 8).map(i => (a.payload(i) & 0xFF) / 255.0))
+
+  /** STUB-decoded 60-bit block-mean perceptual hash (blockhash structure:
+    * 60 blocks of 4 "pixels", bit = block mean above image mean, compared
+    * as exact integers block_sum·60 > total_sum). A real implementation
+    * hashes the decoded luma plane; the stub reads the first 240
+    * codepoints as the pixel buffer (space-padded), which preserves the
+    * property that matters: near-identical sources → near-identical
+    * hashes.
+    */
+  def phash60(text: String): Long = {
+    val cps = new Array[Int](240)
+    val it = text.codePoints().iterator()
+    var i = 0
+    while (i < 240) { cps(i) = if (it.hasNext) it.nextInt() else 32; i += 1 }
+    var tot = 0L
+    i = 0
+    while (i < 240) { tot += cps(i); i += 1 }
+    var h = 0L
+    var b = 0
+    while (b < 60) {
+      var s = 0L
+      var j = 0
+      while (j < 4) { s += cps(b * 4 + j); j += 1 }
+      if (s * 60 > tot) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
 }
 
 object MediaColumns {
@@ -185,6 +213,77 @@ object MediaColumns {
       featureDs(s, dir).toDF()
         .select(col("doc_id") +: (0 until 8).map(i => col("feat")(i).as(s"f$i")): _*)
         .orderBy("doc_id")
+    },
+
+    // ---- #253 perceptual-hash near-dup pairs -------------------------------
+    // Image dedup's shape end to end: a 60-bit block-mean perceptual hash
+    // (Zauner's blockhash structure — 60 blocks, bit = block mean above
+    // image mean) computed in the typed mapPartitions CODEC path (where a
+    // real implementation decodes pixels; the stub treats the first 240
+    // codepoints as the pixel buffer, so near-dup "images" are exactly the
+    // near-dup texts and the pair set is non-trivial), then the EXACT
+    // #32 banding discipline: 3×20-bit pigeonhole bands (radius-2 recall
+    // guaranteed), hot buckets capped, hamming filter after the bucket
+    // join. The phash is integer-exact (block_sum·60 > total_sum), so the
+    // whole pipeline hash-matches the oracle.
+    "mm_phash_pairs" -> OpDef(
+      s"""WITH cp AS (
+         |  SELECT doc_id, list_transform(generate_series(1, 240), i ->
+         |    CASE WHEN i <= length(text)
+         |         THEN unicode(substr(text, CAST(i AS INT), 1))
+         |         ELSE 32 END) AS cs
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+         |      CASE WHEN (cs[b*4+1] + cs[b*4+2] + cs[b*4+3] + cs[b*4+4]) * 60
+         |                > list_sum(cs)
+         |           THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS ph
+         |  FROM cp),
+         |bands AS (
+         |  SELECT doc_id, ph, b, (ph >> (b * 20)) & 1048575 AS bkey
+         |  FROM h, (SELECT unnest(generate_series(0, 2)) AS b)
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey)
+         |    <= ${graft.dedup.Dedup.LshBucketCap})
+         |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ph, c.ph)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey
+         |WHERE a.doc_id < c.doc_id AND bit_count(xor(a.ph, c.ph)) <= 2
+         |ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      GraftSession.tune(s)
+      val cap = graft.dedup.Dedup.lshBucketCap(s)
+      val sig = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, MediaCodec.phash60(t)) })
+        .toDF("doc_id", "ph")
+      val bandStructs = (0 until 3).map { b =>
+        struct(lit(b).as("b"),
+          shiftright(col("ph"), b * 20)
+            .bitwiseAND(lit((1L << 20) - 1)).as("bkey"))
+      }
+      val bands = sig
+        .select(col("doc_id"), col("ph"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("ph"),
+          col("bb.b").as("b"), col("bb.bkey").as("bkey"))
+      val cold = bands.withColumn("_bs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("b", "bkey")))
+        .filter(col("_bs") <= cap).drop("_bs")
+      val l = cold.select(col("b"), col("bkey"),
+        col("doc_id").as("doc_a"), col("ph").as("ph_a"))
+      val r = cold.select(col("b"), col("bkey"),
+        col("doc_id").as("doc_b"), col("ph").as("ph_b"))
+      l.join(r, Seq("b", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast(LongType))
+        .filter(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

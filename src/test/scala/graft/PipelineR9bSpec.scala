@@ -75,4 +75,37 @@ class PipelineR9bSpec extends SparkSpecBase {
       assert(math.abs(got(lab)._3 - cn) < 1e-4, s"label $lab centroid norm")
     }
   }
+
+  test("mm_phash_pairs: banded pairs equal brute-force hamming<=2 set") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent phash re-derivation (codepoint blocks, integer compare)
+    def ph(t: String): Long = {
+      val cps = (t.codePoints().toArray.take(240) ++
+        Array.fill(240)(32)).take(240)
+      val tot = cps.map(_.toLong).sum
+      (0 until 60).foldLeft(0L) { (h, b) =>
+        val bs = (0 until 4).map(j => cps(b * 4 + j).toLong).sum
+        if (bs * 60 > tot) h | (1L << b) else h
+      }
+    }
+    val hs = docs.map { case (id, t) => (id, ph(t)) }
+    val expected = (for {
+      i <- hs.indices; j <- i + 1 until hs.length
+      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if d <= 2
+    } yield {
+      val (a, b) = if (hs(i)._1 < hs(j)._1) (hs(i)._1, hs(j)._1)
+                   else (hs(j)._1, hs(i)._1)
+      (a, b, d.toLong)
+    }).toSet
+    val got = run("mm_phash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 3 bands pigeonhole-guarantee radius-2 recall; no bucket exceeds the
+    // cap at this SF, so the banded set is EXACTLY the brute-force set
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    assert(expected.nonEmpty, "fixture produced no near-dup pairs")
+  }
 }
