@@ -124,7 +124,41 @@ object CapacityPins {
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(1000)
-        .count())
+        .count()),
+    // r9 grain windows: rfm's monetary cutpoints rank the per-customer
+    // whole-dollar grain; lorenz ranks the per-user purchase-total cents
+    // grain; conversion-lag quantiles rank the integer lag-second grain.
+    // All domain-bounded in principle — pinned so growth is audited.
+    Pin("rfm_segments", ValueGrainCap,
+      "distinct per-customer dollar totals (grain window)",
+      (s, dir) => Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast(org.apache.spark.sql.types.LongType).as("c"))
+        .groupBy("o_custkey").agg(sum("c").as("c"))
+        .selectExpr("c div 100 AS usd")
+        .agg(countDistinct("usd")).collect()(0).getLong(0)),
+    Pin("lorenz_points", ValueGrainCap,
+      "distinct per-user purchase-total cents (grain window)",
+      (s, dir) => events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast(org.apache.spark.sql.types.LongType).as("c"))
+        .groupBy("user_id").agg(sum("c").as("c"))
+        .agg(countDistinct("c")).collect()(0).getLong(0)),
+    Pin("conversion_lag_quantiles", ValueGrainCap,
+      "distinct signup->purchase lag seconds (grain window)",
+      (s, dir) => {
+        val su = events(s, dir).filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("s_us"))
+        events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .join(su, "user_id").filter(col("us") > col("s_us"))
+          .groupBy("user_id").agg(min("us").as("p_us"), min("s_us").as("s2"))
+          .selectExpr("(p_us - s2) div 1000000 AS lag_s")
+          .agg(countDistinct("lag_s")).collect()(0).getLong(0)
+      })
   )
 
   /** The inverse pins: premises of the form "the data EXCEEDS a bound",

@@ -946,6 +946,52 @@ object TpchShapes {
           round(sum(when(col("is_target"), col("rev"))).cast(DoubleType)
             / sum("rev").cast(DoubleType), 4).as("mkt_share"))
         .orderBy("o_year")
+    },
+
+    // ---- #254 open-orders backlog series -----------------------------------
+    // Daily count of orders placed but not yet fully shipped — the
+    // operations backlog curve. The #93 sweep discipline on the fact
+    // side: each order collapses to ONE interval [orderdate, last
+    // shipdate] on the orderkey shuffle, intervals become ±1 deltas that
+    // AGGREGATE to the calendar-bounded day grain BEFORE the inherently
+    // sequential prefix sum — the sweep runs over ≤ days rows, never
+    // orders. Pure integers.
+    "open_orders_daily" -> OpDef(
+      """WITH iv AS (
+        |  SELECT o.o_orderkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+        |      AS lo,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(MAX(l.l_shipdate) AS DATE)) AS hi
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT lo AS d, 1 AS x FROM iv
+        |  UNION ALL SELECT hi + 1, -1 FROM iv),
+        |by_day AS (SELECT d, SUM(x) AS dx FROM deltas GROUP BY d)
+        |SELECT strftime(DATE '1970-01-01' + to_days(CAST(d AS INTEGER)),
+        |    '%Y-%m-%d') AS day,
+        |  CAST(SUM(dx) OVER (ORDER BY d) AS BIGINT) AS n_open
+        |FROM by_day ORDER BY d""".stripMargin
+    ) { (s, dir) =>
+      def dayNum(c: Column) =
+        datediff(c.cast(DateType), to_date(lit("1970-01-01")))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"))
+      val l = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_shipdate"))
+      val iv = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), dayNum(col("o_orderdate")).as("lo"))
+        .agg(dayNum(max("l_shipdate")).as("hi"))
+      val deltas = iv.select(col("lo").as("d"), lit(1).as("x"))
+        .unionAll(iv.select((col("hi") + 1).as("d"), lit(-1).as("x")))
+      deltas.groupBy("d").agg(sum("x").as("dx"))
+        .withColumn("n_open", sum("dx").over(Window.orderBy("d"))
+          .cast(LongType))
+        .orderBy("d")
+        .select(date_format(date_add(to_date(lit("1970-01-01")),
+          col("d").cast(IntegerType)), "yyyy-MM-dd").as("day"),
+          col("n_open"))
     }
   )
 }

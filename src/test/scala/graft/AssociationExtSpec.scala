@@ -82,4 +82,30 @@ class AssociationExtSpec extends SparkSpecBase {
         (r.getString(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == expected)
   }
+
+  test("open_orders_daily: backlog sweep re-derived by brute force") {
+    val od = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hi = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey", "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getInt(1)).max }
+    val deltas = scala.collection.mutable.Map[Int, Long]()
+    hi.foreach { case (ok, h) =>
+      val lo = od(ok)
+      deltas(lo) = deltas.getOrElse(lo, 0L) + 1
+      deltas(h + 1) = deltas.getOrElse(h + 1, 0L) - 1
+    }
+    var open = 0L
+    val expected = deltas.toSeq.sortBy(_._1).map { case (d, dx) =>
+      open += dx
+      java.time.LocalDate.ofEpochDay(d.toLong).toString -> open
+    }.toMap
+    val got = run("open_orders_daily").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // backlog returns to zero after the last ship date
+    assert(expected(expected.keys.max) == 0L)
+  }
 }
