@@ -762,6 +762,49 @@ object DistributionProfile {
             .cast(DoubleType) / col("tot").cast(DoubleType), 6)
             .as("cum_share"))
         .orderBy("decile")
+    },
+
+    // ---- #257 deterministic weighted sampling (Efraimidis-Spirakis) --------
+    // Weight-proportional sampling WITHOUT replacement, top-10 per type:
+    // each row gets key = ln(u)/w with u ∈ (0,1] derived from the
+    // portable md5 hash of its event_id (the A-ES scheme — taking the k
+    // largest keys IS a w-proportional sample), so the "random" draw is
+    // deterministic, replayable, and identical across engines. The scale
+    // shape every importance-sampling pipeline needs: the key is a
+    // scan-riding scalar, selection is one bounded rank window per group
+    // (k rows survive) — no global sort, no RNG state, re-runs pick the
+    // same rows. Ordering doubles are computed by the identical IEEE
+    // chain both sides; event_id breaks (improbable) key ties.
+    "weighted_sample_es" -> OpDef(
+      s"""WITH w AS (
+         |  SELECT event_type, event_id,
+         |    CAST(json_extract_string(props, 'k') AS BIGINT) AS wt,
+         |    ln(CAST((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+         |        + 1) AS DOUBLE) / 1152921504606846976.0)
+         |      / CAST(json_extract_string(props, 'k') AS BIGINT) AS key
+         |  FROM events
+         |  WHERE CAST(json_extract_string(props, 'k') AS BIGINT) > 0),
+         |r AS (
+         |  SELECT event_type, event_id, wt,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY key DESC, event_id) AS rn
+         |  FROM w)
+         |SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, wt
+         |FROM r WHERE rn <= 10 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val wt = kProp
+      val u = (graft.ops.parity.md5Long(col("event_id").cast(StringType))
+        + 1).cast(DoubleType) / lit(1152921504606846976.0)
+      val w = tbl(s, dir, "events")
+        .filter(kProp > 0)
+        .select(col("event_type"), col("event_id"), wt.as("wt"),
+          (log(u) / wt).as("key"))
+      val win = Window.partitionBy("event_type")
+        .orderBy(col("key").desc, col("event_id"))
+      w.withColumn("rn", row_number().over(win).cast(LongType))
+        .filter(col("rn") <= 10)
+        .select("event_type", "rn", "event_id", "wt")
+        .orderBy("event_type", "rn")
     }
   )
 }

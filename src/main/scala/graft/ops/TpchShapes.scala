@@ -992,6 +992,99 @@ object TpchShapes {
         .select(date_format(date_add(to_date(lit("1970-01-01")),
           col("d").cast(IntegerType)), "yyyy-MM-dd").as("day"),
           col("n_open"))
+    },
+
+    // ---- #255 supplier reliability with a Wilson lower bound ---------------
+    // Worst-50 suppliers by late-shipment rate (> 60 days after order),
+    // ranked by the Wilson score LOWER bound — the ranking-under-
+    // uncertainty correction that keeps a 1-for-1 supplier from topping a
+    // 480-for-500 one. One fact⋈fact join carrying 2 pruned columns,
+    // ONE supplier collapse to exact integer (n, late); the Wilson chain
+    // is a single identical IEEE expression over those integers (z =
+    // 1.96), so ordering by it is engine-identical (suppkey tie-break);
+    // top-50 = TakeOrderedAndProject, no global sort.
+    "supplier_reliability_ci" -> OpDef(
+      """WITH j AS (
+        |  SELECT l.l_suppkey AS sk,
+        |    CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) > 60 THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (
+        |  SELECT sk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(late) AS BIGINT) AS n_late
+        |  FROM j GROUP BY 1),
+        |w AS (
+        |  SELECT sk, n, n_late,
+        |    round(CAST(n_late AS DOUBLE) / n, 4) AS late_rate,
+        |    round((CAST(n_late AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+        |      - 1.96 * sqrt((CAST(n_late AS DOUBLE) / n)
+        |          * (1 - CAST(n_late AS DOUBLE) / n) / n
+        |          + 1.96 * 1.96 / (4.0 * n * n)))
+        |      / (1 + 1.96 * 1.96 / n), 4) AS wilson_lb
+        |  FROM g)
+        |SELECT sk AS l_suppkey, n, n_late, late_rate, wilson_lb
+        |FROM w ORDER BY wilson_lb DESC, sk LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"))
+      val l = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"), col("l_shipdate"))
+      val g = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          when(datediff(col("l_shipdate").cast(DateType),
+            col("o_orderdate").cast(DateType)) > 60, 1).otherwise(0)
+            .as("late"))
+        .groupBy("sk")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("late").cast(LongType).as("n_late"))
+      val p = col("n_late").cast(DoubleType) / col("n")
+      val z2 = lit(1.96) * lit(1.96)
+      val wilson = (p + z2 / (lit(2) * col("n"))
+        - lit(1.96) * sqrt(p * (lit(1) - p) / col("n")
+          + z2 / (lit(4.0) * col("n") * col("n"))))
+        ./(lit(1) + z2 / col("n"))
+      g.select(col("sk").as("l_suppkey"), col("n"), col("n_late"),
+          round(p, 4).as("late_rate"), round(wilson, 4).as("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("l_suppkey"))
+        .limit(50)
+    },
+
+    // ---- #256 revenue trend by customer segment ----------------------------
+    // Revenue and within-year share per (order year, market segment) —
+    // the star-join trend read-out. The customer dim projects to 2
+    // columns before the join (AQE decides broadcast vs shuffle — the #14
+    // scaling rule); totals sum EXACTLY in DECIMAL on the (year, segment)
+    // collapse; the share rides a ≤(years×5)-cell grain window.
+    "segment_revenue_trend" -> OpDef(
+      """WITH j AS (
+        |  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+        |    c.c_mktsegment AS seg,
+        |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (
+        |  SELECT yr, seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(rev) AS DOUBLE) AS revenue
+        |  FROM j GROUP BY 1, 2)
+        |SELECT yr, seg AS c_mktsegment, n_orders, revenue,
+        |  round(revenue / SUM(revenue) OVER (PARTITION BY yr), 4)
+        |    AS yr_share
+        |FROM g ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val c = tbl(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"))
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("rev"))
+      val g = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("yr"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).cast(LongType).as("n_orders"),
+          sum("rev").cast(DoubleType).as("revenue"))
+      g.select(col("yr"), col("seg").as("c_mktsegment"), col("n_orders"),
+          col("revenue"),
+          round(col("revenue")
+            / sum("revenue").over(Window.partitionBy("yr")), 4)
+            .as("yr_share"))
+        .orderBy("yr", "c_mktsegment")
     }
   )
 }
