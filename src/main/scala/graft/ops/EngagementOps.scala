@@ -617,6 +617,49 @@ object EngagementOps {
           round(sum("dwell_us").cast(DoubleType) / count(lit(1)) / 1000000, 4)
             .as("avg_s"))
         .orderBy("event_type")
+    },
+
+    // ---- #258 DAU / trailing-30d MAU stickiness ----------------------------
+    // The canonical engagement ratio, computed without any sliding
+    // count-distinct (Spark has none): facts collapse ONCE to the
+    // distinct (user, day) grain; each grain row then contributes its
+    // user to the ≤30 window-end days it can serve (a bounded explode of
+    // the GRAIN, never fact rows — the hopping-window move), and MAU is a
+    // second distinct collapse at the (window-end, user) grain. DAU joins
+    // from the same first grain; ratio = one divide → round(·,4). Only
+    // days with events report (both engines agree on the domain).
+    "dau_mau_stickiness" -> OpDef(
+      """WITH dd AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM dd GROUP BY 1),
+        |contrib AS (
+        |  SELECT DISTINCT dd.user_id, dd.d + o.off AS wd
+        |  FROM dd, (SELECT unnest(generate_series(0, 29)) AS off) o),
+        |mau AS (
+        |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS mau FROM contrib
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT dau.d, dau.dau, mau.mau
+        |  FROM dau JOIN mau ON mau.wd = dau.d)
+        |SELECT CAST(d AS BIGINT) AS d, dau, mau,
+        |  round(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
+        |FROM j ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val dd = tbl(s, dir, "events")
+        .select(col("user_id"), epochDay.as("d")).distinct()
+      val dau = dd.groupBy("d").agg(count(lit(1)).cast(LongType).as("dau"))
+      val offsets = broadcast(s.range(0, 30).toDF("off"))
+      val mau = dd.crossJoin(offsets)
+        .select(col("user_id"), (col("d") + col("off")).as("wd"))
+        .distinct()
+        .groupBy("wd").agg(count(lit(1)).cast(LongType).as("mau"))
+      dau.join(mau, dau("d") === mau("wd"))
+        .select(col("d").cast(LongType).as("d"), col("dau"), col("mau"),
+          round(col("dau").cast(DoubleType) / col("mau"), 4)
+            .as("stickiness"))
+        .orderBy("d")
     }
   )
 }

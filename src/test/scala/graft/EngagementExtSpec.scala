@@ -109,4 +109,22 @@ class EngagementExtSpec extends SparkSpecBase {
         (sumUs.toDouble / n / 1e6)) < 1e-3, s"$t avg")
     }
   }
+
+  test("dau_mau_stickiness: trailing window re-derived by brute force") {
+    val dd = eventsRows.map(e => (e._1, e._3 / 86400000000L)).distinct
+    val days = dd.map(_._2).distinct.sorted
+    val got = run("dau_mau_stickiness").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == days.toSet)
+    days.foreach { d =>
+      val dau = dd.count(_._2 == d).toLong
+      val mau = dd.filter(x => x._2 <= d && x._2 > d - 30)
+        .map(_._1).distinct.size.toLong
+      assert(got(d)._1 == dau, s"day $d dau")
+      assert(got(d)._2 == mau, s"day $d mau")
+      assert(math.abs(got(d)._3 - dau.toDouble / mau) < 1e-3)
+      assert(got(d)._1 <= got(d)._2)
+    }
+  }
 }
