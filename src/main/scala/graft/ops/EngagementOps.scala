@@ -660,6 +660,64 @@ object EngagementOps {
           round(col("dau").cast(DoubleType) / col("mau"), 4)
             .as("stickiness"))
         .orderBy("d")
+    },
+
+    // ---- #259 nearest-event join -------------------------------------------
+    // For every error event: the same user's NEAREST click by |Δt| (the
+    // bidirectional sibling of the #21 backward-only ASOF JOIN — CH's
+    // ASOF >= can't express "closest either side"). ONE window pass over
+    // ONE hashpartitioning(user_id) clustering: a conditional click
+    // timestamp column + last/first IGNORE NULLS frames give each error
+    // its bracketing clicks; nearest = the smaller |Δt|, ties prefer the
+    // EARLIER click (deterministic, engine-identical integer compare).
+    // No join node at all — the mixed stream is its own dimension.
+    "nearest_event_join" -> OpDef(
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS cus
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, event_id, us,
+        |    last_value(cus IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+        |    first_value(cus IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c
+        |  FROM e)
+        |SELECT event_id, user_id,
+        |  CAST(CASE
+        |    WHEN prev_c IS NULL AND next_c IS NULL THEN NULL
+        |    WHEN prev_c IS NULL THEN next_c - us
+        |    WHEN next_c IS NULL THEN us - prev_c
+        |    WHEN us - prev_c <= next_c - us THEN us - prev_c
+        |    ELSE next_c - us END // 1000000 AS BIGINT) AS nearest_click_s
+        |FROM w WHERE event_type = 'error' ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("cus",
+          when(col("event_type") === "click", col("us")))
+      val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val w = e
+        .withColumn("prev_c", last("cus", ignoreNulls = true).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("next_c", first("cus", ignoreNulls = true).over(
+          ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      val gap = when(col("prev_c").isNull && col("next_c").isNull,
+          lit(null).cast(LongType))
+        .when(col("prev_c").isNull, col("next_c") - col("us"))
+        .when(col("next_c").isNull, col("us") - col("prev_c"))
+        .when(col("us") - col("prev_c") <= col("next_c") - col("us"),
+          col("us") - col("prev_c"))
+        .otherwise(col("next_c") - col("us"))
+      w.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), gap.as("g"))
+        // g >= 0 always, so truncating div == floor == DuckDB '//'
+        .select(col("event_id"), col("user_id"),
+          expr("g div 1000000").as("nearest_click_s"))
+        .orderBy("event_id")
     }
   )
 }

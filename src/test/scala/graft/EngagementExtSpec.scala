@@ -127,4 +127,22 @@ class EngagementExtSpec extends SparkSpecBase {
       assert(got(d)._1 <= got(d)._2)
     }
   }
+
+  test("nearest_event_join: nearest click re-derived by brute force") {
+    val ev = eventsRows
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val clicks = rows.filter(_._2 == "click").map(_._3).sorted
+      rows.filter(_._2 == "error").map { e =>
+        val gaps = clicks.map(c => math.abs(c - e._3))
+        e._4 -> (if (gaps.isEmpty) None else Some(gaps.min / 1000000L))
+      }
+    }.toMap
+    val got = run("nearest_event_join").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    // |nearest| is tie-insensitive (prev vs next with equal gap have the
+    // same distance), so the brute-force min matches exactly
+    assert(got == expected)
+  }
 }
