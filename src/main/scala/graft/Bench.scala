@@ -66,27 +66,31 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qJson(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    // Unconditional fixed-path mirror: sbt's [info]/[success] framing defeats
-    // last-stdout-line parsers, so the canonical machine-readable record is
-    // always target/bench.json (plus the optional env-var mirror).
+    // The FULL per-query map (252+ entries) outgrew the driver's tail capture
+    // two rounds running (BENCH_r08/r09 recorded "parsed": null), so the
+    // stdout line carries only the TOP-20 slowest queries; the complete map
+    // always lands in target/bench.json (plus the optional env-var mirror).
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${qJson(results)},"errors":$errJson,"sf":"$sfDir"}"""
+    val top20 = results.sortBy(-_._2).take(20)
+    val stdoutLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"queries":${qJson(top20)},"errors":$errJson,"sf":"$sfDir","full":"target/bench.json"}"""
     val outs = Seq("target/bench.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
     outs.foreach { p =>
       val path = java.nio.file.Paths.get(p)
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(path,
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop() // stop BEFORE printing so no executor shutdown logs trail the JSON
     System.out.flush()
-    println(line)
+    println(stdoutLine)
     System.out.flush()
   }
 }

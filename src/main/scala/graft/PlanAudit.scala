@@ -26,7 +26,14 @@ object PlanAudit {
       sortMergeJoins: Int,
       scans: Int,
       scansWithPushdown: Int,
-      fallbackExprs: Seq[String]
+      fallbackExprs: Seq[String],
+      // rank-limit pushdown (InferWindowGroupLimit): the physical node that
+      // keeps `row_number().over(...) <= k` at O(k) state per group instead
+      // of buffering/sorting whole groups — the scale premise of the whole
+      // topk-per-group family, pinned so a Spark upgrade or conf flip that
+      // stops it firing fails a spec instead of silently reintroducing
+      // fact-sized per-group sorts
+      windowGroupLimits: Int = 0
   )
 
   def audit(plan: SparkPlan): Audit = {
@@ -53,7 +60,9 @@ object PlanAudit {
               if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
                 .aggregate.ImperativeAggregate] => e.prettyName
         })
-        .distinct
+        .distinct,
+      windowGroupLimits = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec])
     )
   }
 

@@ -258,8 +258,8 @@ object Ann extends Serializable {
         |  FROM x GROUP BY 1)
         |SELECT CAST(i AS BIGINT) AS dim, n,
         |  round(CAST(sq AS DOUBLE) / n / 1000000, 6) + 0.0 AS mean,
-        |  round(sqrt(CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)
-        |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / n / 1000000, 6)
+        |  round(sqrt(CAST(CAST(n AS HUGEINT) * ssq
+        |      - CAST(sq AS HUGEINT) * sq AS DOUBLE)) / n / 1000000, 6)
         |    AS std,
         |  round(CAST(qmin AS DOUBLE) / 1000000, 6) AS vmin,
         |  round(CAST(qmax AS DOUBLE) / 1000000, 6) AS vmax
@@ -280,8 +280,14 @@ object Ann extends Serializable {
           // -0.0) renders differently across engines - normalize to +0.0
           (round(col("sq").cast(DoubleType) / col("n") / 1000000, 6) + 0.0)
             .as("mean"),
-          round(sqrt(col("n").cast(DoubleType) * col("ssq").cast(DoubleType)
-            - col("sq").cast(DoubleType) * col("sq").cast(DoubleType))
+          // the radicand n·Σq² − (Σq)² subtracts EXACTLY in DECIMAL(38,0) /
+          // HUGEINT (provably ≥ 0; ~10³⁰ at 100 TB, inside 38 digits) and
+          // only the final sqrt/divide are IEEE — doubles here can cancel
+          // to a tiny NEGATIVE on a near-constant dimension, where DuckDB
+          // hard-errors on sqrt(<0) while Spark returns NaN (mirrors
+          // label_centroid_stats' exact-subtraction discipline)
+          round(sqrt((col("n").cast(big) * col("ssq")
+            - col("sq").cast(big) * col("sq").cast(big)).cast(DoubleType))
             / col("n") / 1000000, 6).as("std"),
           round(col("qmin").cast(DoubleType) / 1000000, 6).as("vmin"),
           round(col("qmax").cast(DoubleType) / 1000000, 6).as("vmax"))

@@ -2,14 +2,20 @@ package graft.multimodal
 
 import graft.{GraftSession, OpDef}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** A media asset: opaque binary payload + typed envelope. */
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO}
+
+/** A media asset: opaque binary payload (a real PNG/GIF/BMP container) +
+  * doc key.
+  */
 final case class MediaAsset(doc_id: Long, payload: Array[Byte])
 
-/** Stub-decoded media metadata (the envelope a real codec would fill). */
+/** Decoded media metadata (filled by the real ImageIO header parse). */
 final case class MediaMeta(
     doc_id: Long,
     fmt: String,
@@ -18,119 +24,236 @@ final case class MediaMeta(
     n_frames: Int
 )
 
-/** Stub-extracted feature vector (what a real embedding model emits). */
+/** Extracted feature vector (pixel-derived; a real embedding model slots
+  * into the same per-partition batch shape).
+  */
 final case class MediaFeatures(doc_id: Long, feat: Seq[Double])
 
-/** SURVEY §2.3 #40-41 — multimodal column plumbing.
+/** SURVEY §2.3 #40-41/#76/#77/#253 — multimodal column plumbing with a REAL
+  * JDK ImageIO codec.
   *
-  * Image/audio/video content is carried as an opaque `binary` column with a
-  * typed metadata envelope; decode / feature-extract run as a typed
-  * `mapPartitions` over batches of assets (the exact shape a real
+  * Image/video content is carried as an opaque `binary` column holding real
+  * PNG / GIF / BMP container bytes; decode / feature-extract / phash run as
+  * a typed `mapPartitions` over batches of assets (the exact shape a real
   * JNI/Pandas-UDF codec pass needs: per-partition init, streaming iterator,
   * no driver involvement, narrow → zero shuffle).
   *
-  * STUB CODEC: the container has no image/audio libraries, so
-  * [[MediaCodec.decode]] derives metadata deterministically from the
-  * payload's leading bytes. The payload itself is synthesized as the md5
-  * digest of the document text, which is why a DuckDB oracle can reproduce
-  * the stub's output from the hex string — the Spark side genuinely reads
-  * binary bytes through the full plumbing path.
+  * The testdata tables carry no blob column, so the write side
+  * ([[MediaCodec.encode]]) synthesizes each asset deterministically from the
+  * document row — geometry/format/frame-count from the md5 envelope, pixels
+  * from the text's leading codepoints — and encodes it with the actual JDK
+  * ImageIO writer (gray PNG/GIF/BMP all round-trip losslessly; GIF "videos"
+  * are real multi-frame sequences). Everything downstream reads ONLY the
+  * container bytes back through `ImageIO`: format names, dimensions and
+  * frame counts come from the real header parse, pixels from the real
+  * decoder. The determinism of the write side is what lets a DuckDB oracle
+  * reproduce the expected metadata and phashes from the same formulas
+  * without decoding images itself.
   */
 object MediaCodec {
 
-  val Formats = Vector("jpeg", "png", "webp")
-
-  /** STUB: a real implementation would parse the container header here. */
-  def decode(a: MediaAsset): MediaMeta = {
-    def b(i: Int): Int = a.payload(i) & 0xFF
-    MediaMeta(
-      doc_id = a.doc_id,
-      fmt = Formats(b(0) % 3),
-      width = 64 + (b(1) % 64) * 16,
-      height = 64 + (b(2) % 64) * 16,
-      n_frames = (b(3) % 16) + 1
-    )
-  }
-
-  /** STUB: a real implementation would run the vision/audio encoder on the
-    * decoded frames. Deterministic 8-dim vector from the payload bytes —
-    * the BATCH SHAPE (per-partition model init, streaming iterator, fixed
-    * output dim) is what a real encoder pass needs.
+  /** Encode formats, indexed by envelope byte 0 mod 3. All three ship in
+    * the JDK, all three are lossless for 8-bit gray, and GIF doubles as the
+    * multi-frame "video" container (reference: image/video columns are
+    * opaque payloads; decode recovers the envelope).
     */
-  def features(a: MediaAsset): MediaFeatures =
-    MediaFeatures(a.doc_id,
-      (0 until 8).map(i => (a.payload(i) & 0xFF) / 255.0))
+  val Formats = Vector("png", "gif", "bmp")
 
-  /** STUB-decoded 60-bit block-mean perceptual hash (blockhash structure:
-    * 60 blocks of 4 "pixels", bit = block mean above image mean, compared
-    * as exact integers block_sum·60 > total_sum). A real implementation
-    * hashes the decoded luma plane; the stub reads the first 240
-    * codepoints as the pixel buffer (space-padded), which preserves the
-    * property that matters: near-identical sources → near-identical
-    * hashes.
+  /** Fixed luma-grid size the phash/features read (60 blocks × 4 px). */
+  val PhashPixels = 240
+
+  private def md5(text: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The doc's luma buffer: first 240 codepoints masked to 8 bits,
+    * space-padded — the deterministic "scene" the camera photographs.
     */
-  def phash60(text: String): Long = {
-    val cps = new Array[Int](240)
+  def pixelBuf(text: String): Array[Int] = {
+    val buf = new Array[Int](PhashPixels)
     val it = text.codePoints().iterator()
     var i = 0
-    while (i < 240) { cps(i) = if (it.hasNext) it.nextInt() else 32; i += 1 }
+    while (i < PhashPixels) {
+      buf(i) = (if (it.hasNext) it.nextInt() else 32) & 0xFF
+      i += 1
+    }
+    buf
+  }
+
+  /** Write side: render the doc's luma buffer into a real image (row-major
+    * from pixel 0; padding luma 32 beyond the buffer) and encode it with
+    * the JDK ImageIO writer picked by the md5 envelope. GIF assets are real
+    * multi-frame sequences written via `writeToSequence`. Deterministic:
+    * same doc → byte-identical container.
+    */
+  def encode(docId: Long, text: String): MediaAsset = {
+    val h = md5(text)
+    def b(i: Int): Int = h(i) & 0xFF
+    val fmt = Formats(b(0) % 3)
+    val w = 16 + (b(1) % 64) // ≥16 so w·h ≥ PhashPixels always holds
+    val ht = 15 + (b(2) % 64)
+    val nF = if (fmt == "gif") (b(3) % 16) + 1 else 1
+    val px = pixelBuf(text)
+    val img = new BufferedImage(w, ht, BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0
+    val n = w * ht
+    while (i < n) {
+      r.setSample(i % w, i / w, 0, if (i < PhashPixels) px(i) else 32)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    if (nF == 1) {
+      ImageIO.write(img, fmt, bos)
+    } else {
+      val wr = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < nF) {
+        wr.writeToSequence(new IIOImage(img, null, null), null)
+        f += 1
+      }
+      wr.endWriteSequence()
+      wr.dispose()
+      ios.close()
+    }
+    MediaAsset(docId, bos.toByteArray)
+  }
+
+  private def reader(payload: Array[Byte]): javax.imageio.ImageReader = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    val rs = ImageIO.getImageReaders(iis)
+    require(rs.hasNext, "no ImageIO reader recognizes the payload")
+    val r = rs.next()
+    r.setInput(iis)
+    r
+  }
+
+  /** REAL container decode: format name, dimensions and frame count come
+    * from the ImageIO reader parsing the actual PNG/GIF/BMP header — a
+    * header-only read, no pixel decode (the cheap metadata pass a curation
+    * pipeline runs corpus-wide before deciding what to fully decode).
+    */
+  def decode(a: MediaAsset): MediaMeta = {
+    val r = reader(a.payload)
+    try MediaMeta(a.doc_id, r.getFormatName.toLowerCase, r.getWidth(0),
+      r.getHeight(0), r.getNumImages(true))
+    finally r.dispose()
+  }
+
+  /** Full frame-0 pixel decode through the real ImageIO decoder. */
+  def decodeImage(a: MediaAsset): BufferedImage = {
+    val r = reader(a.payload)
+    try r.read(0) finally r.dispose()
+  }
+
+  /** Feature extraction over REAL decoded pixels: the first 8 luma samples
+    * normalized to [0,1]. A real vision encoder replaces the projection,
+    * not the plumbing — per-partition init, streaming iterator, fixed
+    * output dim.
+    */
+  def features(a: MediaAsset): MediaFeatures = {
+    val img = decodeImage(a)
+    val w = img.getWidth
+    val r = img.getRaster
+    MediaFeatures(a.doc_id,
+      (0 until 8).map(i => r.getSample(i % w, i / w, 0) / 255.0))
+  }
+
+  /** 60-bit block-mean perceptual hash over the REAL decoded luma plane
+    * (blockhash structure: 60 blocks of 4 pixels, bit = block mean above
+    * image mean, compared as exact integers block_sum·60 > total_sum).
+    * Reads the first 240 pixels row-major — the same fixed grid the write
+    * side rendered, so near-identical sources → near-identical hashes and
+    * the oracle can recompute the hash from the generator formula.
+    */
+  def phash60(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val r = img.getRaster
+    val px = new Array[Long](PhashPixels)
     var tot = 0L
-    i = 0
-    while (i < 240) { tot += cps(i); i += 1 }
+    var i = 0
+    while (i < PhashPixels) {
+      val v = r.getSample(i % w, i / w, 0).toLong
+      px(i) = v
+      tot += v
+      i += 1
+    }
     var h = 0L
     var b = 0
     while (b < 60) {
       var s = 0L
       var j = 0
-      while (j < 4) { s += cps(b * 4 + j); j += 1 }
+      while (j < 4) { s += px(b * 4 + j); j += 1 }
       if (s * 60 > tot) h |= (1L << b)
       b += 1
     }
     h
   }
+
+  def phash60(a: MediaAsset): Long = phash60(decodeImage(a))
 }
 
 object MediaColumns {
 
-  private def assets(s: SparkSession, dir: String): DataFrame = {
+  /** The stored-blob column: real container bytes, encoded once in the
+    * typed mapPartitions pass. In a production pipeline this is the
+    * already-stored blob (encode cost paid at ingest, amortized); every op
+    * below treats it as opaque binary and goes through the real decoder.
+    */
+  private def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
     GraftSession.tune(s)
-    // Synthesize the opaque payload column (md5 bytes of the text). In a
-    // real pipeline this is the stored blob; everything downstream treats
-    // it as opaque binary.
     Tables(s, dir, "documents")
-      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => MediaCodec.encode(id, t) })
   }
 
-  /** doc → stub-decoded metadata, via the typed mapPartitions codec path. */
+  /** doc → REAL ImageIO-decoded metadata, via the typed mapPartitions
+    * codec path.
+    */
   def decodeMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    assets(s, dir).as[MediaAsset]
+    assets(s, dir)
       .mapPartitions(_.map(MediaCodec.decode))
       .toDF()
   }
 
-  /** doc → stub-extracted feature vectors (8-dim `feat` array), via the
+  /** doc → pixel-derived feature vectors (8-dim `feat` array), via the
     * typed mapPartitions encoder path — the array-typed public API a
     * downstream consumer (e.g. [[graft.ann.Ann]]) would read.
     */
-  def featureDs(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaFeatures] = {
+  def featureDs(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
-    assets(s, dir).as[MediaAsset]
+    assets(s, dir)
       .mapPartitions(_.map(MediaCodec.features))
   }
 
-  /** DuckDB byte-k-of-md5 helper: payload byte k as 0-255 int. */
+  /** DuckDB byte-k-of-md5 helper: envelope byte k as 0-255 int. */
   private def byteSql(k: Int): String =
     s"('0x' || substr(md5(text), ${2 * k + 1}, 2))::INT"
 
+  /** DuckDB pixel-i helper (1-based): codepoint i of the text masked to 8
+    * bits, space-padded — exactly [[MediaCodec.pixelBuf]].
+    */
+  private def pixelSql(i: Int): String =
+    s"(CASE WHEN ${i} <= length(text) " +
+      s"THEN unicode(substr(text, $i, 1)) % 256 ELSE 32 END)"
+
   val defs: Map[String, OpDef] = Map(
     // ---- #40 decode → metadata envelope ----------------------------------
+    // fmt/width/height/n_frames come from the REAL ImageIO header parse of
+    // the stored container bytes; the oracle reproduces them from the
+    // deterministic write-side formulas (gif is Formats index 1).
     "mm_decode_meta" -> OpDef(
       s"""SELECT doc_id,
-         |  ['jpeg', 'png', 'webp'][${byteSql(0)} % 3 + 1] AS fmt,
-         |  CAST(64 + (${byteSql(1)} % 64) * 16 AS INT) AS width,
-         |  CAST(64 + (${byteSql(2)} % 64) * 16 AS INT) AS height,
-         |  CAST(${byteSql(3)} % 16 + 1 AS INT) AS n_frames
+         |  ['png', 'gif', 'bmp'][${byteSql(0)} % 3 + 1] AS fmt,
+         |  CAST(16 + ${byteSql(1)} % 64 AS INT) AS width,
+         |  CAST(15 + ${byteSql(2)} % 64 AS INT) AS height,
+         |  CAST(CASE WHEN ${byteSql(0)} % 3 = 1
+         |       THEN ${byteSql(3)} % 16 + 1 ELSE 1 END AS INT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       decodeMeta(s, dir)
@@ -139,18 +262,20 @@ object MediaColumns {
     },
 
     // ---- #41 frame sampling -----------------------------------------------
-    // Video assets (fmt = webp) explode into frame rows; every 4th frame is
-    // sampled. posexplode keeps it a narrow op — no shuffle, and the frame
-    // index plan is exactly what a real frame-extract UDF pass consumes.
+    // Video assets (fmt = gif, real multi-frame containers; n_frames is the
+    // reader's actual getNumImages) explode into frame rows; every 4th
+    // frame is sampled. posexplode keeps it a narrow op — no shuffle, and
+    // the frame index plan is exactly what a real frame-extract UDF pass
+    // consumes.
     "mm_frame_sample" -> OpDef(
       s"""WITH meta AS (
          |  SELECT doc_id,
-         |    ['jpeg', 'png', 'webp'][${byteSql(0)} % 3 + 1] AS fmt,
+         |    ['png', 'gif', 'bmp'][${byteSql(0)} % 3 + 1] AS fmt,
          |    ${byteSql(3)} % 16 + 1 AS n_frames
          |  FROM documents),
          |fr AS (
          |  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx
-         |  FROM meta WHERE fmt = 'webp')
+         |  FROM meta WHERE fmt = 'gif')
          |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
          |  CAST(frame_idx * 40 AS BIGINT) AS frame_ts_ms,
          |  md5(doc_id::VARCHAR || ':' || frame_idx::VARCHAR) AS frame_key
@@ -158,7 +283,7 @@ object MediaColumns {
          |ORDER BY doc_id, frame_idx""".stripMargin
     ) { (s, dir) =>
       decodeMeta(s, dir)
-        .filter(col("fmt") === "webp")
+        .filter(col("fmt") === "gif")
         .select(col("doc_id"),
           explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
         .filter(col("frame_idx") % 4 === 0)
@@ -170,43 +295,43 @@ object MediaColumns {
     },
 
     // ---- #76 resize plan (aspect-preserving fit into 224×224) -------------
-    // The resize PASS stays stubbed (no codecs here) but the target-geometry
-    // computation — what the batch resize UDF consumes — is real and exact:
+    // Source geometry is the REAL decoded header's dimensions; the
+    // target-geometry computation — what the batch resize UDF consumes — is
     // pure INTEGER arithmetic ((dim × 224) div long-side), so both engines
     // agree bit-for-bit with no rounding-mode traps. Narrow, zero shuffle.
     "mm_resize" -> OpDef(
       s"""WITH meta AS (
          |  SELECT doc_id,
-         |    ['jpeg', 'png', 'webp'][${byteSql(0)} % 3 + 1] AS fmt,
-         |    64 + (${byteSql(1)} % 64) * 16 AS width,
-         |    64 + (${byteSql(2)} % 64) * 16 AS height
+         |    ['png', 'gif', 'bmp'][${byteSql(0)} % 3 + 1] AS fmt,
+         |    16 + ${byteSql(1)} % 64 AS width,
+         |    15 + ${byteSql(2)} % 64 AS height
          |  FROM documents)
          |SELECT doc_id, fmt,
          |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
          |  CAST(width * 224 // greatest(width, height) AS INT) AS out_w,
          |  CAST(height * 224 // greatest(width, height) AS INT) AS out_h
-         |FROM meta WHERE fmt <> 'webp'
+         |FROM meta WHERE fmt <> 'gif'
          |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       decodeMeta(s, dir)
-        .filter(col("fmt") =!= "webp") // stills only; video goes to #41
+        .filter(col("fmt") =!= "gif") // stills only; video goes to #41
         .select(col("doc_id"), col("fmt"), col("width"), col("height"),
           expr("CAST(width * 224 div greatest(width, height) AS INT)").as("out_w"),
           expr("CAST(height * 224 div greatest(width, height) AS INT)").as("out_h"))
         .orderBy("doc_id")
     },
 
-    // ---- #77 feature extraction (stub encoder, real batch shape) ----------
+    // ---- #77 feature extraction (real decoded pixels, real batch shape) ---
     // Typed mapPartitions: per-partition "model init", streaming iterator,
     // fixed-dim vector out — the exact plumbing a real encoder pass uses;
-    // the oracle reproduces the stub from the md5 hex. The 8 dims are
-    // projected to scalar columns f0..f7 (byte/255.0 is one IEEE-754 double
-    // division — bit-identical in both engines) so the output is
+    // the vector is the first 8 REAL decoded luma samples normalized to
+    // [0,1] (one IEEE-754 double division — bit-identical in both engines),
+    // which the oracle reproduces from the deterministic scene. The 8 dims
+    // are projected to scalar columns f0..f7 so the output is
     // comparator-hashable; real consumers take the array via `featureDs`.
     "mm_feature_extract" -> OpDef(
-      (s"""SELECT doc_id,
-          |""" + (0 until 8).map(i =>
-              s"  ('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT / 255.0 AS f$i")
+      ("""SELECT doc_id,
+         |""" + (1 to 8).map(i => s"  ${pixelSql(i)} / 255.0 AS f${i - 1}")
               .mkString(",\n") + """
          |FROM documents ORDER BY doc_id""").stripMargin
     ) { (s, dir) =>
@@ -218,19 +343,19 @@ object MediaColumns {
     // ---- #253 perceptual-hash near-dup pairs -------------------------------
     // Image dedup's shape end to end: a 60-bit block-mean perceptual hash
     // (Zauner's blockhash structure — 60 blocks, bit = block mean above
-    // image mean) computed in the typed mapPartitions CODEC path (where a
-    // real implementation decodes pixels; the stub treats the first 240
-    // codepoints as the pixel buffer, so near-dup "images" are exactly the
-    // near-dup texts and the pair set is non-trivial), then the EXACT
-    // #32 banding discipline: 3×20-bit pigeonhole bands (radius-2 recall
-    // guaranteed), hot buckets capped, hamming filter after the bucket
-    // join. The phash is integer-exact (block_sum·60 > total_sum), so the
-    // whole pipeline hash-matches the oracle.
+    // image mean) computed from the REAL decoded luma plane in the typed
+    // mapPartitions CODEC path (encode → ImageIO decode → hash; near-dup
+    // "images" photograph near-dup texts, so the pair set is non-trivial),
+    // then the EXACT #32 banding discipline: 3×20-bit pigeonhole bands
+    // (radius-2 recall guaranteed), hot buckets capped, hamming filter
+    // after the bucket join. The phash is integer-exact (block_sum·60 >
+    // total_sum) over losslessly round-tripped pixels, so the whole
+    // pipeline hash-matches the oracle.
     "mm_phash_pairs" -> OpDef(
       s"""WITH cp AS (
          |  SELECT doc_id, list_transform(generate_series(1, 240), i ->
          |    CASE WHEN i <= length(text)
-         |         THEN unicode(substr(text, CAST(i AS INT), 1))
+         |         THEN unicode(substr(text, CAST(i AS INT), 1)) % 256
          |         ELSE 32 END) AS cs
          |  FROM documents),
          |h AS (
@@ -256,7 +381,9 @@ object MediaColumns {
       val cap = graft.dedup.Dedup.lshBucketCap(s)
       val sig = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) => (id, MediaCodec.phash60(t)) })
+        .mapPartitions(_.map { case (id, t) =>
+          (id, MediaCodec.phash60(MediaCodec.encode(id, t)))
+        })
         .toDF("doc_id", "ph")
       val bandStructs = (0 until 3).map { b =>
         struct(lit(b).as("b"),

@@ -544,17 +544,23 @@ object AssociationStats {
     // ---- #241 Herfindahl-Hirschman concentration per market ----------------
     // HHI of supplier revenue shares within each brand — the antitrust /
     // marketplace concentration read-out (gini_inequality's square-share
-    // sibling). Facts collapse ONCE to the (brand, supplier) grain in
-    // exact DECIMAL cents on one shuffle; HHI = Σsᵢ²/S² evaluates on the
-    // grain with DECIMAL(38,0)/HUGEINT-exact squares (cents² ≈ 10¹⁸ at
-    // big SFs — past BIGINT, inside 38 digits), so the only IEEE step is
-    // the final divide → round(·,6).
+    // sibling). Facts collapse ONCE to the (brand, supplier) grain on one
+    // shuffle, in integral 1e-4-dollar units: price*(1-disc)*100 has
+    // fractional cents, and a non-integral DECIMAL→BIGINT cast ROUNDS in
+    // DuckDB but TRUNCATES in Spark — so instead each row contributes
+    // (integral cents) × (100 − integral discount-percent), pure integer
+    // math with identical semantics on both engines (both 2-decimal casts
+    // are exact by data construction). HHI = Σsᵢ²/S² is scale-invariant,
+    // so the unit change cancels; squares evaluate in
+    // DECIMAL(38,0)/HUGEINT (1e-4-unit s² ≈ 10²² at big SFs — past
+    // BIGINT, inside 38 digits), so the only IEEE step is the final
+    // divide → round(·,6).
     "hhi_concentration" -> OpDef(
       """WITH g AS (
         |  SELECT p.p_brand, l.l_suppkey,
-        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 100
-        |      AS BIGINT)) AS BIGINT) AS s
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))
+        |      AS BIGINT) AS s
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |  GROUP BY 1, 2)
         |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
@@ -565,12 +571,13 @@ object AssociationStats {
       val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
       val l = tbl(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
-          (col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(1) - col("l_discount").cast(DecimalType(18, 2))) * 100)
-            .cast(LongType).as("cents"))
+          ((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType)
+            * (lit(100L) - (col("l_discount").cast(DecimalType(18, 2)) * 100)
+              .cast(LongType))).as("v"))
       val g = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .groupBy("p_brand", "l_suppkey")
-        .agg(sum("cents").cast(LongType).as("s"))
+        .agg(sum("v").cast(LongType).as("s"))
       g.groupBy("p_brand")
         .agg(count(lit(1)).cast(LongType).as("n_suppliers"),
           round(sum(col("s").cast(big) * col("s").cast(big))

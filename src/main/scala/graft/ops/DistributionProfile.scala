@@ -647,8 +647,10 @@ object DistributionProfile {
     // part both come from ONE integer division of exact integers, and the
     // two bracketing values are min-over-threshold selections (the
     // quantiles_exact_weighted discipline); the interpolation is the
-    // single IEEE step → round(·,4). i+1 ≤ W always holds for p<1, so the
-    // upper bracket exists by construction.
+    // single IEEE step → round(·,4). A group with total weight W = 1 has
+    // no upper bracket (rank i+1 = 2 > W) — but its fractional part is 0,
+    // so coalesce(hi, lo) recovers the exact single value there (and is a
+    // no-op whenever hi exists).
     "quantile_interp_weighted" -> OpDef(
       """WITH g AS (
         |  SELECT event_type AS t,
@@ -673,10 +675,10 @@ object DistributionProfile {
         |      AS hi90
         |  FROM c GROUP BY t)
         |SELECT t AS event_type, tw AS total_weight,
-        |  round((lo50 + ((tw - 1) % 2) / 2.0 * (hi50 - lo50)) / 100.0, 4)
-        |    AS p50_w,
-        |  round((lo90 + (((tw - 1) * 9) % 10) / 10.0 * (hi90 - lo90))
-        |    / 100.0, 4) AS p90_w
+        |  round((lo50 + ((tw - 1) % 2) / 2.0
+        |    * (coalesce(hi50, lo50) - lo50)) / 100.0, 4) AS p50_w,
+        |  round((lo90 + (((tw - 1) * 9) % 10) / 10.0
+        |    * (coalesce(hi90, lo90) - lo90)) / 100.0, 4) AS p90_w
         |FROM a ORDER BY 1""".stripMargin
     ) { (s, dir) =>
       val g = tbl(s, dir, "events")
@@ -699,9 +701,11 @@ object DistributionProfile {
             col("v"))).as("hi90"))
       a.select(col("t").as("event_type"), col("tw").as("total_weight"),
           round((col("lo50") + expr("(tw - 1) % 2") / 2.0
-            * (col("hi50") - col("lo50"))) / 100.0, 4).as("p50_w"),
+            * (coalesce(col("hi50"), col("lo50")) - col("lo50"))) / 100.0, 4)
+            .as("p50_w"),
           round((col("lo90") + expr("((tw - 1) * 9) % 10") / 10.0
-            * (col("hi90") - col("lo90"))) / 100.0, 4).as("p90_w"))
+            * (coalesce(col("hi90"), col("lo90")) - col("lo90"))) / 100.0, 4)
+            .as("p90_w"))
         .orderBy("event_type")
     },
 
@@ -715,7 +719,10 @@ object DistributionProfile {
     // INSIDE a tie group by linear apportionment ((cumcnt−k_d)·v backed
     // out) — exact because equal-revenue users are interchangeable. The
     // ≤10-row decile frame broadcasts onto the grain; integers/DECIMAL
-    // end to end, one divide per point → round(·,6).
+    // end to end, one divide per point → round(·,6). A decile whose
+    // cutoff ⌊n·d/10⌋ is 0 (n < 10 users) has no grain row to land in —
+    // those are emitted explicitly with cum_share 0.0 (the bottom 0 users
+    // hold 0 revenue) rather than silently dropped.
     "lorenz_points" -> OpDef(
       """WITH u AS (
         |  SELECT user_id,
@@ -737,6 +744,13 @@ object DistributionProfile {
         |FROM c CROSS JOIN range(1, 11) AS t(d)
         |WHERE cumcnt - cnt < (n * t.d) // 10
         |  AND (n * t.d) // 10 <= cumcnt
+        |UNION ALL
+        |SELECT CAST(t.d AS BIGINT) AS decile,
+        |  CAST(0 AS BIGINT) AS cutoff_users,
+        |  CAST(0.0 AS DOUBLE) AS cum_share
+        |FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g) z
+        |CROSS JOIN range(1, 11) AS t(d)
+        |WHERE (z.n * t.d) // 10 = 0
         |ORDER BY 1""".stripMargin
     ) { (s, dir) =>
       val u = tbl(s, dir, "events")
@@ -752,7 +766,7 @@ object DistributionProfile {
         .withColumn("n", sum("cnt").over(all))
         .withColumn("tot", sum(col("rev").cast(big) * col("cnt")).over(all))
       val deciles = broadcast(s.range(1, 11).toDF("d"))
-      c.crossJoin(deciles)
+      val hit = c.crossJoin(deciles)
         .withColumn("kd", expr("(n * d) div 10"))
         .filter(col("cumcnt") - col("cnt") < col("kd") &&
           col("kd") <= col("cumcnt"))
@@ -761,7 +775,14 @@ object DistributionProfile {
             - (col("cumcnt") - col("kd")).cast(big) * col("rev"))
             .cast(DoubleType) / col("tot").cast(DoubleType), 6)
             .as("cum_share"))
-        .orderBy("decile")
+      // n < 10 users ⇒ leading deciles have cutoff 0 and no grain row —
+      // emit them with cum_share 0.0 (1-row aggregate, ≤10-row frame)
+      val zero = g.agg(sum("cnt").cast(LongType).as("n"))
+        .crossJoin(deciles)
+        .filter(expr("(n * d) div 10") === 0)
+        .select(col("d").as("decile"), lit(0L).as("cutoff_users"),
+          lit(0.0).as("cum_share"))
+      hit.union(zero).orderBy("decile")
     },
 
     // ---- #257 deterministic weighted sampling (Efraimidis-Spirakis) --------

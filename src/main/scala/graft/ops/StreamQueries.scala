@@ -268,6 +268,59 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) => StreamOps.dedupStream(ev(s, dir)).orderBy("user_id", "event_type") },
 
+    // ---- #260 streaming simhash near-dup screen (batch shape) ------------
+    // The CONTENT twin of #44's key dedup and the streaming twin of #32b:
+    // docs arrive in order, each probes a per-(band,bucket) index of the
+    // first `cap` earlier signatures (flatMapGroupsWithState — the literal
+    // streaming operator runs here in batch mode, state fresh per key), and
+    // reports its earliest hamming≤2 neighbor or (-1,-1). First-cap is the
+    // streaming-realizable hot-bucket guard (see StreamDedup scaladoc: the
+    // batch QUALIFY-cap is retroactive, a stream can't un-emit). Oracle:
+    // the same pigeonhole candidates with e.rn ≤ cap playing the index.
+    "stream_simhash_dedup" -> OpDef(
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), i ->
+        |      CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM t),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 20)) & 1048575 AS bkey,
+        |    row_number() OVER (PARTITION BY b, (sig >> (b * 20)) & 1048575
+        |                       ORDER BY doc_id) AS rn
+        |  FROM s, (SELECT unnest(generate_series(0, 2)) AS b)),
+        |cand AS (
+        |  SELECT d.doc_id AS did, e.doc_id AS eid,
+        |    bit_count(xor(d.sig, e.sig)) AS ham
+        |  FROM bands d JOIN bands e ON d.b = e.b AND d.bkey = e.bkey
+        |   AND e.doc_id < d.doc_id AND e.rn <= ${graft.dedup.Dedup.LshBucketCap}
+        |  WHERE bit_count(xor(d.sig, e.sig)) <= 2),
+        |m AS (
+        |  SELECT did, CAST(MIN(eid) AS BIGINT) AS dup_of,
+        |    CAST(arg_min(ham, eid) AS BIGINT) AS hamming
+        |  FROM cand GROUP BY 1)
+        |SELECT s.doc_id, coalesce(m.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+        |  coalesce(m.hamming, CAST(-1 AS BIGINT)) AS hamming
+        |FROM s LEFT JOIN m ON s.doc_id = m.did
+        |ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      GraftSession.tune(s)
+      graft.functions.GraftFunctions.register(s)
+      val signed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("simhash64", array_distinct(split(col("text"), " ")))
+            .as("sig"))
+      val cap = graft.dedup.Dedup.lshBucketCap(s)
+      graft.streaming.StreamDedup.collapseHits(signed,
+          graft.streaming.StreamDedup.simhashBandHits(signed, cap))
+        .orderBy("doc_id")
+    },
+
     // ---- §2.1 #7 ChangeLoader: incremental two-phase apply ≡ one-shot ----
     // Collapse+apply the first half of the feed, then the second half on
     // top; the result must equal the full-feed merge (the cdc_merge_fields

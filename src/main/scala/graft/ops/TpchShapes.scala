@@ -1054,7 +1054,9 @@ object TpchShapes {
     // the star-join trend read-out. The customer dim projects to 2
     // columns before the join (AQE decides broadcast vs shuffle — the #14
     // scaling rule); totals sum EXACTLY in DECIMAL on the (year, segment)
-    // collapse; the share rides a ≤(years×5)-cell grain window.
+    // collapse AND through the ≤(years×5)-cell grain window (a DOUBLE
+    // window sum would accumulate in engine/partition order — exactness
+    // must survive to the single final divide → round(·,4)).
     "segment_revenue_trend" -> OpDef(
       """WITH j AS (
         |  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
@@ -1063,10 +1065,12 @@ object TpchShapes {
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
         |g AS (
         |  SELECT yr, seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |    CAST(SUM(rev) AS DOUBLE) AS revenue
+        |    SUM(rev) AS revd
         |  FROM j GROUP BY 1, 2)
-        |SELECT yr, seg AS c_mktsegment, n_orders, revenue,
-        |  round(revenue / SUM(revenue) OVER (PARTITION BY yr), 4)
+        |SELECT yr, seg AS c_mktsegment, n_orders,
+        |  CAST(revd AS DOUBLE) AS revenue,
+        |  round(CAST(revd AS DOUBLE)
+        |    / CAST(SUM(revd) OVER (PARTITION BY yr) AS DOUBLE), 4)
         |    AS yr_share
         |FROM g ORDER BY 1, 2""".stripMargin
     ) { (s, dir) =>
@@ -1078,11 +1082,11 @@ object TpchShapes {
       val g = o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("yr"), col("c_mktsegment").as("seg"))
         .agg(count(lit(1)).cast(LongType).as("n_orders"),
-          sum("rev").cast(DoubleType).as("revenue"))
+          sum("rev").as("revd"))
       g.select(col("yr"), col("seg").as("c_mktsegment"), col("n_orders"),
-          col("revenue"),
-          round(col("revenue")
-            / sum("revenue").over(Window.partitionBy("yr")), 4)
+          col("revd").cast(DoubleType).as("revenue"),
+          round(col("revd").cast(DoubleType)
+            / sum("revd").over(Window.partitionBy("yr")).cast(DoubleType), 4)
             .as("yr_share"))
         .orderBy("yr", "c_mktsegment")
     }

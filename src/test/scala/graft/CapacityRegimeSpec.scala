@@ -12,8 +12,9 @@ class CapacityRegimeSpec extends SparkSpecBase {
   private val driverDirs = Seq("/root/testdata/sf0.001",
     "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
-  private val sfDirs = (driverDirs :+
-      "/root/repo/testdata-local/sf1") // 10× probe from graft.GenTestData
+  private val sfDirs = (driverDirs ++ Seq(
+      "/root/repo/testdata-local/sf1",   // 10× probe from graft.GenTestData
+      "/root/repo/testdata-local/sf3"))  // 30× probe (r10: full-gate SF)
     .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
 
   test("fixture sanity: every driver SF is present and audited") {

@@ -102,6 +102,58 @@ class ClickHouseIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  // Verdict-r9 #7: exactly-once against CH-NATIVE merge semantics. The sink
+  // promises a replayed batch (crash between flush and cursor commit) is
+  // harmless; on a ReplacingMergeTree target that promise is kept by CH's
+  // own merge-time dedup (max-version row per key), so this leg replays a
+  // feed TWICE, forces the merge (OPTIMIZE … FINAL), and asserts the
+  // post-merge state equals [[ChangeLoader.collapse]]'s last-writer-wins
+  // snapshot of the single feed. Deletes are out of RMT's scope (they ride
+  // the lightweight-DELETE path proven above), so the feed is upsert-only.
+  test("exactly-once vs ReplacingMergeTree: replayed feed + OPTIMIZE FINAL " +
+    "equals the ChangeLoader snapshot") {
+    withConn { conn =>
+      exec(conn, "DROP TABLE IF EXISTS graft_it_rmt")
+      exec(conn,
+        """CREATE TABLE graft_it_rmt (
+          |  "pk" String, "amount" Float64, "block" Int64)
+          |ENGINE = ReplacingMergeTree("block") ORDER BY "pk"""".stripMargin)
+      val feed = Seq( // (pk, block, amount): several versions per pk
+        ("a", 1L, 10.0), ("b", 1L, 5.0), ("a", 2L, 11.5),
+        ("c", 3L, 7.25), ("b", 4L, 6.0), ("a", 5L, 12.0))
+      def insertAll(): Unit = feed.foreach { case (pk, b, v) =>
+        exec(conn, SqlDialect.insertSql("graft_it_rmt",
+          Seq("pk" -> pk, "amount" -> v.toString, "block" -> b.toString)))
+      }
+      insertAll()
+      insertAll() // the replay
+      exec(conn, "OPTIMIZE TABLE graft_it_rmt FINAL")
+      val st = conn.createStatement()
+      val got = try {
+        val rs = st.executeQuery(
+          "SELECT pk, amount, block FROM graft_it_rmt FINAL ORDER BY pk")
+        try {
+          val b = Vector.newBuilder[(String, Double, Long)]
+          while (rs.next())
+            b += ((rs.getString(1), rs.getDouble(2), rs.getLong(3)))
+          b.result()
+        } finally rs.close()
+      } finally st.close()
+      val spark = SparkSpecBase.session
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
+      val changes = feed.toDF("pk", "block", "amount")
+        .withColumn("op", lit(Op.Insert))
+      val expected = ChangeLoader.collapse(changes, Seq("amount"))
+        .filter(!col("deleted"))
+        .select("pk", "amount", "last_block").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toVector
+      assert(got == expected,
+        s"post-OPTIMIZE CH state $got != ChangeLoader snapshot $expected")
+    }
+  }
+
   test("JdbcFlush.statements order (deletes, then pk-sorted upserts) " +
     "applies cleanly on a live server") {
     withConn { conn =>

@@ -80,9 +80,10 @@ class PipelineR9bSpec extends SparkSpecBase {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    // independent phash re-derivation (codepoint blocks, integer compare)
+    // independent phash re-derivation (8-bit luma blocks — the codec masks
+    // codepoints to one byte when rendering the scene — integer compare)
     def ph(t: String): Long = {
-      val cps = (t.codePoints().toArray.take(240) ++
+      val cps = (t.codePoints().toArray.map(_ & 0xFF).take(240) ++
         Array.fill(240)(32)).take(240)
       val tot = cps.map(_.toLong).sum
       (0 until 60).foldLeft(0L) { (h, b) =>

@@ -777,4 +777,20 @@ class PlanAuditSpec extends SparkSpecBase {
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
   }
+
+  // The rank ≤ k family's O(k)-state premise is Spark's InferWindowGroupLimit
+  // rewrite (row_number/rank over a partition, filtered to ≤ k, executes as
+  // WindowGroupLimitExec holding a k-row heap per group instead of buffering
+  // and sorting whole groups). That rewrite is the ONLY thing standing between
+  // these ops and a fact-sized per-group sort at 100 TB, and it is conf- and
+  // version-sensitive (spark.sql.optimizer.windowGroupLimitThreshold) — so it
+  // gets a mechanical pin like every other scale premise.
+  test("rank-limit pushdown: WindowGroupLimitExec present in every rank<=k op") {
+    for (q <- Seq("topk_per_group", "group_array_sorted", "group_array_last",
+        "weighted_sample_es", "knn_label_eval", "ann_bruteforce")) {
+      val a = auditOf(run(q))
+      assert(a.windowGroupLimits >= 1,
+        s"$q: rank-limit pushdown stopped firing (no WindowGroupLimitExec): $a")
+    }
+  }
 }
