@@ -61,6 +61,23 @@ object CapacityPins {
     */
   val ValueGrainCap: Long = 1L << 18 // 262144 grain rows ≈ a few MB — trivial for one task
 
+  /** Space-saving topK capacity shared by every #56-family call site
+    * (`topk_approx` / `topk_weighted` / `topk_reagg` / `topk_if` /
+    * `any_heavy`). Exact while ≥ distinct keys per group at the probe SFs
+    * — 45,000 users/type at sf3, 150,000 at a 100× (sf10) probe. TopKAgg
+    * state is a lazily-grown map of O(min(distinct, capacity)) entries,
+    * so the cap costs nothing at small SF and bounds each group partial
+    * to ~12 MB worst-case at 100 TB (beyond the cap, space-saving's
+    * approximation guarantees take over with the same plan).
+    */
+  val TopKCap: Int = 1 << 18
+
+  /** `stream_topk`'s per-(1-day window, type) capacity: measured 16,357
+    * distinct users at sf3 — 2^16 covers the sf10 extrapolation (~55k)
+    * while keeping each open window's state constant-bounded.
+    */
+  val StreamTopKCap: Int = 1 << 16
+
   private val valueGrain: (SparkSession, String) => Long =
     (s, dir) => events(s, dir)
       .agg(countDistinct(col("value")
@@ -69,9 +86,9 @@ object CapacityPins {
 
   /** capacity ≥ measured ⟺ the query is in its exact regime. */
   val pins: Seq[Pin] = Seq(
-    Pin("topk_approx", 16384, "distinct users per event_type", usersPerType),
-    Pin("topk_weighted", 16384, "distinct users per event_type", usersPerType),
-    Pin("stream_topk", 8192, "distinct users per (day, event_type)",
+    Pin("topk_approx", TopKCap, "distinct users per event_type", usersPerType),
+    Pin("topk_weighted", TopKCap, "distinct users per event_type", usersPerType),
+    Pin("stream_topk", StreamTopKCap, "distinct users per (day, event_type)",
       (s, dir) => maxDistinctPerGroup(
         events(s, dir).withColumn("day", to_date(col("ts"))),
         Seq("day", "event_type"), col("user_id"))),
@@ -125,18 +142,25 @@ object CapacityPins {
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(1000)
         .count()),
-    // r9 grain windows: rfm's monetary cutpoints rank the per-customer
-    // whole-dollar grain; lorenz ranks the per-user purchase-total cents
+    // r9 grain windows: lorenz ranks the per-user purchase-total cents
     // grain; conversion-lag quantiles rank the integer lag-second grain.
-    // All domain-bounded in principle — pinned so growth is audited.
+    // Domain-bounded in principle — pinned so growth is audited.
+    //
+    // rfm's monetary grain is NOT domain-bounded (it tracks distinct
+    // per-customer dollar totals — 420,007 at sf3, ≈ one per customer),
+    // so since r10 its cutpoints use a bucketed two-level prefix sum: the
+    // only partition-less window runs on the 1024-dollar-wide BUCKET
+    // grain (range/1024 rows — 5,895 at sf3), and the within-bucket
+    // prefix is partitioned by bucket with ≤ 1024 rows per partition BY
+    // CONSTRUCTION. The pin therefore audits the bucket grain.
     Pin("rfm_segments", ValueGrainCap,
-      "distinct per-customer dollar totals (grain window)",
+      "monetary cutpoint BUCKETS (1024-USD ranges entering the prefix window)",
       (s, dir) => Tables(s, dir, "orders")
         .select(col("o_custkey"),
           (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
             .cast(org.apache.spark.sql.types.LongType).as("c"))
         .groupBy("o_custkey").agg(sum("c").as("c"))
-        .selectExpr("c div 100 AS usd")
+        .selectExpr("(c div 100) div 1024 AS usd")
         .agg(countDistinct("usd")).collect()(0).getLong(0)),
     Pin("lorenz_points", ValueGrainCap,
       "distinct per-user purchase-total cents (grain window)",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftSession, OpDef}
+import graft.{CapacityPins, GraftSession, OpDef}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -325,7 +325,7 @@ object AnalyticsR7 {
         .groupBy("event_type")
         .agg(concat_ws(",", call_function("topk_approx",
           when(kProp >= 50, col("user_id").cast(StringType)),
-          lit(10), lit(16384))).as("top_users"))
+          lit(10), lit(CapacityPins.TopKCap))).as("top_users"))
         .orderBy("event_type")
     },
 

@@ -497,8 +497,26 @@ object EngagementOps {
           datediff(col("dmax"), col("lastd")).cast(LongType).as("rec"))
       val nr = cm.agg(count(lit(1)).as("n"))
       def cuts(metric: String, pre: String): DataFrame = {
+        // Exact cumulative counts WITHOUT a grain-wide partition-less
+        // window (r10: the monetary grain is ≈ one distinct dollar total
+        // per customer — 420k at sf3 — so it OUTGROWS the single-task
+        // regime the other grain windows are pinned to). Two-level
+        // prefix: bucket the grain into 1024-wide ranges, prefix-sum the
+        // bucket TOTALS on the bucket grain (range/1024 rows — 5,895 at
+        // sf3, audited by the rfm CapacityPin), then add the
+        // within-bucket prefix under partitionBy(bucket), whose
+        // partitions hold ≤ 1024 integer values BY CONSTRUCTION. Every
+        // pass is bounded or partitioned — the shape that survives an
+        // unbounded customer count.
         val g = cm.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
-        g.withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+          .withColumn("bk", expr("v div 1024"))
+        val bt = g.groupBy("bk").agg(sum("cnt").as("bcnt"))
+          .withColumn("boff",
+            sum("bcnt").over(Window.orderBy("bk")) - col("bcnt"))
+          .select("bk", "boff")
+        g.join(broadcast(bt), "bk")
+          .withColumn("cum", col("boff") +
+            sum("cnt").over(Window.partitionBy("bk").orderBy("v")))
           .crossJoin(broadcast(nr))
           .agg(
             min(when(col("cum") * 4 >= col("n"), col("v"))).as(s"${pre}1"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftSession, OpDef}
+import graft.{CapacityPins, GraftSession, OpDef}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -539,12 +539,13 @@ object Relational {
 
     // ---- #56 heavy hitters (ClickHouse topK surface) ----------------------
     // Space-saving aggregate ([[graft.functions.TopKAgg]]): O(capacity)
-    // memory per group at any scale. capacity=16384 ≥ the distinct users per
-    // type at every LOCAL SF including the sf1 probe (15000 users/type;
-    // 1024 silently left the exact regime at sf0.1 in r5 — now pinned
-    // permanently by graft.CapacityPins / CapacityRegimeSpec), so
-    // space-saving is EXACT and the oracle can pin the result while the
-    // same plan caps memory on a 100 TB corpus.
+    // memory per group at any scale. capacity = CapacityPins.TopKCap ≥ the
+    // distinct users per type at every LOCAL SF including the sf1/sf3/sf10
+    // probes (45,000 users/type at sf3; 1024 silently left the exact
+    // regime at sf0.1 in r5, 16384 at sf3 in r10 — now pinned permanently
+    // by graft.CapacityPins / CapacityRegimeSpec, sharing the constant
+    // with every call site), so space-saving is EXACT and the oracle can
+    // pin the result while the same plan caps memory on a 100 TB corpus.
     // Ties break by (count desc, value asc) — binary string order, both
     // engines. Output is the rank-ordered list joined with "," (the
     // group_array pattern): scalar strings hash identically in every
@@ -566,7 +567,7 @@ object Relational {
       tbl(s, dir, "events")
         .groupBy("event_type")
         .agg(concat_ws(",", call_function("topk_approx",
-          col("user_id").cast(StringType), lit(5), lit(16384))).as("top_users"))
+          col("user_id").cast(StringType), lit(5), lit(CapacityPins.TopKCap))).as("top_users"))
         .orderBy("event_type")
     },
 
@@ -595,11 +596,11 @@ object Relational {
       val cells = tbl(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(call_function("topk_state",
-          col("user_id").cast(StringType), lit(16384)).as("st"))
+          col("user_id").cast(StringType), lit(CapacityPins.TopKCap)).as("st"))
       cells
         .groupBy("event_type")
         .agg(concat_ws(",", call_function("topk_merge",
-          col("st"), lit(5), lit(16384))).as("top_users"))
+          col("st"), lit(5), lit(CapacityPins.TopKCap))).as("top_users"))
         .orderBy("event_type")
     },
 
@@ -650,7 +651,7 @@ object Relational {
       tbl(s, dir, "events")
         .groupBy("event_type")
         .agg(element_at(call_function("topk_approx",
-          col("user_id").cast(StringType), lit(1), lit(16384)), 1)
+          col("user_id").cast(StringType), lit(1), lit(CapacityPins.TopKCap)), 1)
           .as("heavy_user"))
         .orderBy("event_type")
     },
@@ -744,7 +745,7 @@ object Relational {
         .groupBy("event_type")
         .agg(concat_ws(",", call_function("topk_weighted",
           col("user_id").cast(StringType), floor(col("value")).cast(LongType),
-          lit(5), lit(16384))).as("top_users"))
+          lit(5), lit(CapacityPins.TopKCap))).as("top_users"))
         .orderBy("event_type")
     },
 

@@ -163,7 +163,8 @@ object StreamOps {
     * oracle pins that regime at test SF; beyond it space-saving's
     * guarantee-aware merge bounds apply).
     */
-  def windowedTopK(events: DataFrame, k: Int = 3, capacity: Int = 8192): DataFrame = {
+  def windowedTopK(events: DataFrame, k: Int = 3,
+      capacity: Int = graft.CapacityPins.StreamTopKCap): DataFrame = {
     graft.functions.GraftFunctions.register(events.sparkSession)
     val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
     src
@@ -182,7 +183,8 @@ object StreamOps {
     * in-query partial wire format, so the offline merge is bit-identical
     * to having aggregated the raw events in one pass (exact regime).
     */
-  def windowedTopKState(events: DataFrame, capacity: Int = 8192): DataFrame = {
+  def windowedTopKState(events: DataFrame,
+      capacity: Int = graft.CapacityPins.StreamTopKCap): DataFrame = {
     graft.functions.GraftFunctions.register(events.sparkSession)
     val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
     src
