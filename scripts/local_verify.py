@@ -80,9 +80,10 @@ def main(sf_dir, out_dir):
     # Names are validated against the oracle keys: a typo must be a loud
     # error, never a silent 0-query "0 fail" green.
     only = skip = None
+    bigcmp = set()
     argv = sys.argv[3:]
     while argv:
-        if argv[0] not in ("--only", "--skip"):
+        if argv[0] not in ("--only", "--skip", "--bigcmp"):
             sys.exit(f"unknown argument: {argv[0]}")
         if len(argv) < 2:
             sys.exit(f"{argv[0]} needs a comma-separated query list")
@@ -92,8 +93,10 @@ def main(sf_dir, out_dir):
             sys.exit(f"{argv[0]}: unknown queries {sorted(unknown)}")
         if argv[0] == "--only":
             only = names
-        else:
+        elif argv[0] == "--skip":
             skip = names
+        else:
+            bigcmp = names
         argv = argv[2:]
     n_pass = n_fail = 0
     for name in sorted(oracle):
@@ -105,6 +108,43 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
+            continue
+        if name in bigcmp:
+            # DuckDB-side set-equality for outputs too large for the
+            # Python row-sort path (e.g. dedup_embedding's 180M pair rows
+            # at sf3): column names + row count + bidirectional EXCEPT ALL
+            # (hash-based, spillable). Value comparison is BITWISE — a
+            # stricter check than norm_cell's 10-sig-fig rendering, which
+            # the bank's §5 exact-accumulation discipline is built to pass.
+            try:
+                got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+                exp_rel = con.sql(oracle[name])
+                g_cols, e_cols = sorted(got_rel.columns), sorted(exp_rel.columns)
+                if g_cols != e_cols:
+                    print(f"FAIL {name}: cols {g_cols} != {e_cols}")
+                    n_fail += 1
+                    continue
+                cols = ", ".join(f'"{c}"' for c in g_cols)
+                con.execute(f"CREATE OR REPLACE TEMP VIEW bq_got AS "
+                            f"SELECT {cols} FROM read_parquet({files!r})")
+                con.execute(f"CREATE OR REPLACE TEMP VIEW bq_exp AS "
+                            f"SELECT {cols} FROM ({oracle[name]})")
+                ng = con.execute("SELECT count(*) FROM bq_got").fetchone()[0]
+                ne = con.execute("SELECT count(*) FROM bq_exp").fetchone()[0]
+                nd = con.execute(
+                    "SELECT count(*) FROM ((SELECT * FROM bq_got EXCEPT ALL "
+                    "SELECT * FROM bq_exp) UNION ALL (SELECT * FROM bq_exp "
+                    "EXCEPT ALL SELECT * FROM bq_got))").fetchone()[0]
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: {str(e)[:200]}")
+                n_fail += 1
+                continue
+            if ng != ne or nd != 0:
+                print(f"FAIL {name}: rows {ng} vs {ne}, symmetric diff {nd}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({ng} rows, bitwise set-equal)")
+                n_pass += 1
             continue
         try:
             got_cols, got_dt, got = frame(
