@@ -122,13 +122,25 @@ object MediaCodec {
     MediaAsset(docId, bos.toByteArray)
   }
 
-  private def reader(payload: Array[Byte]): javax.imageio.ImageReader = {
+  // In-memory ImageIO streams ONLY: the JDK default (useCache=true) backs
+  // every ImageInputStream with a TEMP FILE, and reader.dispose() does not
+  // close the stream — one leaked file descriptor per decode. Invisible at
+  // sf0.1 (5k docs), fatal at the sf3 full gate (150k docs > the 20k FD
+  // limit, EMFILE-poisoning every later query in the process). Byte-array
+  // payloads never need a disk cache; the stream is also now closed
+  // explicitly for symmetry.
+  ImageIO.setUseCache(false)
+
+  private def withReader[T](payload: Array[Byte])(
+      f: javax.imageio.ImageReader => T): T = {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
-    val rs = ImageIO.getImageReaders(iis)
-    require(rs.hasNext, "no ImageIO reader recognizes the payload")
-    val r = rs.next()
-    r.setInput(iis)
-    r
+    try {
+      val rs = ImageIO.getImageReaders(iis)
+      require(rs.hasNext, "no ImageIO reader recognizes the payload")
+      val r = rs.next()
+      r.setInput(iis)
+      try f(r) finally r.dispose()
+    } finally iis.close()
   }
 
   /** REAL container decode: format name, dimensions and frame count come
@@ -136,18 +148,14 @@ object MediaCodec {
     * header-only read, no pixel decode (the cheap metadata pass a curation
     * pipeline runs corpus-wide before deciding what to fully decode).
     */
-  def decode(a: MediaAsset): MediaMeta = {
-    val r = reader(a.payload)
-    try MediaMeta(a.doc_id, r.getFormatName.toLowerCase, r.getWidth(0),
+  def decode(a: MediaAsset): MediaMeta = withReader(a.payload) { r =>
+    MediaMeta(a.doc_id, r.getFormatName.toLowerCase, r.getWidth(0),
       r.getHeight(0), r.getNumImages(true))
-    finally r.dispose()
   }
 
   /** Full frame-0 pixel decode through the real ImageIO decoder. */
-  def decodeImage(a: MediaAsset): BufferedImage = {
-    val r = reader(a.payload)
-    try r.read(0) finally r.dispose()
-  }
+  def decodeImage(a: MediaAsset): BufferedImage =
+    withReader(a.payload)(_.read(0))
 
   /** Feature extraction over REAL decoded pixels: the first 8 luma samples
     * normalized to [0,1]. A real vision encoder replaces the projection,
