@@ -25,8 +25,11 @@ def read(con, pattern):
 
 def components(pairs):
     """Min-root union-find: component id = min node id, like the engine's
-    min-label propagation."""
+    min-label propagation. Single pass over `pairs` (may be a generator —
+    the sf3 embedding pair set is 180M rows, streamed in chunks rather
+    than materialized as Python tuples)."""
     parent = {}
+    seen = set()
 
     def find(x):
         r = x
@@ -37,11 +40,24 @@ def components(pairs):
         return r
 
     for a, b in pairs:
+        seen.add(a)
+        seen.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    nodes = sorted({n for p in pairs for n in p})
-    return {n: find(n) for n in nodes}
+    return {n: find(n) for n in sorted(seen)}
+
+
+def stream_pairs(con, pattern, cols):
+    """Yield (a, b) int pairs from parquet without materializing the whole
+    set in Python memory (chunked Arrow record batches)."""
+    rel = con.execute(
+        f"SELECT {cols[0]}, {cols[1]} FROM read_parquet({glob.glob(pattern)!r})")
+    reader = rel.fetch_record_batch(5_000_000)
+    for batch in reader:
+        a = batch.column(0).to_pylist()
+        b = batch.column(1).to_pylist()
+        yield from zip(a, b)
 
 
 def main(sf_dir, out_dir):
@@ -107,9 +123,9 @@ def main(sf_dir, out_dir):
     print(f"PASS pipeline_filter ({len(exp_keep)} rows)")
 
     # 4. semdedup: union-find over the VERIFIED embedding pair set
-    emb_pairs = [(a, b) for a, b, _ in read(
-        con, f"{out_dir}/dedup_embedding/*.parquet")]
-    ecomp = components(emb_pairs)
+    # (streamed: 180M pairs at sf3 must not become Python tuples)
+    ecomp = components(stream_pairs(
+        con, f"{out_dir}/dedup_embedding/*.parquet", ("vec_a", "vec_b")))
     dropped = {n for n, c in ecomp.items() if n != c}
     emb_dir = f"{sf_dir}/embeddings.parquet"
     emb_glob = (f"{emb_dir}/*.parquet"
