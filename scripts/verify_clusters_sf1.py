@@ -123,7 +123,13 @@ def main(sf_dir, out_dir):
     print(f"PASS pipeline_filter ({len(exp_keep)} rows)")
 
     # 4. semdedup: union-find over the VERIFIED embedding pair set
-    # (streamed: 180M pairs at sf3 must not become Python tuples)
+    # (streamed: 180M pairs at sf3 must not become Python tuples).
+    # Leg runs only when dedup_embedding output exists — the sf10 probe
+    # skips both (the pair set is ~2B rows there, Θ(output) by semantics;
+    # characterized at sf3 instead).
+    if not glob.glob(f"{out_dir}/dedup_embedding/*.parquet"):
+        print("SKIP semdedup (no dedup_embedding output in this run)")
+        return
     ecomp = components(stream_pairs(
         con, f"{out_dir}/dedup_embedding/*.parquet", ("vec_a", "vec_b")))
     dropped = {n for n, c in ecomp.items() if n != c}

@@ -46,16 +46,29 @@ object Bench {
     // (spearman_corr 29.6 s cold vs 1.41 s warm: a pure measurement
     // artifact the driver-visible record must not carry as a regression)
     val warmupQuery = !sys.env.get("SPARK_GRAFT_WARMUP_QUERY").contains("0")
+    // How a query is forced. DEFAULT "noop": write to Spark's built-in no-op
+    // data source, which materializes EVERY output column of the exact plan
+    // under test. The previous forcing call, .count(), lets Catalyst prune
+    // any operator that doesn't change cardinality — a window-only query
+    // (scan → window → project → sort) collapses to a scan count, so e.g.
+    // window_running "ran" in 0.15 s at sf10 while computing no window at
+    // all (caught by the r10 sf10 probe: 60M-row ops timing flat). Same
+    // measurement-integrity class as the r8 min-of-2 fix; see SURVEY §7 r10.
+    val forceMode = sys.env.getOrElse("SPARK_GRAFT_FORCE", "noop")
+    def force(df: org.apache.spark.sql.DataFrame): Unit = forceMode match {
+      case "count" => df.count(): Unit
+      case _       => df.write.mode("overwrite").format("noop").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       if (warmupQuery) {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { force(fn(spark, sfDir)) } catch {
           case e: Throwable =>
             errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}"
         }
