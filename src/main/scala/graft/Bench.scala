@@ -77,6 +77,15 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
+      // Shuffle files are reclaimed only when the ContextCleaner GCs the
+      // shuffle dependencies; in a sequential single-JVM sweep nothing
+      // prompts that GC, so heavy-shuffle queries ACCUMULATE tens of GB in
+      // spark.local.dir until the JVM exits (the r10 sf10 probe filled the
+      // disk mid-batch this way — 47 GB of dead shuffle from completed
+      // queries). An explicit GC after each query lets the cleaner drop
+      // them; outside the timed region, so it costs sweep time, not
+      // query time.
+      System.gc()
       name -> times.min
     }
     def qJson(rs: Seq[(String, Double)]) =

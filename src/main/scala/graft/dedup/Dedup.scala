@@ -949,32 +949,66 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
-  /** Candidate near-dup pairs from COLD shingles — document frequency
-    * ≤ `dfCap` within the (lang, source) block — with the size-ratio
-    * prefilter (min/max ≥ τ, a necessary condition for Jaccard ≥ τ).
-    * Output: distinct (doc_a, doc_b, n_a, n_b); n_* are the FULL shingle-set
-    * sizes, so the downstream verify computes exact Jaccard. The df window
-    * partitions on the same key as the pair join, so the guard rides the
-    * join's own shuffle.
+  /** Prefix-filtered candidate pairs (AllPairs/PPJoin family — Bayardo et
+    * al. WWW'07, Chaudhuri et al. ICDE'06; both public). Under a global
+    * token order (block df ascending, then h — rarest first), a pair whose
+    * shared-shingle count is ≥ ceil(τ·n) for a side of size n MUST share a
+    * token inside that side's first ℓ(n) = n − ceil(τ·n) + 1 tokens: the
+    * suffix holds only ceil(τ·n) − 1 < overlap tokens, so it cannot contain
+    * them all. Jaccard ≥ τ implies overlap ≥ ceil(τ·n) on EACH side
+    * (i(1+τ) ≥ τ(n_a+n_b) and i ≤ n_b give i ≥ τ·n_a), and containment
+    * ≥ τ implies it on the SMALLER side — so joining FULL postings against
+    * PREFIX postings of the size-smaller side finds every qualifying pair
+    * EXACTLY. This replaces the r1-r9 df-capped block self-join, whose
+    * Σ_blocks C(df,2) candidate volume is quadratic inside seeded near-dup
+    * families (measured 1.5M → 13.2M → ~144M raw pair rows at sf1 → sf3 →
+    * sf10 while true output stays ~10 rows; at sf10 the downstream verify
+    * filled a 75 GB disk). Prefix postings hold each doc's RAREST shingles,
+    * so unrelated docs stop colliding — and there is NO df-cap recall loss:
+    * the output is the complete pair set, strictly better than the capped
+    * semantics it replaces.
+    *
+    * τ is an exact integer fraction num/den: ℓ = n − (num·n + den − 1)
+    * div den + 1 keeps both engines in integer arithmetic (a float ceil of
+    * 0.7·n sits on a representability boundary). `sizeRatioTau > 0` adds
+    * the Jaccard size-ratio prefilter (min/max ≥ τ, a necessary condition
+    * for Jaccard ≥ τ — WRONG for containment, pass 0 there). Output:
+    * distinct (doc_a, doc_b) by id order.
     */
-  private[graft] def ngramCandidates(e: DataFrame, tau: Double,
-      dfCap: Int): DataFrame = {
+  private[graft] def prefixCandidates(e: DataFrame, tauNum: Int, tauDen: Int,
+      sizeRatioTau: Double): DataFrame = {
     val n = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cold = e.withColumn("_df",
-        count(lit(1)).over(Window.partitionBy("lang", "source", "h")))
-      .filter(col("_df") <= dfCap).drop("_df")
-    val ca = cold.join(n, "doc_id")
-      .select(col("lang"), col("source"), col("h"),
-        col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val cb = ca.select(col("lang"), col("source"), col("h"),
-      col("doc_a").as("doc_b"), col("n_a").as("n_b"))
-    ca.join(cb, Seq("lang", "source", "h"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("n_a"), col("n_b")).cast(DoubleType)
-          / greatest(col("n_a"), col("n_b")) >= tau)
-      .select("doc_a", "doc_b", "n_a", "n_b")
+    val d = e.join(n, "doc_id").withColumn("df",
+      count(lit(1)).over(Window.partitionBy("lang", "source", "h")))
+    val p = d.withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .filter(expr(s"rnk <= n - ($tauNum * n + ${tauDen - 1}) DIV $tauDen + 1"))
+    val a = d.select(col("lang"), col("source"), col("h"),
+      col("doc_id").as("id_a"), col("n").as("na"))
+    val b = p.select(col("lang"), col("source"), col("h"),
+      col("doc_id").as("id_b"), col("n").as("nb"))
+    val j = a.join(b, Seq("lang", "source", "h"))
+      .filter(col("nb") < col("na") ||
+        (col("nb") === col("na") && col("id_b") < col("id_a")))
+    val sized =
+      if (sizeRatioTau > 0)
+        j.filter(least(col("na"), col("nb")).cast(DoubleType)
+          / greatest(col("na"), col("nb")) >= sizeRatioTau)
+      else j
+    sized.select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
       .distinct()
   }
+
+  /** Per-doc shingle sets as compact arrays (doc_id, n, sh): the verify
+    * joins candidates to TWO array columns and intersects in one codegen'd
+    * `array_intersect`, instead of multiplying each candidate pair by its
+    * exploded shingle rows (|cand| × shingles/doc join rows — the shape
+    * that amplified the old candidate blowup into a disk-filling shuffle).
+    */
+  private def shingleSets(e: DataFrame): DataFrame =
+    e.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      collect_list(col("h")).as("sh"))
 
   /** MinHash-LSH candidate pairs over shingle rows (`doc_id`, `h`): one-pass
     * 16-permutation signature ([[graft.functions.MinHashAgg]] — beats 16
