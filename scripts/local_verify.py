@@ -119,6 +119,22 @@ def main(sf_dir, out_dir):
             try:
                 got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
                 exp_rel = con.sql(oracle[name])
+                # same type guards as frame(): a bigcmp-listed query must
+                # never pass locally with decimal128 or array columns that
+                # the driver comparator would reject
+                for rel in (got_rel, exp_rel):
+                    for c, t in zip(rel.columns, rel.types):
+                        ts = str(t).upper()
+                        if "DECIMAL" in ts:
+                            raise TypeError(
+                                f"column {c!r} is decimal-typed ({t}) — "
+                                "driver renders decimal128 differently; "
+                                "cast to DOUBLE at the output boundary")
+                        if ts.endswith("[]") or ts.startswith(
+                                ("STRUCT", "MAP", "LIST", "UNION")):
+                            raise TypeError(
+                                f"column {c!r} is nested-typed ({t}) — "
+                                "driver-incomparable; emit scalar columns")
                 g_cols, e_cols = sorted(got_rel.columns), sorted(exp_rel.columns)
                 if g_cols != e_cols:
                     print(f"FAIL {name}: cols {g_cols} != {e_cols}")

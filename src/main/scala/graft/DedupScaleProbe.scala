@@ -3,15 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Shingle block-join volume probe: prints, for one SF dir, the quantities
+/** Shingle candidate-volume probe: prints, for one SF dir, the quantities
   * that decide whether the n-gram candidate joins survive a scale-up —
-  * total shingle rows, rows surviving the df cap, the RAW pair multiset the
-  * block self-join emits (Σ C(df,2) over kept blocks — what actually hits
-  * the shuffle), and the DISTINCT candidate count at tau=0 (containment)
-  * vs tau=0.5 (Jaccard size-ratio prefilter).
+  * total shingle rows, the RAW pair multiset an uncapped block self-join
+  * WOULD emit (Σ C(df,2) over blocks — the r1-r9 algorithm's shuffle
+  * volume, quadratic inside near-dup families), and the DISTINCT candidate
+  * count the AllPairs prefix filter actually produces at τ=0.5 (Jaccard,
+  * with size-ratio prefilter) and τ=0.7 (containment, without).
   *
-  * Built while diagnosing the r10 sf10 probe: dedup_containment filled a
-  * 75 GB disk with shuffle at sf10 (500k docs) while costing 3 s at sf3.
+  * Built while diagnosing the r10 sf10 probe: dedup_containment's block
+  * self-join filled a 75 GB disk with shuffle at sf10 (500k docs) while
+  * costing 3 s at sf3. The prefix filter replaced it in r11; this probe
+  * now reports both volumes so future scale-ups can compare.
   * Usage: sbt "runMain graft.DedupScaleProbe <sfDir>"
   */
 object DedupScaleProbe {
@@ -30,23 +33,24 @@ object DedupScaleProbe {
     val e = dedup.Dedup.shingleRowsOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = e.count()
-    val cap = dedup.Dedup.ngramDfCap(spark)
     val blocks = e.groupBy("lang", "source", "h").agg(count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = blocks.filter(col("df") <= cap)
-    val keptRows = kept.agg(sum("df")).head.getLong(0)
-    val rawPairs = kept.agg(sum(col("df") * (col("df") - 1))).head.getLong(0) / 2
-    val nBlocks = blocks.count()
-    val hotBlocks = blocks.filter(col("df") > cap).count()
+    val agg = blocks.agg(
+      count(lit(1)).as("n_blocks"),
+      sum(col("df") * (col("df") - 1)).as("raw2")).head
+    val nBlocks = agg.getLong(0)
+    val rawPairs = agg.getLong(1) / 2
     println(s"[probe] $sfDir: shingle_rows=$total blocks=$nBlocks " +
-      s"hot_blocks=$hotBlocks kept_rows=$keptRows raw_pair_rows=$rawPairs")
-    for (tau <- Seq(0.5, 0.0)) {
+      s"uncapped_selfjoin_pair_rows=$rawPairs")
+    val regimes = Seq(
+      ("jaccard tau=0.5", 1, 2, 0.5),
+      ("containment tau=0.7", 7, 10, 0.0))
+    for ((name, num, den, sizeTau) <- regimes) {
       val t0 = System.nanoTime()
-      val nCand = dedup.Dedup.ngramCandidates(e, tau, cap).count()
+      val nCand = dedup.Dedup.prefixCandidates(e, num, den, sizeTau).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] tau=$tau%.1f distinct_cand=$nCand ($dt%.1f s)")
+      println(f"[probe] prefix $name distinct_cand=$nCand ($dt%.1f s)")
     }
-    blocks.unpersist(); e.unpersist()
+    e.unpersist()
     spark.stop()
   }
 }

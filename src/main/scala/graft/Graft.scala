@@ -114,9 +114,10 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def serveMetrics(addr: String = "localhost:9102"): streaming.MetricsHttpServer =
     streaming.MetricsHttpServer.start(addr)
 
-  // ---- dedup (over the `documents` table; caps conf- or param-tunable) --
-  def nearDupNgram(tau: Double = 0.5, dfCap: Int = 0): DataFrame =
-    dedup.Dedup.ngramJaccardPairs(table("documents"), tau, dfCap)
+  // ---- dedup (over the `documents` table; LSH caps conf-tunable; the
+  // n-gram path is exact-complete via the AllPairs prefix filter) --------
+  def nearDupNgram(tau: Double = 0.5): DataFrame =
+    dedup.Dedup.ngramJaccardPairs(table("documents"), tau)
 
   def nearDupMinhash(tau: Double = 0.35, bucketCap: Int = 0): DataFrame =
     dedup.Dedup.minhashLshPairs(table("documents"), tau, bucketCap)

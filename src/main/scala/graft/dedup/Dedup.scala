@@ -113,33 +113,30 @@ object Dedup {
 
   private def sqlLongList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
-  /** Hot-key guards for the pairwise joins. A shingle shared by d docs in
-    * one block — or d near-identical docs landing in one LSH/simhash band
-    * bucket — emits d² join rows before any filter; AQE splits the shuffle
-    * but not the cartesian-within-key blowup. Web corpora make this real:
-    * boilerplate 3-grams and template pages concentrate millions of docs on
-    * a handful of keys. The guard drops keys above a document-frequency /
-    * bucket-size cap from CANDIDATE GENERATION ONLY — verification always
-    * uses the full shingle sets, so reported similarities are exact; a true
-    * near-dup pair sharing only hot keys is the residual recall cost (run
-    * `dedup_exact` upstream so identical docs never reach the near-dup
-    * pass). Both caps are mirrored in the DuckDB oracles via QUALIFY.
+  /** Hot-BUCKET guard for the LSH/simhash band joins: d near-identical
+    * docs landing in one band bucket emit d² join rows before any filter;
+    * AQE splits the shuffle but not the cartesian-within-key blowup. The
+    * guard drops buckets above this size from CANDIDATE GENERATION ONLY —
+    * verification always uses the full shingle sets, so reported
+    * similarities are exact; a true near-dup pair sharing only hot buckets
+    * is the residual recall cost (run `dedup_exact` upstream so identical
+    * docs never reach the near-dup pass). Mirrored in the DuckDB oracles
+    * via QUALIFY. (The n-gram family needs NO such cap since r11: its
+    * candidates come from the exact, complete AllPairs prefix filter —
+    * [[prefixCandidates]].)
     */
-  val NgramDfCap = 256
   val LshBucketCap = 512
 
-  /** Per-run knobs for the hot-key caps: `spark.graft.dedup.ngramDfCap` /
-    * `spark.graft.dedup.lshBucketCap` override the compile-time defaults at
-    * runtime (production corpora need tuning; the defaults keep DuckDB
-    * oracle hash-parity, whose SQL interpolates the constants).
+  /** Per-run knob for the hot-bucket cap: `spark.graft.dedup.lshBucketCap`
+    * overrides the compile-time default at runtime (production corpora need
+    * tuning; the default keeps DuckDB oracle hash-parity, whose SQL
+    * interpolates the constant).
     */
-  val NgramDfCapKey = "spark.graft.dedup.ngramDfCap"
   val LshBucketCapKey = "spark.graft.dedup.lshBucketCap"
 
   private def capFromConf(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.toInt).getOrElse(default)
 
-  def ngramDfCap(s: SparkSession): Int = capFromConf(s, NgramDfCapKey, NgramDfCap)
   def lshBucketCap(s: SparkSession): Int = capFromConf(s, LshBucketCapKey, LshBucketCap)
 
   // Every LAZY persist this module hands out (shingle/gram scans feeding two
@@ -176,12 +173,11 @@ object Dedup {
   }
 
   /** PUBLIC n-gram near-dup operator over any (doc_id, lang, source, text)
-    * frame, hot-key cap tunable per call (≤ 0 → resolve from
-    * [[NgramDfCapKey]] conf, else the default).
+    * frame. Candidates come from the exact AllPairs prefix filter
+    * ([[prefixCandidates]]) — the complete pair set, no df-cap, no recall
+    * loss — then every pair is verified at exact Jaccard ≥ τ.
     */
-  def ngramJaccardPairs(docsDf: DataFrame, tau: Double = 0.5,
-      dfCap: Int = 0): DataFrame = {
-    val cap = if (dfCap > 0) dfCap else ngramDfCap(docsDf.sparkSession)
+  def ngramJaccardPairs(docsDf: DataFrame, tau: Double = 0.5): DataFrame = {
     // persist justification: the shingle rows feed candidate generation AND
     // the exact verify inside the ONE action the caller runs; the result
     // stays lazy (callers push filters / choose the action), so the cache
@@ -190,7 +186,10 @@ object Dedup {
     // queries. Eagerly-freeing here would force the query at build time.
     val e = trackCache(shingleRowsOf(docsDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    verifyJaccard(ngramCandidates(e, tau, cap), e.select("doc_id", "h"), tau)
+    // floor(τ·1000)/1000 ≤ τ: a rational threshold at-or-below the real τ
+    // only LENGTHENS prefixes (still complete); verify filters at exact τ.
+    verifyJaccard(prefixCandidates(e, math.floor(tau * 1000).toInt, 1000, tau),
+      e.select("doc_id", "h"), tau)
   }
 
   /** PUBLIC MinHash-LSH near-dup operator over any (doc_id, text) frame,
@@ -259,22 +258,23 @@ object Dedup {
     },
 
     // ---- #30 n-gram Jaccard near-dup pairs within (lang, source) blocks --
-    // Candidate pairs materialize only for docs sharing a COLD shingle
-    // (document frequency ≤ NgramDfCap) in the same (lang, source) block —
-    // the df-cap bounds the per-key blowup at cap² however hot a boilerplate
-    // 3-gram gets. A size-ratio prefilter (min/max ≥ τ, necessary for
-    // Jaccard ≥ τ) kills most candidates, then the verify re-joins the FULL
-    // shingle rows (hot ones included) so jaccard is exact. τ = 0.5.
+    // Spark side: exact AllPairs prefix filter ([[prefixCandidates]]) — the
+    // COMPLETE candidate set (every pair with Jaccard ≥ τ is generated, no
+    // df-cap, no recall loss), but hot boilerplate shingles stop colliding
+    // because only each doc's RAREST ℓ(n) shingles join against full
+    // postings. The oracle states the SEMANTICS, not the algorithm: an
+    // uncapped block self-join over all shared shingles (fine at oracle SF;
+    // the prefix filter provably emits the same final pair set). A
+    // size-ratio prefilter (min/max ≥ τ, necessary for Jaccard ≥ τ) kills
+    // most candidates, then the verify re-joins the FULL shingle rows so
+    // jaccard is exact. τ = 0.5.
     "dedup_ngram_jaccard" -> OpDef(
       s"""WITH t AS (
          |  SELECT doc_id, lang, source,
          |    list_transform($shinglesSql, g -> ${h32Sql("g")}) AS sh
          |  FROM documents),
-         |e0 AS (
-         |  SELECT doc_id, lang, source, unnest(sh) AS h FROM t),
          |e AS (
-         |  SELECT * FROM e0
-         |  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, h) <= $NgramDfCap),
+         |  SELECT doc_id, lang, source, unnest(sh) AS h FROM t),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM e a JOIN e b
@@ -296,24 +296,24 @@ object Dedup {
     ) { (s, dir) => ngramJaccardPairs(docs(s, dir), tau = 0.5) },
 
     // ---- #147 directional shingle containment (boilerplate inclusion) ----
-    // C = |A∩B| / min(|A|,|B|) ≥ 0.7 over the same blocked candidates as
-    // #30 but WITHOUT the size-ratio prefilter: containment is asymmetric
-    // — a small doc wholly inside a big one has low Jaccard AND a low
-    // size ratio, so #30 structurally cannot see it. This is the
-    // template/quotation/inclusion detector curation pipelines run next
-    // to near-dup. Same df-capped block join (never O(n²)); the verify
-    // re-joins full shingle rows; one exact-integer divide + direction
-    // flag.
+    // C = |A∩B| / min(|A|,|B|) ≥ 0.7 over the same blocks as #30 but
+    // WITHOUT the size-ratio prefilter: containment is asymmetric — a
+    // small doc wholly inside a big one has low Jaccard AND a low size
+    // ratio, so #30 structurally cannot see it. This is the
+    // template/quotation/inclusion detector curation pipelines run next to
+    // near-dup. Spark candidates come from the exact prefix filter at
+    // τ = 7/10 (containment ≥ 0.7 forces overlap ≥ ceil(0.7·n_min), so the
+    // smaller side's prefix must collide — complete, never O(n²)); the
+    // oracle states the semantics as an uncapped block self-join. The
+    // verify re-joins full shingle rows; one exact-integer divide +
+    // direction flag.
     "dedup_containment" -> OpDef(
       s"""WITH t AS (
          |  SELECT doc_id, lang, source,
          |    list_transform($shinglesSql, g -> ${h32Sql("g")}) AS sh
          |  FROM documents),
-         |e0 AS (
-         |  SELECT doc_id, lang, source, unnest(sh) AS h FROM t),
          |e AS (
-         |  SELECT * FROM e0
-         |  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, h) <= $NgramDfCap),
+         |  SELECT doc_id, lang, source, unnest(sh) AS h FROM t),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM e a JOIN e b
@@ -334,9 +334,10 @@ object Dedup {
     ) { (s, dir) =>
       val e = trackCache(shingleRowsOf(docs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // tau = 0 disables the size-ratio prefilter (necessary for Jaccard,
-      // WRONG for containment); the df cap still bounds the block join
-      val cand = ngramCandidates(e, tau = 0.0, ngramDfCap(s))
+      // sizeRatioTau = 0 disables the Jaccard size-ratio prefilter
+      // (necessary for Jaccard, WRONG for containment); the prefix length
+      // uses τ = 7/10 exactly — integer math, no float ceil.
+      val cand = prefixCandidates(e, 7, 10, sizeRatioTau = 0.0)
       val eh = e.select("doc_id", "h")
       cand
         .join(eh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
@@ -973,7 +974,7 @@ object Dedup {
     * 0.7·n sits on a representability boundary). `sizeRatioTau > 0` adds
     * the Jaccard size-ratio prefilter (min/max ≥ τ, a necessary condition
     * for Jaccard ≥ τ — WRONG for containment, pass 0 there). Output:
-    * distinct (doc_a, doc_b) by id order.
+    * distinct (doc_a, doc_b, n_a, n_b) by id order, sizes aligned.
     */
   private[graft] def prefixCandidates(e: DataFrame, tauNum: Int, tauDen: Int,
       sizeRatioTau: Double): DataFrame = {
@@ -995,20 +996,16 @@ object Dedup {
         j.filter(least(col("na"), col("nb")).cast(DoubleType)
           / greatest(col("na"), col("nb")) >= sizeRatioTau)
       else j
-    sized.select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"))
+    // carry both set sizes, aligned to the id-ordered pair, so the exact
+    // verify ([[verifyJaccard]], containment) never re-derives them
+    val aFirst = col("id_a") < col("id_b")
+    sized.select(
+        when(aFirst, col("id_a")).otherwise(col("id_b")).as("doc_a"),
+        when(aFirst, col("id_b")).otherwise(col("id_a")).as("doc_b"),
+        when(aFirst, col("na")).otherwise(col("nb")).as("n_a"),
+        when(aFirst, col("nb")).otherwise(col("na")).as("n_b"))
       .distinct()
   }
-
-  /** Per-doc shingle sets as compact arrays (doc_id, n, sh): the verify
-    * joins candidates to TWO array columns and intersects in one codegen'd
-    * `array_intersect`, instead of multiplying each candidate pair by its
-    * exploded shingle rows (|cand| × shingles/doc join rows — the shape
-    * that amplified the old candidate blowup into a disk-filling shuffle).
-    */
-  private def shingleSets(e: DataFrame): DataFrame =
-    e.groupBy("doc_id").agg(count(lit(1)).as("n"),
-      collect_list(col("h")).as("sh"))
 
   /** MinHash-LSH candidate pairs over shingle rows (`doc_id`, `h`): one-pass
     * 16-permutation signature ([[graft.functions.MinHashAgg]] — beats 16

@@ -50,20 +50,91 @@ class DedupSpec extends SparkSpecBase {
     assert(fast.nonEmpty && fast == dist)
   }
 
-  test("df-cap drops a hot shingle from ngram candidate generation") {
+  test("prefix filter prunes hot-boilerplate non-dups without any df cap") {
     import spark.implicits._
     // 40 docs share ONE boilerplate 3-gram ("hot hot hot"); all other
-    // shingles are doc-unique. Uncapped, the hot shingle alone emits the
-    // full 40·39/2 pair blowup; with df-cap 8 it is excluded and no
-    // candidates survive.
+    // shingles are doc-unique, so every pairwise Jaccard is 1/9 < 0.5. An
+    // uncapped block self-join would emit the full 40·39/2 pair blowup on
+    // the hot shingle alone; the prefix filter emits ZERO candidates —
+    // each doc's τ=0.5 prefix (its 3 rarest of 5 shingles) holds only
+    // doc-unique shingles, so nothing collides. Same shuffle-safety the
+    // old df-cap bought, with no recall loss to buy it.
     val docsDf = (1L to 40L).map { i =>
       (i, "en", "web", s"hot hot hot u$i v$i w$i x$i")
     }.toDF("doc_id", "lang", "source", "text")
     val e = graft.dedup.Dedup.shingleRowsOf(docsDf)
-    val uncapped = graft.dedup.Dedup.ngramCandidates(e, tau = 0.0, dfCap = Int.MaxValue)
-    val capped = graft.dedup.Dedup.ngramCandidates(e, tau = 0.0, dfCap = 8)
-    assert(uncapped.count() == 40L * 39 / 2)
-    assert(capped.count() == 0)
+    assert(graft.dedup.Dedup.prefixCandidates(e, 1, 2, 0.5).count() == 0)
+    // tau=0 → prefix is the whole set → complete uncapped pair generation
+    assert(graft.dedup.Dedup.prefixCandidates(e, 0, 1, 0.0).count()
+      == 40L * 39 / 2)
+  }
+
+  test("prefix filter recalls near-dup families the old df-cap lost") {
+    import spark.implicits._
+    // 40 near-identical docs: 3 shared shingles (df=40 each) + 1 unique.
+    // Pairwise Jaccard = 3/5 = 0.6 ≥ 0.5, but every SHARED shingle is
+    // hotter than the old df-cap of 8 — the r1-r9 capped candidate
+    // generation found 0 of these pairs. The prefix filter (prefix length
+    // ℓ = 4 − 2 + 1 = 3 reaches into the shared shingles) finds all 780.
+    val docsDf = (1L to 40L).map { i =>
+      (i, "en", "web", s"t1 t2 t3 t4 t5 u$i")
+    }.toDF("doc_id", "lang", "source", "text")
+    val e = graft.dedup.Dedup.shingleRowsOf(docsDf)
+    assert(graft.dedup.Dedup.prefixCandidates(e, 1, 2, 0.5).count()
+      == 40L * 39 / 2)
+    val verified = graft.dedup.Dedup.ngramJaccardPairs(docsDf, tau = 0.5)
+    assert(verified.count() == 40L * 39 / 2)
+    assert(verified.collect().forall(_.getDouble(2) == 0.6))
+  }
+
+  test("prefix candidates are complete vs brute force, sizes correct") {
+    import spark.implicits._
+    // mixed fixture: two near-dup families, boilerplate hot shingles,
+    // singletons, a cross-block twin (must NOT pair), varied sizes
+    val docsDf = (Seq(
+      (1L, "en", "web", "a b c d e f g h"),
+      (2L, "en", "web", "a b c d e f g z"),
+      (3L, "en", "web", "a b c d e f g h i j k l m n o p"), // superset of 1
+      (4L, "en", "web", "q r s t u v w x"),
+      (5L, "en", "web", "q r s t u v w y"),
+      (6L, "en", "news", "a b c d e f g h"), // other block: never pairs w/ 1
+      (7L, "en", "web", "completely different text here now")
+    ) ++ (10L to 29L).map(i => (i, "en", "web", s"hot hot hot hot u$i v$i")))
+      .toDF("doc_id", "lang", "source", "text")
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ")
+      (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val rows = docsDf.collect().map(r =>
+      (r.getLong(0), (r.getString(1), r.getString(2)), shingles(r.getString(3))))
+    for ((tauNum, tauDen, sizeTau, metric) <- Seq(
+        (1, 2, 0.5, "jaccard"), (7, 10, 0.0, "containment"))) {
+      val tau = tauNum.toDouble / tauDen
+      val want = (for {
+        (a, blkA, sa) <- rows; (b, blkB, sb) <- rows
+        if a < b && blkA == blkB
+        i = sa.intersect(sb).size.toDouble
+        m = if (metric == "jaccard") i / (sa.size + sb.size - i)
+            else i / math.min(sa.size, sb.size)
+        if m >= tau
+      } yield (a, b)).toSet
+      val got = graft.dedup.Dedup.prefixCandidates(
+          graft.dedup.Dedup.shingleRowsOf(docsDf), tauNum, tauDen, sizeTau)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3)))
+      // complete: every qualifying pair is a candidate
+      val gotPairs = got.map(p => (p._1, p._2)).toSet
+      assert(want.subsetOf(gotPairs),
+        s"$metric missing ${(want -- gotPairs).take(5)}")
+      assert(want.nonEmpty, s"$metric fixture vacuous")
+      // sizes ride along correctly, aligned to the id-ordered pair
+      val sizeOf = rows.map(r => r._1 -> r._3.size).toMap
+      got.foreach { case (a, b, na, nb) =>
+        assert(na == sizeOf(a) && nb == sizeOf(b), s"sizes wrong for ($a,$b)")
+      }
+      // cross-block twin stays unpaired
+      assert(!gotPairs.contains((1L, 6L)))
+    }
   }
 
   test("hot-bucket guard bounds simhash candidate generation") {
@@ -92,33 +163,24 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.count() == 0)
   }
 
-  test("hot-key caps are runtime-tunable via spark conf and public API params") {
+  test("LSH hot-bucket cap is runtime-tunable via spark conf and API param") {
     import spark.implicits._
-    val hotNgram = (1L to 40L).map { i =>
-      (i, "en", "web", s"hot hot hot u$i v$i w$i x$i")
-    }.toDF("doc_id", "lang", "source", "text")
     val hotSim = (1L to 40L)
       .map(i => (i, "all the same boilerplate text body here"))
       .toDF("doc_id", "text")
     try {
-      // conf knob reaches the full public operators without explicit params
-      spark.conf.set(graft.dedup.Dedup.NgramDfCapKey, "8")
+      // conf knob reaches the full public operator without explicit params
       spark.conf.set(graft.dedup.Dedup.LshBucketCapKey, "8")
-      assert(graft.dedup.Dedup.ngramDfCap(spark) == 8)
       assert(graft.dedup.Dedup.lshBucketCap(spark) == 8)
-      assert(graft.dedup.Dedup.ngramJaccardPairs(hotNgram, tau = 0.0).count() == 0,
-        "conf-set df-cap must reach ngramJaccardPairs")
       assert(graft.dedup.Dedup.simhashPairsOf(hotSim).count() == 0,
         "conf-set bucket cap must reach simhashPairsOf")
       // explicit param overrides the conf (40 identical docs, cap 100 holds them)
       assert(graft.dedup.Dedup.simhashPairsOf(hotSim, bucketCap = 100).count()
         == 40L * 39 / 2)
     } finally {
-      spark.conf.unset(graft.dedup.Dedup.NgramDfCapKey)
       spark.conf.unset(graft.dedup.Dedup.LshBucketCapKey)
     }
-    // defaults restored: conf-free resolution falls back to the constants
-    assert(graft.dedup.Dedup.ngramDfCap(spark) == graft.dedup.Dedup.NgramDfCap)
+    // defaults restored: conf-free resolution falls back to the constant
     assert(graft.dedup.Dedup.lshBucketCap(spark) == graft.dedup.Dedup.LshBucketCap)
   }
 
@@ -227,9 +289,11 @@ class DedupSpec extends SparkSpecBase {
     assert(got(5L)._2 == 0L && got(5L)._3 == 0.0)
   }
 
-  test("containment pairs equal the exact df-capped shingle-set oracle") {
-    // independent Scala re-derivation: same 3-gram/h32 shingles, same
-    // df-capped block candidate generation, containment over FULL sets
+  test("containment pairs equal the exact shingle-set oracle") {
+    // independent Scala re-derivation: same 3-gram/h32 shingles, ALL
+    // same-block pairs sharing any shingle, containment over FULL sets
+    // (since r11 the candidate generation is the complete prefix filter —
+    // no df-cap, so the oracle is the plain uncapped semantics)
     def h32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
@@ -246,16 +310,11 @@ class DedupSpec extends SparkSpecBase {
           .map(i => h32(ws.slice(i, i + 3).mkString(" "))).toSet
       (d, blk) -> sh
     }.filter(_._2.nonEmpty)
-    val dfCap = graft.dedup.Dedup.ngramDfCap(spark)
-    val df = sets.flatMap { case ((_, blk), sh) => sh.map(blk -> _) }
-      .groupBy(identity).map { case (k, v) => k -> v.length }
-    val surviving: ((String, String), Long) => Boolean =
-      (blk, h) => df((blk, h)) <= dfCap
     val exp = (for {
       ((a, blkA), sa) <- sets; ((b, blkB), sb) <- sets
       if a < b && blkA == blkB
       shared = sa.intersect(sb)
-      if shared.exists(surviving(blkA, _)) // block-join candidate
+      if shared.nonEmpty // block-join candidate
       c = shared.size.toDouble / math.min(sa.size, sb.size)
       if c >= 0.7
     } yield (a, b,
