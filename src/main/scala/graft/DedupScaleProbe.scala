@@ -42,11 +42,11 @@ object DedupScaleProbe {
     println(s"[probe] $sfDir: shingle_rows=$total blocks=$nBlocks " +
       s"uncapped_selfjoin_pair_rows=$rawPairs")
     val regimes = Seq(
-      ("jaccard tau=0.5", 1, 2, 0.5),
-      ("containment tau=0.7", 7, 10, 0.0))
-    for ((name, num, den, sizeTau) <- regimes) {
+      ("jaccard tau=0.5", 1, 2, 0.5, true),
+      ("containment tau=0.7", 7, 10, 0.0, false))
+    for ((name, num, den, sizeTau, both) <- regimes) {
       val t0 = System.nanoTime()
-      val nCand = dedup.Dedup.prefixCandidates(e, num, den, sizeTau).count()
+      val nCand = dedup.Dedup.prefixCandidates(e, num, den, sizeTau, both).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[probe] prefix $name distinct_cand=$nCand ($dt%.1f s)")
     }

@@ -160,16 +160,43 @@ object Dedup {
     * + agg). `cand` carries (doc_a, doc_b, n_a, n_b); `e` is (doc_id, h).
     */
   private def verifyJaccard(cand: DataFrame, e: DataFrame, tau: Double): DataFrame = {
-    val ver = cand
-      .join(e.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(e.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_int"))
+    val ver = withIntersect(cand, e)
       .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
     ver.filter(col("n_int").cast(DoubleType) / col("n_uni") >= tau)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_int").cast(DoubleType) / col("n_uni"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-doc ascending-sorted shingle-set arrays (doc_id, sh) — the compact
+    * verify representation. `e` rows are distinct per (doc_id, h)
+    * ([[shingleRowsOf]]), so the arrays are duplicate-free, which
+    * `sorted_intersect_count`'s two-pointer merge requires.
+    */
+  private def shingleSets(e: DataFrame): DataFrame =
+    e.groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("sh"))
+
+  /** Attach the exact overlap |A∩B| as `n_int` to candidate pairs
+    * (doc_a, doc_b, …): join the two per-doc sorted set arrays and count
+    * in one codegen'd two-pointer pass
+    * ([[graft.functions.SortedIntersectCount]]). Replaces the r1-r10
+    * exploded-row verify (re-join FULL shingle rows on both sides + count),
+    * whose intermediate is |cand| × shingles-per-doc join rows — at the
+    * sf10 probe's 26M prefix candidates × ~53 shingles that is a ~66 GB
+    * exchange vs ~13 GB of compact array payloads here, and the counting
+    * itself moves from a shuffle+agg to registers.
+    */
+  private def withIntersect(cand: DataFrame, e: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(cand.sparkSession)
+    val sets = shingleSets(e)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("n_int",
+        call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+      .drop("sh_a", "sh_b")
   }
 
   /** PUBLIC n-gram near-dup operator over any (doc_id, lang, source, text)
@@ -188,7 +215,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // floor(τ·1000)/1000 ≤ τ: a rational threshold at-or-below the real τ
     // only LENGTHENS prefixes (still complete); verify filters at exact τ.
-    verifyJaccard(prefixCandidates(e, math.floor(tau * 1000).toInt, 1000, tau),
+    verifyJaccard(prefixCandidates(e, math.floor(tau * 1000).toInt, 1000, tau,
+        bothPrefixes = true),
       e.select("doc_id", "h"), tau)
   }
 
@@ -338,12 +366,7 @@ object Dedup {
       // (necessary for Jaccard, WRONG for containment); the prefix length
       // uses τ = 7/10 exactly — integer math, no float ceil.
       val cand = prefixCandidates(e, 7, 10, sizeRatioTau = 0.0)
-      val eh = e.select("doc_id", "h")
-      cand
-        .join(eh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-        .join(eh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(count(lit(1)).as("n_int"))
+      withIntersect(cand, e.select("doc_id", "h"))
         .filter(col("n_int").cast(DoubleType) / least(col("n_a"), col("n_b"))
           >= 0.7)
         .select(col("doc_a"), col("doc_b"),
@@ -952,22 +975,30 @@ object Dedup {
 
   /** Prefix-filtered candidate pairs (AllPairs/PPJoin family — Bayardo et
     * al. WWW'07, Chaudhuri et al. ICDE'06; both public). Under a global
-    * token order (block df ascending, then h — rarest first), a pair whose
-    * shared-shingle count is ≥ ceil(τ·n) for a side of size n MUST share a
-    * token inside that side's first ℓ(n) = n − ceil(τ·n) + 1 tokens: the
-    * suffix holds only ceil(τ·n) − 1 < overlap tokens, so it cannot contain
-    * them all. Jaccard ≥ τ implies overlap ≥ ceil(τ·n) on EACH side
-    * (i(1+τ) ≥ τ(n_a+n_b) and i ≤ n_b give i ≥ τ·n_a), and containment
-    * ≥ τ implies it on the SMALLER side — so joining FULL postings against
-    * PREFIX postings of the size-smaller side finds every qualifying pair
-    * EXACTLY. This replaces the r1-r9 df-capped block self-join, whose
-    * Σ_blocks C(df,2) candidate volume is quadratic inside seeded near-dup
-    * families (measured 1.5M → 13.2M → ~144M raw pair rows at sf1 → sf3 →
-    * sf10 while true output stays ~10 rows; at sf10 the downstream verify
-    * filled a 75 GB disk). Prefix postings hold each doc's RAREST shingles,
-    * so unrelated docs stop colliding — and there is NO df-cap recall loss:
-    * the output is the complete pair set, strictly better than the capped
-    * semantics it replaces.
+    * token order (block df ascending, then h — rarest first), if a pair
+    * shares ≥ t tokens, the globally-SMALLEST shared token x must sit in
+    * the first n − t + 1 tokens of BOTH sides (were x past that point in
+    * one side, that side's ≤ t − 1 remaining tokens could not hold all ≥ t
+    * shared tokens, which are all ≥ x). With the per-pair bound t:
+    *
+    *  - Jaccard ≥ τ gives t = ⌈τ·n_max⌉ (i(1+τ) ≥ τ(n_a+n_b) plus
+    *    i ≤ n_min force i ≥ τ·n_max), so each side's required prefix
+    *    n − t + 1 is contained in its OWN standard prefix
+    *    ℓ(n) = n − ⌈τ·n⌉ + 1 — joining PREFIX postings against PREFIX
+    *    postings (`bothPrefixes = true`) finds every qualifying pair.
+    *  - Containment ≥ τ gives only t = ⌈τ·n_min⌉ — no lower bound relative
+    *    to the LARGER side's size, so the larger side's required prefix
+    *    n_max − ⌈τ·n_min⌉ + 1 depends on the partner and cannot be indexed
+    *    per-doc: the larger side must expose FULL postings
+    *    (`bothPrefixes = false`), prefix-filtering only the smaller side.
+    *
+    * This replaces the r1-r9 df-capped block self-join, whose Σ_blocks
+    * C(df,2) candidate volume is quadratic inside seeded near-dup families
+    * (measured 1.5M → 13.2M → ~144M raw pair rows at sf1 → sf3 → sf10; at
+    * sf10 the downstream verify filled a 75 GB disk). Prefix postings hold
+    * each doc's RAREST shingles, so unrelated docs stop colliding — and
+    * there is NO df-cap recall loss: the output is the complete pair set,
+    * strictly better than the capped semantics it replaces.
     *
     * τ is an exact integer fraction num/den: ℓ = n − (num·n + den − 1)
     * div den + 1 keeps both engines in integer arithmetic (a float ceil of
@@ -977,20 +1008,40 @@ object Dedup {
     * distinct (doc_a, doc_b, n_a, n_b) by id order, sizes aligned.
     */
   private[graft] def prefixCandidates(e: DataFrame, tauNum: Int, tauDen: Int,
-      sizeRatioTau: Double): DataFrame = {
-    val n = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val d = e.join(n, "doc_id").withColumn("df",
-      count(lit(1)).over(Window.partitionBy("lang", "source", "h")))
-    val p = d.withColumn("rnk", row_number().over(
+      sizeRatioTau: Double, bothPrefixes: Boolean = false): DataFrame = {
+    // n (set size) rides the SAME doc_id exchange as rnk — a window with no
+    // ordering, not a groupBy+join-back (which would add a shuffle AND a
+    // join of e against a per-doc frame that outgrows broadcast at scale)
+    val d = e
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("lang", "source", "h")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+    val p = d
       .filter(expr(s"rnk <= n - ($tauNum * n + ${tauDen - 1}) DIV $tauDen + 1"))
-    val a = d.select(col("lang"), col("source"), col("h"),
-      col("doc_id").as("id_a"), col("n").as("na"))
+    val a = (if (bothPrefixes) p else d).select(col("lang"), col("source"),
+      col("h"), col("doc_id").as("id_a"), col("n").as("na"),
+      col("rnk").as("rnk_a"))
     val b = p.select(col("lang"), col("source"), col("h"),
-      col("doc_id").as("id_b"), col("n").as("nb"))
+      col("doc_id").as("id_b"), col("n").as("nb"), col("rnk").as("rnk_b"))
+    // PPJoin positional filter (Xiao et al. WWW'08, public): the globally
+    // SMALLEST shared token x of a qualifying pair bounds the overlap from
+    // above by the tokens at-or-after x on each side — i ≤ n − pos(x) + 1.
+    // With the per-pair overlap floor t (= ⌈τ·n_max⌉ for Jaccard where
+    // n_max = na by the b-smaller convention below; = ⌈τ·n_min⌉ = ⌈τ·nb⌉
+    // for containment), any join row whose token sits too late on EITHER
+    // side cannot be that x for a qualifying pair — and x's own row always
+    // survives, so dropping late rows before distinct() loses no pair.
+    // Integer form: (n − rnk + 1)·den ≥ num·X ⟺ n − rnk + 1 ≥ ⌈num·X/den⌉.
+    // This is what stops a hot boilerplate token (late-ranked everywhere)
+    // from pairing a small prefix against every large doc containing it.
+    val tRef = if (bothPrefixes) col("na") else col("nb")
     val j = a.join(b, Seq("lang", "source", "h"))
       .filter(col("nb") < col("na") ||
         (col("nb") === col("na") && col("id_b") < col("id_a")))
+      .filter((col("na") - col("rnk_a") + 1) * tauDen >= tRef * tauNum &&
+        (col("nb") - col("rnk_b") + 1) * tauDen >= tRef * tauNum)
     val sized =
       if (sizeRatioTau > 0)
         j.filter(least(col("na"), col("nb")).cast(DoubleType)

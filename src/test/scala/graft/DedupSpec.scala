@@ -63,7 +63,8 @@ class DedupSpec extends SparkSpecBase {
       (i, "en", "web", s"hot hot hot u$i v$i w$i x$i")
     }.toDF("doc_id", "lang", "source", "text")
     val e = graft.dedup.Dedup.shingleRowsOf(docsDf)
-    assert(graft.dedup.Dedup.prefixCandidates(e, 1, 2, 0.5).count() == 0)
+    assert(graft.dedup.Dedup.prefixCandidates(e, 1, 2, 0.5,
+      bothPrefixes = true).count() == 0)
     // tau=0 → prefix is the whole set → complete uncapped pair generation
     assert(graft.dedup.Dedup.prefixCandidates(e, 0, 1, 0.0).count()
       == 40L * 39 / 2)
@@ -80,8 +81,8 @@ class DedupSpec extends SparkSpecBase {
       (i, "en", "web", s"t1 t2 t3 t4 t5 u$i")
     }.toDF("doc_id", "lang", "source", "text")
     val e = graft.dedup.Dedup.shingleRowsOf(docsDf)
-    assert(graft.dedup.Dedup.prefixCandidates(e, 1, 2, 0.5).count()
-      == 40L * 39 / 2)
+    assert(graft.dedup.Dedup.prefixCandidates(e, 1, 2, 0.5,
+      bothPrefixes = true).count() == 40L * 39 / 2)
     val verified = graft.dedup.Dedup.ngramJaccardPairs(docsDf, tau = 0.5)
     assert(verified.count() == 40L * 39 / 2)
     assert(verified.collect().forall(_.getDouble(2) == 0.6))
@@ -107,8 +108,8 @@ class DedupSpec extends SparkSpecBase {
     }
     val rows = docsDf.collect().map(r =>
       (r.getLong(0), (r.getString(1), r.getString(2)), shingles(r.getString(3))))
-    for ((tauNum, tauDen, sizeTau, metric) <- Seq(
-        (1, 2, 0.5, "jaccard"), (7, 10, 0.0, "containment"))) {
+    for ((tauNum, tauDen, sizeTau, both, metric) <- Seq(
+        (1, 2, 0.5, true, "jaccard"), (7, 10, 0.0, false, "containment"))) {
       val tau = tauNum.toDouble / tauDen
       val want = (for {
         (a, blkA, sa) <- rows; (b, blkB, sb) <- rows
@@ -119,7 +120,8 @@ class DedupSpec extends SparkSpecBase {
         if m >= tau
       } yield (a, b)).toSet
       val got = graft.dedup.Dedup.prefixCandidates(
-          graft.dedup.Dedup.shingleRowsOf(docsDf), tauNum, tauDen, sizeTau)
+          graft.dedup.Dedup.shingleRowsOf(docsDf), tauNum, tauDen, sizeTau,
+          both)
         .collect().map(r => (r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3)))
       // complete: every qualifying pair is a candidate

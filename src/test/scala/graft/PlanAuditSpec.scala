@@ -50,9 +50,17 @@ class PlanAuditSpec extends SparkSpecBase {
   // join's own key — so the guard must ride the join's shuffle, not add its
   // own exchange. 6 is the full query's exchange count with the guard fused;
   // a 7th means the window started repartitioning separately.
-  test("ngram hot-key guard window rides the candidate join's shuffle") {
+  // r11 shape (AllPairs prefix filter + compact-array verify): the df
+  // window's (lang,source,h) exchange; ONE doc_id exchange carrying both
+  // the set-size count window and the rarest-first row_number (a groupBy n
+  // + join-back would add a shuffle and a join); the prefix-prefix
+  // candidate join + distinct; the shingle-set aggregation feeding the
+  // verify joins; the output sort. The verify kernel
+  // (sorted_intersect_count) must stay codegen — zero fallback exprs.
+  test("ngram prefix filter: bounded exchanges, codegen verify kernel") {
     val a = auditOf(run("dedup_ngram_jaccard"))
-    assert(a.shuffles == 6, s"guard window must not add an exchange: $a")
+    assert(a.shuffles <= 8, s"prefix/verify pipeline grew an exchange: $a")
+    assert(a.fallbackExprs.isEmpty, s"interpreted verify kernel: $a")
   }
 
   // r3 shape: one label-propagation round = the self-label union folded into
