@@ -321,6 +321,84 @@ object StreamQueries {
         .orderBy("doc_id")
     },
 
+    // ---- §2.4 #261 end-to-end streaming curation (batch-twin shape) ------
+    // The full LLM-curation screen stack (#37 quality + #29 exact dedup +
+    // #260 streaming simhash near-dup + #73 decontamination) as ONE
+    // composition — the foreachBatch pipeline ([[graft.streaming
+    // .CurateStream]]) run as its single-batch whole-corpus twin (empty
+    // state), which CurateStreamSpec pins EQUAL to any ordered micro-batch
+    // replay. The oracle recomposes the four verified stage CTEs into one
+    // kept-set. NOTE the near-dup stage is #260's streaming-realizable
+    // screen (drop docs with an earlier-arrival hamming≤2 neighbor, index
+    // first-cap per bucket) — NOT pipeline_filter's retroactive
+    // component-canonical rule; the two kept-sets legitimately differ on
+    // transitive families and each is oracle-checked against its own
+    // semantics.
+    "curate_stream" -> OpDef(
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(len(ws) AS DOUBLE), 100.0) / 100.0
+        |      * (0.5 + 0.5 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))),
+        |      4) AS quality
+        |  FROM t),
+        |hsh AS (SELECT doc_id, md5(text) AS th FROM documents),
+        |k AS (SELECT th, MIN(doc_id) AS keep_id FROM hsh GROUP BY th),
+        |exdup AS (
+        |  SELECT h.doc_id FROM hsh h JOIN k USING (th)
+        |  WHERE h.doc_id <> k.keep_id),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
+        |  FROM documents),
+        |ss AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), i ->
+        |      CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM sg),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 20)) & 1048575 AS bkey,
+        |    row_number() OVER (PARTITION BY b, (sig >> (b * 20)) & 1048575
+        |                       ORDER BY doc_id) AS rn
+        |  FROM ss, (SELECT unnest(generate_series(0, 2)) AS b)),
+        |simdup AS (
+        |  SELECT DISTINCT d.doc_id
+        |  FROM bands d JOIN bands e ON d.b = e.b AND d.bkey = e.bkey
+        |   AND e.doc_id < d.doc_id AND e.rn <= ${graft.dedup.Dedup.LshBucketCap}
+        |  WHERE bit_count(xor(d.sig, e.sig)) <= 2),
+        |gg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(0, len(ws) - 8),
+        |    i -> ('0x' || substr(md5(ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]||' '||ws[i+8]), 1, 8))::BIGINT))) AS h
+        |  FROM t WHERE len(ws) >= 8),
+        |bench AS (SELECT DISTINCT h FROM gg WHERE doc_id % 10 = 0),
+        |cont AS (
+        |  SELECT DISTINCT doc_id FROM gg JOIN bench USING (h)
+        |  WHERE doc_id % 10 <> 0)
+        |SELECT d.doc_id, d.lang, q.quality
+        |FROM documents d JOIN q USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0 AND q.quality >= 0.25
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM exdup)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM simdup)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      GraftSession.tune(s)
+      val docsDf = Tables(s, dir, "documents")
+      val bench = graft.dedup.Dedup
+        .gramRows(docsDf.filter(col("doc_id") % 10 === 0), 8)
+        .select("h").distinct()
+      graft.streaming.CurateStream.curateBatch(docsDf,
+          graft.streaming.CurateStream.emptyMd5(s),
+          graft.streaming.CurateStream.emptySim(s),
+          bench, minQuality = 0.25,
+          cap = graft.dedup.Dedup.lshBucketCap(s))
+        .kept.orderBy("doc_id")
+    },
+
     // ---- §2.1 #7 ChangeLoader: incremental two-phase apply ≡ one-shot ----
     // Collapse+apply the first half of the feed, then the second half on
     // top; the result must equal the full-feed merge (the cdc_merge_fields

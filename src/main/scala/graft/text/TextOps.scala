@@ -37,6 +37,33 @@ object TextOps {
   // guard, which must count distinct tokens with the SAME tokenization)
   private[graft] val words: Column = split(col("text"), " ")
 
+  /** PUBLIC quality scoring (#37) over any (doc_id, text) frame — the
+    * length/duplication/stopword signal bank, one stateless codegen pass
+    * (native `count_in`; a filter() lambda would run interpreted). Shared
+    * by the `text_quality` query and the streaming curation pipeline
+    * ([[graft.streaming.CurateStream]]).
+    */
+  def qualityOf(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val enLex = array(lexicons(1)._2.map(lit): _*)
+    docsDf
+      .select(col("doc_id"), length(col("text")).as("n_chars"), words.as("ws"))
+      .select(col("doc_id"), col("n_chars"), size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        call_function("count_in", col("ws"), enLex).as("n_stop"))
+      .select(
+        col("doc_id"),
+        col("n_chars").cast(LongType).as("n_chars"),
+        col("n_words").cast(LongType).as("n_words"),
+        round((col("n_chars") - col("n_words") + 1).cast(DoubleType) / col("n_words"), 4)
+          .as("avg_word_len"),
+        round(col("n_distinct").cast(DoubleType) / col("n_words"), 4).as("distinct_ratio"),
+        round(col("n_stop").cast(DoubleType) / col("n_words"), 4).as("stop_ratio"),
+        round(least(col("n_words").cast(DoubleType), lit(100.0)) / 100.0
+          * (lit(0.5) + lit(0.5) * (col("n_distinct").cast(DoubleType) / col("n_words"))), 4)
+          .as("quality"))
+  }
+
   val defs: Map[String, OpDef] = Map(
     // ---- #36 language ID: stopword-hit argmax ----------------------------
     // hits(lang) = |distinct(words) ∩ lexicon(lang)|; argmax with a fixed
@@ -148,28 +175,7 @@ object TextOps {
         |  round(least(CAST(n_words AS DOUBLE), 100.0) / 100.0
         |        * (0.5 + 0.5 * (CAST(n_distinct AS DOUBLE) / n_words)), 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin
-    ) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val enLex = array(lexicons(1)._2.map(lit): _*)
-      docs(s, dir)
-        .select(col("doc_id"), length(col("text")).as("n_chars"), words.as("ws"))
-        .select(col("doc_id"), col("n_chars"), size(col("ws")).as("n_words"),
-          size(array_distinct(col("ws"))).as("n_distinct"),
-          // native count_in: the filter() lambda would run interpreted
-          call_function("count_in", col("ws"), enLex).as("n_stop"))
-        .select(
-          col("doc_id"),
-          col("n_chars").cast(LongType).as("n_chars"),
-          col("n_words").cast(LongType).as("n_words"),
-          round((col("n_chars") - col("n_words") + 1).cast(DoubleType) / col("n_words"), 4)
-            .as("avg_word_len"),
-          round(col("n_distinct").cast(DoubleType) / col("n_words"), 4).as("distinct_ratio"),
-          round(col("n_stop").cast(DoubleType) / col("n_words"), 4).as("stop_ratio"),
-          round(least(col("n_words").cast(DoubleType), lit(100.0)) / 100.0
-            * (lit(0.5) + lit(0.5) * (col("n_distinct").cast(DoubleType) / col("n_words"))), 4)
-            .as("quality"))
-        .orderBy("doc_id")
-    },
+    ) { (s, dir) => qualityOf(docs(s, dir)).orderBy("doc_id") },
 
     // ---- #38 token counting: whitespace + regex + BPE-ish budget ----------
     // BPE-ish = every word costs ceil(len/4) subword tokens (integer form
