@@ -268,6 +268,27 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) => StreamOps.dedupStream(ev(s, dir)).orderBy("user_id", "event_type") },
 
+    // ---- #266 live OHLC candlestick bars (batch shape) -------------------
+    // The streaming twin of #262: the same windowed aggregate that keeps
+    // live hourly candles warm over the ingested ledger, verified here in
+    // batch mode against the identical grain. min_by/max_by on event_id
+    // make open/close ARRIVAL-ORDER independent, so stream ≡ batch exactly
+    // (StreamOpsStreamingSpec pins the replay).
+    "stream_ohlc" -> OpDef(
+      """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |    AS bar_hour,
+        |  arg_min("value", event_id) AS open,
+        |  max("value") AS high,
+        |  min("value") AS low,
+        |  arg_max("value", event_id) AS close,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trades
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY event_type, bar_hour""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.ohlcBars(ev(s, dir)).orderBy("event_type", "bar_hour")
+    },
+
     // ---- #260 streaming simhash near-dup screen (batch shape) ------------
     // The CONTENT twin of #44's key dedup and the streaming twin of #32b:
     // docs arrive in order, each probes a per-(band,bucket) index of the

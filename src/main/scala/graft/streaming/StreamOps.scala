@@ -317,6 +317,33 @@ object StreamOps {
         round(sum("dwell_us").cast("double") / count(lit(1)) / 1000000, 4)
           .as("avg_s"))
 
+  /** #266 — live OHLC candlestick bars per (instrument, hour): the
+    * streaming twin of `ohlc_bars` (#262), i.e. the materialized-view shape
+    * a sink user keeps warm over the ingested ledger. One watermarked
+    * tumbling-window aggregate; open/close = min_by/max_by on the unique
+    * monotone event_id (same pick as batch — deterministic under ts ties
+    * and ORDER-OF-ARRIVAL independent, so replays and shuffled batches
+    * converge to the identical bar), volume folds in DECIMAL(18,2). State
+    * per open window is O(instruments): five scalars per (type, hour)
+    * cell, evicted by the 1-hour watermark.
+    */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"),
+        count(lit(1)).cast("long").as("n_trades"))
+      .select(col("event_type"),
+        unix_timestamp(col("w.start")).cast("long").as("bar_hour"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_trades"))
+  }
+
   /** #44 — drop duplicate (user_id, event_type) arrivals; on streams the
     * watermark bounds the dedup state (dropDuplicatesWithinWatermark), in
     * batch it is an exact keep-first dedup.

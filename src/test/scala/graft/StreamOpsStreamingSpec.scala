@@ -186,4 +186,37 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
     assert(got == batch,
       s"multiset diff: ${(got.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff got.toSet).take(3)}")
   }
+
+  test("live OHLC bars: closed windows are byte-identical to the batch twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = eventRows()
+    // SHUFFLE within each half: open/close must be arrival-order
+    // independent (picked by event_id, not by arrival), so a scrambled
+    // replay must still converge to the batch bars
+    val rnd = new scala.util.Random(7)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.ohlcBars(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("ohlc").outputMode("append").start()
+    try {
+      in.addData(rnd.shuffle(h1.toSeq)); q.processAllAvailable()
+      in.addData(rnd.shuffle(h2.toSeq)); q.processAllAvailable()
+    } finally q.stop()
+    type Bar = (String, Long, Double, Double, Double, Double, Double, Long)
+    def bar(r: org.apache.spark.sql.Row): Bar =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7))
+    val got = spark.sql("select * from ohlc").collect().map(bar).toSet
+    assert(got.nonEmpty, "no window closed — watermark never advanced")
+    val batch = run("stream_ohlc").collect().map(bar).toSet
+    assert(got.subsetOf(batch), s"diff: ${got.diff(batch).take(3)}")
+    // every bar the final watermark closed must have been emitted: the
+    // watermark is max(ts) - 1h, a closed bar ends at or before it
+    val wmUs = ev.map(_._4.getTime).max - 3600000L
+    val mustClose = batch.filter { b => (b._2 + 3600L) * 1000L <= wmUs }
+    assert(mustClose.subsetOf(got),
+      s"unemitted closed bars: ${mustClose.diff(got).take(3)}")
+  }
 }
