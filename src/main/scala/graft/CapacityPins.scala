@@ -162,6 +162,19 @@ object CapacityPins {
         .groupBy("o_custkey").agg(sum("c").as("c"))
         .selectExpr("(c div 100) div 1024 AS usd")
         .agg(countDistinct("usd")).collect()(0).getLong(0)),
+    // quantiles_exact_weighted's price grain is ≈ one row per distinct
+    // extendedprice (not domain-bounded at TPC-H scaling), so since r11
+    // its cumulative weights use the same bucketed two-level prefix as
+    // rfm_segments: the per-flag-sequential window sees only the
+    // 8192-cent-wide bucket grain (audited here), the within-bucket
+    // prefix is partitioned with ≤ 8192 rows by construction.
+    Pin("quantiles_exact_weighted", ValueGrainCap,
+      "price-cum BUCKETS per flag (8192-cent ranges entering the prefix window)",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          "CAST(l_extendedprice * 100 AS BIGINT) div 8192 AS bk")
+        .groupBy("l_returnflag").agg(countDistinct("bk").as("d"))
+        .agg(coalesce(max("d"), lit(0L))).collect()(0).getLong(0)),
     Pin("lorenz_points", ValueGrainCap,
       "distinct per-user purchase-total cents (grain window)",
       (s, dir) => events(s, dir)

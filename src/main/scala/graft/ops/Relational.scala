@@ -1173,11 +1173,30 @@ object Relational {
       val byValue = tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(sum(floor(col("l_quantity")).cast(LongType)).as("wt"))
-      val ordered = Window.partitionBy("l_returnflag").orderBy("v")
-      val whole = Window.partitionBy("l_returnflag")
-      byValue
-        .withColumn("cum", sum("wt").over(ordered))
-        .withColumn("tot", sum("wt").over(whole))
+      // Cumulative weights via the rfm_segments bucketed two-level prefix
+      // (r11): the price grain is ≈ one row per distinct extendedprice —
+      // NOT domain-bounded — so a per-flag window over it funnels the
+      // whole grain through |flags| tasks (10 s of the sf1 sweep was this
+      // op). Bucket the grain into 8192-cent ranges: the only
+      // per-flag-sequential window runs on the BUCKET grain (price-range/
+      // $81.92 rows, domain-bounded, CapacityPin-audited), and the
+      // within-bucket prefix is partitioned by (flag, bucket) with ≤ 8192
+      // distinct cent values per partition BY CONSTRUCTION. (v*100).cast
+      // (long) is monotone in v, which is all bucketing needs — boundary
+      // truncation slack moves a value between adjacent buckets, never
+      // out of order.
+      val bucketed = byValue
+        .withColumn("bk", expr("CAST(v * 100 AS BIGINT) div 8192"))
+      val byFlag = Window.partitionBy("l_returnflag")
+      val bt = bucketed.groupBy(col("l_returnflag"), col("bk"))
+        .agg(sum("wt").as("bcnt"))
+        .withColumn("boff",
+          sum("bcnt").over(byFlag.orderBy("bk")) - col("bcnt"))
+        .withColumn("tot", sum("bcnt").over(byFlag))
+        .select("l_returnflag", "bk", "boff", "tot")
+      bucketed.join(broadcast(bt), Seq("l_returnflag", "bk"))
+        .withColumn("cum", col("boff") +
+          sum("wt").over(Window.partitionBy("l_returnflag", "bk").orderBy("v")))
         .groupBy("l_returnflag")
         .agg(
           min(when(col("cum") * 4 >= col("tot"), col("v"))).as("p25"),
