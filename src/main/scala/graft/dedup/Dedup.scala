@@ -285,6 +285,70 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- #267 segment-level boilerplate removal (CCNet line dedup) -------
+    // The curation step BETWEEN doc-level dedup and doc-level quality: drop
+    // repeated SEGMENTS (headers, nav bars, license blurbs) that appear
+    // across ≥ 3 docs, keep the rest of each doc. Docs segment into fixed
+    // 8-word windows; each segment's signature is a positional-weighted
+    // 48-bit word-hash sum — ORDER-SENSITIVE (a permuted segment differs)
+    // yet aggregation-order-independent, so it folds map-side with no
+    // collect_list/sort per segment. Scale shape: the word stream shuffles
+    // once on doc_id (window rank), the segment collapse groups on a
+    // (doc_id, seg) superset of the same key (exchange reused), the df
+    // count + join-back move only 8-byte signatures, and the final
+    // per-doc collapse is a grain reduction — no step is ever quadratic
+    // or doc-payload-wide.
+    "dedup_lines" -> OpDef(
+      """WITH w AS (
+        |  SELECT doc_id, i, ws[i] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |    unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE ws[i] <> ''),
+        |r AS (
+        |  SELECT doc_id, word,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM w),
+        |seg AS (
+        |  SELECT doc_id, (rn - 1) // 8 AS seg,
+        |    CAST(SUM(('0x' || substr(md5(word), 1, 12))::BIGINT
+        |             * ((rn - 1) % 8 + 1)) AS BIGINT) AS sig
+        |  FROM r GROUP BY 1, 2),
+        |df AS (SELECT sig, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(COUNT(CASE WHEN df.df >= 3 THEN 1 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN df.df < 3 THEN s.sig % 1000003 ELSE 0 END)
+        |    AS BIGINT) AS kept_chk,
+        |  round(CAST(COUNT(CASE WHEN df.df >= 3 THEN 1 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS drop_ratio
+        |FROM seg s JOIN df USING (sig)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val pos = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("p", "word")))
+        .filter(col("word") =!= "")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("p")))
+      val seg = pos
+        .groupBy(col("doc_id"), expr("(rn - 1) div 8").as("seg"))
+        .agg(sum(conv(substring(md5(col("word")), 1, 12), 16, 10)
+          .cast(LongType) * (expr("(rn - 1) % 8") + 1)).as("sig"))
+      val df = seg.groupBy("sig")
+        .agg(countDistinct("doc_id").as("df"))
+      seg.join(df, "sig")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast(LongType).as("n_segs"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).cast(LongType)
+            .as("n_dropped"),
+          sum(when(col("df") < 3, col("sig") % 1000003).otherwise(0L))
+            .cast(LongType).as("kept_chk"),
+          round(sum(when(col("df") >= 3, 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)), 4).as("drop_ratio"))
+        .orderBy("doc_id")
+    },
+
     // ---- #30 n-gram Jaccard near-dup pairs within (lang, source) blocks --
     // Spark side: exact AllPairs prefix filter ([[prefixCandidates]]) — the
     // COMPLETE candidate set (every pair with Jaccard ≥ τ is generated, no

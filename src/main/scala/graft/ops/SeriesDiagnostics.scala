@@ -58,6 +58,79 @@ object SeriesDiagnostics {
         .orderBy("event_id")
     },
 
+    // ---- #268 classical additive series decomposition ----------------------
+    // The seriesDecompose surface: per (type, day) count split into
+    // trend + seasonal + residual. Trend = centered 7-row moving average
+    // on the OBSERVED day series; detrended stays INTEGER as 7·n − s7;
+    // seasonal(dow) = mean detrended of that weekday minus the overall
+    // detrended mean — both single integer ratios, so the whole
+    // decomposition is exact integers until a fixed 2-divide/1-subtract
+    // IEEE chain → round(·,4) (divides by 7·k never terminate in
+    // decimal, so cross-engine round midpoints can't arise). Scale
+    // shape: ONE collapse to the calendar-bounded (type, day) grain;
+    // the ROWS window, the ≤ types×7 dow collapse and the ≤ types
+    // totals all ride that grain; both correction frames broadcast.
+    "series_decompose" -> OpDef(
+      """WITH g AS (
+        |  SELECT event_type AS t,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT t, d, n,
+        |    CAST(SUM(n) OVER w7 AS BIGINT) AS s7,
+        |    CAST(COUNT(*) OVER w7 AS BIGINT) AS c7,
+        |    (d + 4) % 7 AS dow
+        |  FROM g WINDOW w7 AS (PARTITION BY t ORDER BY d
+        |                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |q AS (SELECT *, CASE WHEN c7 = 7 THEN 7 * n - s7 END AS dt7 FROM p),
+        |da AS (SELECT t, dow, CAST(SUM(dt7) AS BIGINT) AS sd,
+        |         CAST(COUNT(*) AS BIGINT) AS k
+        |       FROM q WHERE c7 = 7 GROUP BY 1, 2),
+        |ta AS (SELECT t, CAST(SUM(dt7) AS BIGINT) AS tsd,
+        |         CAST(COUNT(*) AS BIGINT) AS tk
+        |       FROM q WHERE c7 = 7 GROUP BY 1)
+        |SELECT q.t AS event_type, q.d, q.n,
+        |  round(CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7 END, 4)
+        |    AS trend,
+        |  round(CAST(sd AS DOUBLE) / (7 * k)
+        |    - CAST(tsd AS DOUBLE) / (7 * tk), 4) AS seasonal,
+        |  round(CASE WHEN c7 = 7 THEN CAST(dt7 AS DOUBLE) / 7
+        |    - (CAST(sd AS DOUBLE) / (7 * k)
+        |       - CAST(tsd AS DOUBLE) / (7 * tk)) END, 4) AS residual
+        |FROM q LEFT JOIN da ON q.t = da.t AND q.dow = da.dow
+        |LEFT JOIN ta ON q.t = ta.t
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"), epochDay.as("d"))
+        .agg(count(lit(1)).cast(LongType).as("n"))
+      val w7 = Window.partitionBy("t").orderBy("d").rowsBetween(-3, 3)
+      val q = g
+        .withColumn("s7", sum("n").over(w7).cast(LongType))
+        .withColumn("c7", count(lit(1)).over(w7).cast(LongType))
+        .withColumn("dow", pmod(col("d") + 4, lit(7)))
+        .withColumn("dt7", when(col("c7") === 7, lit(7) * col("n") - col("s7")))
+      val full = q.filter(col("c7") === 7)
+      val da = full.groupBy("t", "dow")
+        .agg(sum("dt7").cast(LongType).as("sd"),
+          count(lit(1)).cast(LongType).as("k"))
+      val ta = full.groupBy("t")
+        .agg(sum("dt7").cast(LongType).as("tsd"),
+          count(lit(1)).cast(LongType).as("tk"))
+      val seasonal = col("sd").cast(DoubleType) / (lit(7) * col("k")) -
+        col("tsd").cast(DoubleType) / (lit(7) * col("tk"))
+      q.join(broadcast(da), Seq("t", "dow"), "left")
+        .join(broadcast(ta), Seq("t"), "left")
+        .select(col("t").as("event_type"), col("d"), col("n"),
+          round(when(col("c7") === 7, col("s7").cast(DoubleType) / 7), 4)
+            .as("trend"),
+          round(seasonal, 4).as("seasonal"),
+          round(when(col("c7") === 7,
+            col("dt7").cast(DoubleType) / 7 - seasonal), 4).as("residual"))
+        .orderBy("event_type", "d")
+    },
+
     // ---- #156 trailing-window z-score anomaly screen ------------------------
     // The monitoring-stack anomaly pass: per (type, day) the daily cents
     // total, z-scored against its own trailing 7-day ROWS frame. Facts

@@ -142,4 +142,57 @@ class AnalyticsR8Spec extends SparkSpecBase {
         tt == t && days.indexOf(d) >= 0 && days.indexOf(d) < 6 })
     }
   }
+
+  test("series_decompose: additive identity and integer-exact re-derivation") {
+    def day(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(Math.floorDiv(ts.getTime, 1000L), 86400L)
+    val daily = events.groupBy(e => (e._4, day(e._2))).view
+      .mapValues(_.length.toLong).toMap
+    val got = run("series_decompose").collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    }.toMap
+    assert(got.keySet == daily.keySet)
+    daily.foreach { case (k, n) => assert(got(k)._1 == n, s"count $k") }
+    got.groupBy(_._1._1).foreach { case (t, rows) =>
+      val days = rows.keys.map(_._2).toSeq.sorted
+      // re-derive: s7 over the observed day series, dt7 = 7n - s7
+      val nOf = days.map(d => d -> daily((t, d))).toMap
+      val s7 = days.zipWithIndex.collect {
+        case (d, i) if i >= 3 && i <= days.length - 4 =>
+          d -> days.slice(i - 3, i + 4).map(nOf).sum
+      }.toMap
+      val dt7 = s7.map { case (d, s) => d -> (7 * nOf(d) - s) }
+      // toSeq BEFORE grouping: keys is a Set, and mapping a day-Set through
+      // dt7 would collapse equal dt7 VALUES before the sum
+      val byDow = dt7.keys.toSeq.groupBy(d => (d + 4) % 7)
+      val tsd = dt7.values.sum
+      val tk = dt7.size.toLong
+      days.foreach { d =>
+        val (_, trend, seasonal, residual) = got((t, d))
+        assert(trend.isDefined == s7.contains(d), s"trend presence $t/$d")
+        trend.foreach(tr => assert(math.abs(tr - s7(d) / 7.0) <= 5e-5))
+        val dowDs = byDow.get((d + 4) % 7)
+        val expSeas = dowDs.map { ds =>
+          val sd = ds.map(dt7).sum
+          val k = ds.size.toLong
+          sd.toDouble / (7 * k) - tsd.toDouble / (7 * tk)
+        }
+        (seasonal, expSeas) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) <= 5e-5, s"$t/$d")
+          case (a, b) => assert(a.isEmpty == b.isEmpty, s"$t/$d seasonal")
+        }
+        // the decomposition must re-add to the observation:
+        // n = trend + seasonal + residual (up to the 1e-4 rounding grid)
+        (trend, seasonal, residual) match {
+          case (Some(tr), Some(se), Some(re)) =>
+            assert(math.abs(tr + se + re - nOf(d)) <= 2e-4, s"additivity $t/$d")
+          case _ => ()
+        }
+      }
+    }
+  }
 }

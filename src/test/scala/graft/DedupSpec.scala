@@ -328,4 +328,40 @@ class DedupSpec extends SparkSpecBase {
       s"missing ${(exp -- got).take(3)}, extra ${(got -- exp).take(3)}")
     assert(exp.nonEmpty, "fixture has no containment pairs — oracle vacuous")
   }
+
+  test("dedup_lines matches a full Scala re-derivation of the segment pipeline") {
+    def h48(w: String): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(md.take(12), 16)
+    }
+    val docsRows = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // segment each doc into fixed 8-word windows over non-empty words,
+    // signature = positional-weighted 48-bit word-hash sum
+    val segs = docsRows.flatMap { case (id, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).zipWithIndex
+        .groupBy(_._2 / 8).map { case (seg, ws) =>
+          (id, seg,
+            ws.map { case (w, i) => h48(w) * (i % 8 + 1) }.sum.toLong)
+        }
+    }
+    val dfBySig = segs.groupBy(_._3).view
+      .mapValues(_.map(_._1).distinct.size).toMap
+    val exp = segs.groupBy(_._1).map { case (id, ss) =>
+      val dropped = ss.count(s => dfBySig(s._3) >= 3)
+      val keptChk = ss.filter(s => dfBySig(s._3) < 3).map(_._3 % 1000003).sum
+      (id, ss.size.toLong, dropped.toLong, keptChk,
+        BigDecimal(dropped.toDouble / ss.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = run("dedup_lines").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == exp,
+      s"missing ${(exp -- got).take(3)}, extra ${(got -- exp).take(3)}")
+    // order sensitivity: a permuted segment must not alias the original
+    assert(h48("alpha") * 1 + h48("beta") * 2 != h48("beta") * 1 + h48("alpha") * 2)
+  }
 }
