@@ -99,18 +99,43 @@ object Ann extends Serializable {
     embDs(s, dir).filter(col("vec_id") < NumProbes).collect()
       .sortBy(_.vec_id).map(e => e.vec_id -> e.embedding.toArray)
 
-  /** Partition-local top-k per probe: k-bounded min-heaps, one pass. */
+  private def dotA(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def normA(a: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Partition-local top-k per probe: k-bounded min-heaps, one pass.
+    * Norms hoist out of the probe loop — each probe's norm is computed
+    * once per TASK and each row's once per ROW (the naive per-pair
+    * cosine() recomputes both, tripling the flops of the whole scan) —
+    * and the row vector unwraps to a primitive array once per row, so
+    * the inner loop is a pure float-array dot. Same IEEE expression
+    * dot/(‖p‖·‖e‖) in the same order → results bit-identical.
+    */
   private def localTopK(probeArr: Array[(Long, Array[Float])], k: Int)(
       it: Iterator[EmbRow]): Iterator[Scored] = {
     // min-heap on (cos asc, neighbor_id desc) so the weakest entry is on top
     val ord = Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }
     val heaps = probeArr.map(_ => mutable.PriorityQueue.empty[(Double, Long)](ord))
+    val pNorms = probeArr.map { case (_, pv) => normA(pv) }
     it.foreach { e =>
+      val ev: Array[Float] = e.embedding match {
+        case a: scala.collection.immutable.ArraySeq.ofFloat => a.unsafeArray
+        case s => s.toArray
+      }
+      val en = normA(ev)
       var p = 0
       while (p < probeArr.length) {
         val (pid, pv) = probeArr(p)
         if (e.vec_id != pid) {
-          val c = cosine(pv, e.embedding)
+          val c = dotA(pv, ev) / (pNorms(p) * en)
           val h = heaps(p)
           if (h.size < k) h.enqueue((c, e.vec_id))
           else {
