@@ -774,6 +774,97 @@ object TextOps {
           round(sum("re_t").cast(DoubleType) / sum("nw"), 4)
             .as("regex_fertility"))
         .orderBy("lang")
+    },
+
+    // ---- #269 Gopher quality-rule battery (Rae et al. 2021 §A1.1) --------
+    // The heuristic filter bank every large-scale curation pipeline runs
+    // before model-based scoring: per document, the five canonical rules at
+    // their PUBLISHED thresholds — word count ∈ [50, 100k], mean word
+    // length ∈ [3, 10], symbol-char ratio ≤ 0.1, alphabetic-char fraction
+    // ≥ 0.8, ≥ 2 stopword hits — each as an explicit flag plus the
+    // conjunction verdict, so downstream reporting can attribute WHICH
+    // rule killed a doc (the fraction each rule removes is the first
+    // diagnostic a curation run reads). Character-class counts come from
+    // two codegen regexp_replace strips (chars minus survivors), never a
+    // per-word interpreted lambda; everything is a stateless narrow
+    // projection — zero shuffle at any corpus size, throughput is
+    // parquet-scan bound. Rule comparisons evaluate the RAW integer
+    // ratios (same IEEE divide both engines); round(·,4) only at output.
+    "gopher_rules" -> OpDef(
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS nc, len(string_split(text, ' ')) AS nw,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','and','of','to','in','is','a'], w)))
+        |      AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+        |      AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS n_digit
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, nw, n_stop, n_alpha, n_digit,
+        |    CAST(nc - nw + 1 AS DOUBLE) / nw AS mwl,
+        |    nc - nw + 1 AS nsp
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(mwl, 4) AS mean_word_len,
+        |  round(CAST(nsp - n_alpha - n_digit AS DOUBLE) / nsp, 4) AS sym_frac,
+        |  round(CAST(n_alpha AS DOUBLE) / nsp, 4) AS alpha_frac,
+        |  CAST(n_stop AS BIGINT) AS n_stop,
+        |  CAST(CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS r_wordcount,
+        |  CAST(CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS r_wordlen,
+        |  CAST(CASE WHEN CAST(nsp - n_alpha - n_digit AS DOUBLE) / nsp <= 0.1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+        |  CAST(CASE WHEN CAST(n_alpha AS DOUBLE) / nsp >= 0.8
+        |    THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+        |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        |  CAST(CASE WHEN nw BETWEEN 50 AND 100000
+        |    AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND CAST(nsp - n_alpha - n_digit AS DOUBLE) / nsp <= 0.1
+        |    AND CAST(n_alpha AS DOUBLE) / nsp >= 0.8
+        |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val enLex = array(lexicons(1)._2.map(lit): _*)
+      val t = docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("nc"),
+        size(words).as("nw"),
+        call_function("count_in", words, enLex).as("n_stop"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[a-z]", ""))).as("n_alpha"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"))
+      val m = t.select(col("doc_id"), col("nw"), col("n_stop"),
+        col("n_alpha"), col("n_digit"),
+        ((col("nc") - col("nw") + 1).cast(DoubleType) / col("nw")).as("mwl"),
+        (col("nc") - col("nw") + 1).as("nsp"))
+      val symFrac =
+        (col("nsp") - col("n_alpha") - col("n_digit")).cast(DoubleType) / col("nsp")
+      val alphaFrac = col("n_alpha").cast(DoubleType) / col("nsp")
+      val rWc = col("nw") >= 50 && col("nw") <= 100000
+      val rMwl = col("mwl") >= 3.0 && col("mwl") <= 10.0
+      val rSym = symFrac <= 0.1
+      val rAlpha = alphaFrac >= 0.8
+      val rStop = col("n_stop") >= 2
+      def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+      m.select(col("doc_id"),
+          col("nw").cast(LongType).as("n_words"),
+          round(col("mwl"), 4).as("mean_word_len"),
+          round(symFrac, 4).as("sym_frac"),
+          round(alphaFrac, 4).as("alpha_frac"),
+          col("n_stop").cast(LongType).as("n_stop"),
+          flag(rWc).as("r_wordcount"),
+          flag(rMwl).as("r_wordlen"),
+          flag(rSym).as("r_symbol"),
+          flag(rAlpha).as("r_alpha"),
+          flag(rStop).as("r_stop"),
+          flag(rWc && rMwl && rSym && rAlpha && rStop).as("kept"))
+        .orderBy("doc_id")
     }
   )
 }

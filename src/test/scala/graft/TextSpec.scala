@@ -51,4 +51,34 @@ class TextSpec extends SparkSpecBase {
     assert(got.values.exists(_._1 > 0), "no doc has any duplicate 2-gram — vacuous")
     assert(got.values.forall { case (a, b) => a >= 0 && a <= 1 && b >= 0 && b <= 1 })
   }
+
+  test("gopher_rules flags equal a direct per-doc recompute; battery non-vacuous") {
+    val stop = Set("the", "and", "of", "to", "in", "is", "a")
+    val got = run("gopher_rules").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+        r.getLong(10), r.getLong(11)))
+    }.toMap
+    val exp = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map { r =>
+        val text = r.getString(1)
+        val ws = text.split(" ", -1).toSeq
+        val nw = ws.size
+        val nsp = text.length - nw + 1
+        val nAlpha = text.count(c => c >= 'a' && c <= 'z')
+        val nDigit = text.count(c => c >= '0' && c <= '9')
+        val mwl = nsp.toDouble / nw
+        val rWc = nw >= 50 && nw <= 100000
+        val rMwl = mwl >= 3.0 && mwl <= 10.0
+        val rSym = (nsp - nAlpha - nDigit).toDouble / nsp <= 0.1
+        val rAlpha = nAlpha.toDouble / nsp >= 0.8
+        val rStop = ws.count(stop) >= 2
+        def f(b: Boolean) = if (b) 1L else 0L
+        r.getLong(0) -> ((f(rWc), f(rMwl), f(rSym), f(rAlpha), f(rStop),
+          f(rWc && rMwl && rSym && rAlpha && rStop)))
+      }.toMap
+    assert(got == exp)
+    val kept = got.values.map(_._6)
+    assert(kept.exists(_ == 1L) && kept.exists(_ == 0L),
+      "kept verdict never varies — rule battery vacuous on this corpus")
+  }
 }
