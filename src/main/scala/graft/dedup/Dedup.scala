@@ -787,6 +787,58 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- #270 semantic (embedding-space) benchmark contamination ----------
+    // The decontamination pass #73's n-gram screen cannot run: paraphrased
+    // or translated benchmark leakage shares no 8-gram but sits close in
+    // embedding space. Per corpus vector: max cosine to ANY held-out
+    // benchmark vector (deterministic vec_id % 100 slice) + how many
+    // benchmark items it is ≥ τ close to. Scale shape: real benchmark
+    // suites are small constants (thousands of items, not corpus-sized),
+    // so the bench side BROADCASTS (≤ a few MB at any corpus scale) and
+    // the pass is one corpus scan — Θ(n·|bench|) codegen'd cosines with
+    // NO shuffle of scores: partial aggregation collapses to one row per
+    // corpus vector map-side, so the exchange moves n rows of three
+    // scalars. The contaminated flag compares the RAW max (identical
+    // IEEE fold both engines); round(·,4) only at output.
+    "embed_contamination" -> OpDef(
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, e AS eb FROM v WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, label, e FROM v WHERE vec_id % 100 <> 0),
+        |p AS (
+        |  SELECT c.vec_id, c.label,
+        |    list_sum(list_transform(generate_series(1, 64), i -> c.e[i] * b.eb[i]))
+        |      / (sqrt(list_sum(list_transform(c.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.eb, x -> x * x)))) AS cos
+        |  FROM c, b)
+        |SELECT vec_id, label,
+        |  round(MAX(cos), 4) AS max_cos,
+        |  CAST(SUM(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+        |  CAST(CASE WHEN MAX(cos) >= 0.35 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM p GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = embs(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      val bench = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("bench_id"), col("e").as("eb"))
+      val corp = v.filter(col("vec_id") % 100 =!= 0)
+      corp.join(broadcast(bench))
+        .select(col("vec_id"), col("label"),
+          call_function("cosine_sim", col("e"), col("eb")).as("cos"))
+        .groupBy("vec_id", "label")
+        .agg(max("cos").as("mc"),
+          sum(when(col("cos") >= 0.35, 1L).otherwise(0L)).cast(LongType)
+            .as("n_close"))
+        .select(col("vec_id"), col("label"),
+          round(col("mc"), 4).as("max_cos"), col("n_close"),
+          when(col("mc") >= 0.35, 1L).otherwise(0L).as("contaminated"))
+        .orderBy("vec_id")
+    },
+
     // ---- #90 span-level exact-substring dedup (the Lee et al. 2022
     // "Deduplicating Training Data" pattern): per document, how much of it
     // is an exact ≥8-word run that also appears in ANOTHER document —

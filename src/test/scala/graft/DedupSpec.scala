@@ -247,6 +247,32 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.forall(r => lbl(r.getLong(0)) == lbl(r.getLong(1))))
   }
 
+  test("embed_contamination equals a direct max-cos recompute; flag = n_close>0") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val bench = vecs.filter(_._1 % 100 == 0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exp = vecs.filter(_._1 % 100 != 0).map { case (id, e) =>
+      val cs = bench.map { case (_, eb) => cos(e, eb) }
+      id -> ((cs.max, cs.count(_ >= 0.35).toLong))
+    }.toMap
+    val got = run("embed_contamination").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (id, (mc, nc, flag)) =>
+      val (emc, enc) = exp(id)
+      assert(math.abs(mc - emc) < 5e-5, s"vec $id max_cos $mc vs $emc")
+      assert(nc == enc, s"vec $id n_close")
+      assert(flag == (if (enc > 0) 1L else 0L), s"vec $id flag")
+    }
+    assert(got.values.exists(_._3 == 1L), "no contaminated vector — vacuous fixture")
+  }
+
   test("contamination flags only docs sharing a full 8-gram with the benchmark") {
     val s = spark
     import s.implicits._
