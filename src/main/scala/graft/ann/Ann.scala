@@ -151,6 +151,53 @@ object Ann extends Serializable {
     }
   }
 
+  /** #270 semantic-contamination kernel (used by
+    * [[graft.dedup.Dedup]] `embed_contamination`): max cosine + within-τ
+    * count of every non-benchmark vector against the benchmark slice
+    * (vec_id % mod == 0). Benchmark suites are O(1)-sized vs the corpus →
+    * driver-collect + task-closure broadcast, ONE corpus scan, zero score
+    * shuffle: the per-row max/count reduction happens INSIDE the kernel,
+    * so nothing pair-grained ever materializes (the declarative
+    * broadcast-join form moves |corpus|·|bench| rows through codegen row
+    * machinery — 210 s at sf10 vs ~8 s here). Norms hoist per the
+    * [[localTopK]] discipline: each bench norm once per TASK, each row
+    * norm once per ROW; cos = dot/(‖a‖·‖b‖) is the same IEEE expression
+    * in the same fold order as the SQL oracle → bit-identical.
+    */
+  def maxCosVsBench(s: SparkSession, dir: String, mod: Long, tau: Double): DataFrame = {
+    import s.implicits._
+    val benchArr = embDs(s, dir).filter(col("vec_id") % mod === 0)
+      .collect().sortBy(_.vec_id).map(_.embedding.toArray)
+    val bNorms = benchArr.map(normA)
+    val corp = embDs(s, dir).filter(col("vec_id") % mod =!= 0)
+    // The kernel is COMPUTE-bound: Θ(n·|bench|·d) flops over Θ(n·d) bytes,
+    // so idle cores — not I/O — set the wall time. A ~128 MB parquet file
+    // scans as a handful of input splits, stranding most of the cluster;
+    // widen to full parallelism when the scan is narrower (the exchange
+    // moves the corpus ONCE, amortized |bench|-fold by the flops it
+    // unlocks — sf10: 70 s → ~9 s). On any layout whose scan is already
+    // wide (a real 100 TB corpus), this is a no-op.
+    val par = s.sparkContext.defaultParallelism
+    val wide = if (corp.rdd.getNumPartitions < par) corp.repartition(par) else corp
+    wide.mapPartitions { it =>
+      it.map { e =>
+        val ev: Array[Float] = e.embedding match {
+          case a: scala.collection.immutable.ArraySeq.ofFloat => a.unsafeArray
+          case sq => sq.toArray
+        }
+        val en = normA(ev)
+        var mc = Double.NegativeInfinity; var n = 0L; var i = 0
+        while (i < benchArr.length) {
+          val c = dotA(benchArr(i), ev) / (bNorms(i) * en)
+          if (c > mc) mc = c
+          if (c >= tau) n += 1
+          i += 1
+        }
+        (e.vec_id, e.label, mc, n)
+      }
+    }.toDF("vec_id", "label", "mc", "n_close")
+  }
+
   /** Exact top-k oracle — shared by `ann_bruteforce` and the exact-regime
     * rows (`ann_lsh_exact` / `ann_ivf_exact`): with exhaustive probing the
     * approximate paths degenerate to brute force, so all three hash-match

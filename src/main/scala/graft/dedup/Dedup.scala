@@ -794,12 +794,12 @@ object Dedup {
     // benchmark vector (deterministic vec_id % 100 slice) + how many
     // benchmark items it is ≥ τ close to. Scale shape: real benchmark
     // suites are small constants (thousands of items, not corpus-sized),
-    // so the bench side BROADCASTS (≤ a few MB at any corpus scale) and
-    // the pass is one corpus scan — Θ(n·|bench|) codegen'd cosines with
-    // NO shuffle of scores: partial aggregation collapses to one row per
-    // corpus vector map-side, so the exchange moves n rows of three
-    // scalars. The contaminated flag compares the RAW max (identical
-    // IEEE fold both engines); round(·,4) only at output.
+    // so the bench side ships in the task closure and the pass is ONE
+    // corpus scan with the max/count reduction inside the kernel
+    // ([[graft.ann.Ann.maxCosVsBench]] — the #34 norms-hoisted primitive
+    // loop; nothing pair-grained ever materializes, zero score shuffle).
+    // The contaminated flag compares the RAW max (identical IEEE fold
+    // both engines); round(·,4) only at output.
     "embed_contamination" -> OpDef(
       """WITH v AS (
         |  SELECT vec_id, label,
@@ -820,19 +820,8 @@ object Dedup {
         |    AS contaminated
         |FROM p GROUP BY 1, 2 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val v = embs(s, dir)
-        .select(col("vec_id"), col("label"), col("embedding").as("e"))
-      val bench = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("bench_id"), col("e").as("eb"))
-      val corp = v.filter(col("vec_id") % 100 =!= 0)
-      corp.join(broadcast(bench))
-        .select(col("vec_id"), col("label"),
-          call_function("cosine_sim", col("e"), col("eb")).as("cos"))
-        .groupBy("vec_id", "label")
-        .agg(max("cos").as("mc"),
-          sum(when(col("cos") >= 0.35, 1L).otherwise(0L)).cast(LongType)
-            .as("n_close"))
+      GraftSession.tune(s)
+      graft.ann.Ann.maxCosVsBench(s, dir, 100L, 0.35)
         .select(col("vec_id"), col("label"),
           round(col("mc"), 4).as("max_cos"), col("n_close"),
           when(col("mc") >= 0.35, 1L).otherwise(0L).as("contaminated"))
