@@ -229,6 +229,79 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- #271 winnowing fingerprint (Schleimer et al. SIGMOD'03 / MOSS) --
+    // The position-robust LOCAL fingerprint #39's global rolling hash is
+    // not: over the doc's word-3-gram hash sequence, every window of
+    // W = 4 consecutive grams selects its minimum hash (ties → RIGHTMOST,
+    // the robust-winnowing rule), and the distinct selected (pos, hash)
+    // set is the fingerprint — any shared substring of ≥ W+2 words forces
+    // a shared fingerprint, which is what makes winnowed indexes work for
+    // plagiarism/overlap detection. The rightmost-min tie-break folds
+    // into ONE integer window-min: key = h·2²⁰ + (2²⁰−1−i) (h < 2³², so
+    // key < 2⁵² — exact in BIGINT on both engines; min key = min h, ties
+    // to max i). Scale shape: one doc_id exchange that the gram window,
+    // the fingerprint distinct, and both per-doc collapses all ride;
+    // selected-set mass is ~2/(W+1) of the gram stream. The fp_chk
+    // column pins the exact selected SET cross-engine, not just its size.
+    "winnow_fingerprint" -> OpDef(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]),
+        |      1, 8))::BIGINT AS h
+        |  FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
+        |  WHERE len(ws) >= 3),
+        |k AS (
+        |  SELECT doc_id,
+        |    COUNT(*) OVER win AS cnt,
+        |    MIN(h * 1048576 + (1048575 - i)) OVER win AS kmin
+        |  FROM g
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, kmin // 1048576 AS fph,
+        |    1048575 - (kmin % 1048576) AS pos
+        |  FROM k WHERE cnt = 4),
+        |m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |      FROM g GROUP BY 1),
+        |f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+        |        CAST(SUM(fph) % 1000003 AS BIGINT) AS fp_chk
+        |      FROM sel GROUP BY 1)
+        |SELECT m.doc_id, m.n_grams, f.n_fps,
+        |  round(CAST(f.n_fps AS DOUBLE) / m.n_grams, 4) AS density, f.fp_chk
+        |FROM m JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), words.as("ws"))
+      val g = d.filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), size(col("ws")) - 3)).as("i"))
+        .select(col("doc_id"), col("i"),
+          conv(substring(md5(concat_ws(" ",
+            element_at(col("ws"), col("i") + 1),
+            element_at(col("ws"), col("i") + 2),
+            element_at(col("ws"), col("i") + 3))), 1, 8), 16, 10)
+            .cast(LongType).as("h"))
+      val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+      val k = g.select(col("doc_id"),
+        count(lit(1)).over(win).as("cnt"),
+        min(col("h") * 1048576L + (lit(1048575L) - col("i"))).over(win)
+          .as("kmin"))
+      val sel = k.filter(col("cnt") === 4)
+        .select(col("doc_id"), expr("kmin div 1048576").as("fph"),
+          (lit(1048575L) - col("kmin") % 1048576L).as("pos"))
+        .distinct()
+      val m = g.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("n_grams"))
+      val f = sel.groupBy("doc_id")
+        .agg(count(lit(1)).cast(LongType).as("n_fps"),
+          (sum("fph") % 1000003L).cast(LongType).as("fp_chk"))
+      m.join(f, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_fps"),
+          round(col("n_fps").cast(DoubleType) / col("n_grams"), 4).as("density"),
+          col("fp_chk"))
+        .orderBy("doc_id")
+    },
+
     // ---- #69 corpus token frequency top-k (vocab coverage) ----------------
     // Tokenizer-vocab analysis over the whole corpus: the space-saving
     // TopKAgg DIRECTLY on the exploded token stream — one shuffle of

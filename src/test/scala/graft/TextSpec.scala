@@ -52,6 +52,35 @@ class TextSpec extends SparkSpecBase {
     assert(got.values.forall { case (a, b) => a >= 0 && a <= 1 && b >= 0 && b <= 1 })
   }
 
+  test("winnow_fingerprint equals a direct sliding-window recompute") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(8), 16)
+    val exp = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().flatMap { r =>
+        val ws = r.getString(1).split(" ", -1)
+        if (ws.length < 3) None else {
+          val hs = (0 to ws.length - 3).map(i => h32(s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}"))
+          val keys = hs.zipWithIndex.map { case (h, i) => h * 1048576L + (1048575L - i) }
+          val sel = keys.sliding(4).filter(_.size == 4).map(_.min)
+            .map(k => (1048575L - k % 1048576L, k / 1048576L)).toSet
+          if (sel.isEmpty) None
+          else Some(r.getLong(0) ->
+            ((hs.size.toLong, sel.size.toLong, sel.toSeq.map(_._2).sum % 1000003L)))
+        }
+      }.toMap
+    val got = run("winnow_fingerprint").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got == exp)
+    // density must sit in winnowing's theoretical band: every selected
+    // position covers at most W windows, at least one per window
+    run("winnow_fingerprint").collect().foreach { r =>
+      val d = r.getDouble(3)
+      assert(d > 0.0 && d <= 1.0, s"doc ${r.getLong(0)} density $d")
+    }
+  }
+
   test("gopher_rules flags equal a direct per-doc recompute; battery non-vacuous") {
     val stop = Set("the", "and", "of", "to", "in", "is", "a")
     val got = run("gopher_rules").collect().map { r =>
