@@ -811,4 +811,23 @@ class PlanAuditSpec extends SparkSpecBase {
         s"$q: rank-limit pushdown stopped firing (no WindowGroupLimitExec): $a")
     }
   }
+
+  // r11 curation batch. gopher_rules is the bank's cheapest shape — a
+  // stateless rule projection whose ONLY exchange is the output sort.
+  // winnow_fingerprint: one gram scan feeds the window + fingerprint
+  // distinct + both per-doc collapses; the m⋈f join is doc_id-keyed.
+  // embed_contamination: the scan feeds the closure kernel; exchanges are
+  // the compute-spread repartition + the output sort, and NOTHING
+  // pair-grained (no join operator at all — the bench side lives in the
+  // task closure).
+  test("r11 curation ops: bounded exchanges, no fallback, no pair-grained join") {
+    val g = auditOf(run("gopher_rules"))
+    assert(g.scans == 1 && g.shuffles <= 1 &&
+      g.broadcastJoins + g.sortMergeJoins == 0 && g.fallbackExprs.isEmpty, s"$g")
+    val w = auditOf(run("winnow_fingerprint"))
+    assert(w.scans <= 2 && w.shuffles <= 6 && w.fallbackExprs.isEmpty, s"$w")
+    val e = auditOf(run("embed_contamination"))
+    assert(e.scans == 1 && e.shuffles <= 2 &&
+      e.broadcastJoins + e.sortMergeJoins == 0 && e.fallbackExprs.isEmpty, s"$e")
+  }
 }
