@@ -1170,9 +1170,17 @@ object Relational {
       // floor() before the long cast on BOTH engines: Spark's double→long
       // truncates toward zero, DuckDB's rounds half-to-even — floor makes
       // fractional quantities agree (the topk_weighted convention)
-      val byValue = tbl(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .agg(sum(floor(col("l_quantity")).cast(LongType)).as("wt"))
+      // persist justification: the pre-agg grain feeds BOTH the bucket-total
+      // branch and the detail join of the two-level prefix below — without
+      // it each branch re-scans the FACT table (2× the dominant IO at
+      // 100 TB). What is cached is the collapsed (flag, distinct-price)
+      // grain, orders of magnitude below the fact row count; registered
+      // with CacheRegistry so long-lived sessions have a release path.
+      val byValue = graft.CacheRegistry.track(
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .agg(sum(floor(col("l_quantity")).cast(LongType)).as("wt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // Cumulative weights via the rfm_segments bucketed two-level prefix
       // (r11): the price grain is ≈ one row per distinct extendedprice —
       // NOT domain-bounded — so a per-flag window over it funnels the

@@ -115,14 +115,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(a.fallbackExprs.isEmpty, s"interpreted finisher crept in: $a")
   }
 
-  // r5 shape: (group, value) pre-agg exchange → ONE l_returnflag exchange
-  // shared by both windows AND the final group agg (same partitioning) →
-  // output sort. A 4th exchange means a window or the collapse stopped
-  // reusing the rf distribution.
-  test("quantiles_exact_weighted: windows and collapse share one rf exchange") {
+  // r11 shape (bucketed two-level prefix — the r5 single per-flag window
+  // funneled the whole distinct-price grain through |flags| tasks): the
+  // cached (flag, value) pre-agg is read by BOTH branches (2 InMemoryTable
+  // scans of ONE cached frame — the fact table itself is scanned once, into
+  // the cache build); the bucket-grain totals come back as a BROADCAST join
+  // (the global_rank offsets discipline — bucket grain is domain-bounded);
+  // the only sequential window runs on that bucket grain. A sort-merge
+  // join, or a 3rd scan, means a branch stopped riding the cache.
+  test("quantiles_exact_weighted: bucketed prefix, cached pre-agg, offsets broadcast") {
     val a = auditOf(run("quantiles_exact_weighted"))
-    assert(a.scans == 1 && a.shuffles <= 3, s"$a")
-    assert(a.broadcastJoins + a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
+    assert(a.scans <= 2 && a.shuffles <= 7, s"$a")
+    assert(a.broadcastJoins == 1 && a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty,
+      s"$a")
   }
 
   // r6 shapes: the -State/-Merge re-aggregations are two agg exchanges + the
