@@ -172,6 +172,71 @@ object CorpusProfile {
         .orderBy("source")
     },
 
+    // ---- #274 cross-source near-dup leakage --------------------------------
+    // The provenance read-out on the near-dup pair graph: how many
+    // hamming≤2 simhash pairs (#32b's machinery) stay WITHIN one source vs
+    // crossing source boundaries — cross-source mass is syndication/mirror
+    // leakage that per-source dedup would miss entirely, and it decides
+    // whether dedup must run globally or can shard by source (a 100 TB cost
+    // cliff). The pair set joins the (doc_id, source) projection on both
+    // ends — near-dup pairs are orders of magnitude fewer than docs at any
+    // corpus scale, so both lookups are pair-bounded; the collapse lands on
+    // the ≤ |sources|² cell grain and share rides a grain window.
+    "cross_source_leakage" -> OpDef(
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')),
+        |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59), i ->
+        |      CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+        |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM t),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 20)) & 1048575 AS bkey
+        |  FROM s, (SELECT unnest(generate_series(0, 2)) AS b)
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey)
+        |    <= ${graft.dedup.Dedup.LshBucketCap}),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+        |  WHERE a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.sig, b.sig)) <= 2),
+        |src AS (SELECT doc_id, source FROM documents),
+        |p AS (
+        |  SELECT least(sa.source, sb.source) AS source_a,
+        |         greatest(sa.source, sb.source) AS source_b
+        |  FROM cand c
+        |  JOIN src sa ON sa.doc_id = c.doc_a
+        |  JOIN src sb ON sb.doc_id = c.doc_b),
+        |g AS (
+        |  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM p GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_pairs,
+        |  source_a <> source_b AS cross_source,
+        |  round(CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER (), 4) AS share
+        |FROM g ORDER BY source_a, source_b""".stripMargin
+    ) { (s, dir) =>
+      val pairs = graft.dedup.Dedup.simhashPairs(s, dir)
+        .select("doc_a", "doc_b")
+      val src = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+      val g = pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).cast(LongType).as("n_pairs"))
+      g.select(col("source_a"), col("source_b"), col("n_pairs"),
+          (col("source_a") =!= col("source_b")).as("cross_source"),
+          round(col("n_pairs").cast(DoubleType)
+            / sum("n_pairs").over(Window.partitionBy()), 4).as("share"))
+        .orderBy("source_a", "source_b")
+    },
+
     // ---- #197 tokens-per-doc histogram -------------------------------------
     // Corpus length structure in TOKENS (the unit curation budgets in),
     // bucketed by power of two — the log2_histogram discipline (bit

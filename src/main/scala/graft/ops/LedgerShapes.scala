@@ -169,6 +169,57 @@ object LedgerShapes {
         .orderBy("user_id")
     },
 
+    // ---- #272 maximum drawdown of the running balance ---------------------
+    // The risk read-out on top of #264's replay: per account, the largest
+    // peak-to-trough fall of the balance trajectory (max over t of
+    // running-peak − balance). Same single user_id exchange as #264 — the
+    // running sum, the running peak (a second window pass on the SAME
+    // partitioning+ordering, no new shuffle), and the per-user collapse all
+    // ride one hash distribution. Everything folds in DECIMAL(18,2); the
+    // doubles appear only at output, so the max is picked exactly.
+    "drawdown_max" -> OpDef(
+      """WITH led AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN CAST("value" AS DECIMAL(18,2))
+        |         ELSE -CAST("value" AS DECIMAL(18,2)) END AS amt
+        |  FROM events),
+        |run AS (
+        |  SELECT user_id, event_id,
+        |    SUM(amt) OVER (PARTITION BY user_id ORDER BY event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS bal
+        |  FROM led),
+        |pk AS (
+        |  SELECT user_id, event_id, bal,
+        |    MAX(bal) OVER (PARTITION BY user_id ORDER BY event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM run)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tx,
+        |  CAST(MAX(peak - bal) AS DOUBLE) AS max_drawdown,
+        |  CAST(MAX(bal) AS DOUBLE) AS peak_balance,
+        |  CAST(arg_max(bal, event_id) AS DOUBLE) AS final_balance
+        |FROM pk GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val amt = when(col("event_type").isin("purchase", "signup"),
+        col("value").cast(DecimalType(18, 2)))
+        .otherwise(-col("value").cast(DecimalType(18, 2)))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), amt.as("amt"))
+        .withColumn("bal", sum("amt").over(w))
+        .withColumn("peak", max("bal").over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).cast(LongType).as("n_tx"),
+          max(col("peak") - col("bal")).cast(DoubleType).as("max_drawdown"),
+          max("bal").cast(DoubleType).as("peak_balance"),
+          max_by(col("bal"), col("event_id")).cast(DoubleType)
+            .as("final_balance"))
+        .orderBy("user_id")
+    },
+
     // ---- #265 hour-over-hour top movers -----------------------------------
     // The monitoring query over #262's bars: which (instrument, hour) cells
     // moved the most volume vs their previous bar. The event-count grain

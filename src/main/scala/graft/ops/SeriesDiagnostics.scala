@@ -376,6 +376,55 @@ object SeriesDiagnostics {
         .orderBy("event_type", "h")
     },
 
+    // ---- #275 (dow × hour) activity heatmap with independence residuals ----
+    // The joint weekly rhythm hour_profile (#176) and dow_seasonality
+    // (#178) each see only marginally: counts on the ≤168-cell
+    // (day-of-week, hour) grid plus the Pearson residual
+    // (n − e)/√e against the independence expectation
+    // e = row_tot·col_tot/total — the cell-level read-out of a χ²
+    // independence test (the cramers_v machinery, kept per-cell), which is
+    // what flags "Friday 18:00 is hotter than dow×hour margins explain".
+    // ONE fact collapse to the fixed 168-cell grain; both margins and the
+    // total ride grain windows (constant rows); counts are exact BIGINTs
+    // and the residual is one fixed IEEE chain (mul, div, sub, sqrt, div)
+    // → round(·,4).
+    "dow_hour_heatmap" -> OpDef(
+      """WITH g AS (
+        |  SELECT date_part('dow', CAST(ts AS DATE)) AS dow,
+        |    date_part('hour', ts) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT CAST(dow AS BIGINT) AS dow, CAST(h AS BIGINT) AS h, n,
+        |    CAST(SUM(n) OVER (PARTITION BY dow) AS BIGINT) AS row_tot,
+        |    CAST(SUM(n) OVER (PARTITION BY h) AS BIGINT) AS col_tot,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT dow, h, n,
+        |  round(CAST(row_tot AS DOUBLE) * col_tot / tot, 4) AS expected,
+        |  round((n - CAST(row_tot AS DOUBLE) * col_tot / tot)
+        |        / sqrt(CAST(row_tot AS DOUBLE) * col_tot / tot), 4)
+        |    AS pearson_resid
+        |FROM w ORDER BY dow, h""".stripMargin
+    ) { (s, dir) =>
+      val g = tbl(s, dir, "events")
+        .groupBy(
+          (dayofweek(col("ts").cast(DateType)) - 1).cast(LongType).as("dow"),
+          hour(col("ts")).cast(LongType).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = g
+        .withColumn("row_tot", sum("n").over(Window.partitionBy("dow"))
+          .cast(LongType))
+        .withColumn("col_tot", sum("n").over(Window.partitionBy("h"))
+          .cast(LongType))
+        .withColumn("tot", sum("n").over(Window.partitionBy()).cast(LongType))
+      val e = col("row_tot").cast(DoubleType) * col("col_tot") / col("tot")
+      w.select(col("dow"), col("h"), col("n").cast(LongType).as("n"),
+          round(e, 4).as("expected"),
+          round((col("n") - e) / sqrt(e), 4).as("pearson_resid"))
+        .orderBy("dow", "h")
+    },
+
     // ---- #178 day-of-week seasonality factors ------------------------------
     // factor(t, dow) = mean(cents | t, dow) / mean(cents | t) — the
     // multiplicative weekday profile behind seasonal baselines (the

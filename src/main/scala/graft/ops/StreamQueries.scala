@@ -289,6 +289,36 @@ object StreamQueries {
       StreamOps.ohlcBars(ev(s, dir)).orderBy("event_type", "bar_hour")
     },
 
+    // ---- #276 live hourly VWAP (batch shape) -----------------------------
+    // The streaming twin of #263: the same windowed aggregate that keeps a
+    // live volume-weighted price per instrument warm. Only the ADDITIVE
+    // partials (decimal Σ value·k, Σk) live in state — arrival-order
+    // independent, so stream ≡ batch exactly — and the #263 integer
+    // micro-unit rounding runs as a projection on closed windows
+    // (StreamOpsStreamingSpec pins the shuffled replay).
+    "stream_vwap" -> OpDef(
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bar_hour,
+        |    SUM(CAST("value" AS DECIMAL(18,2))
+        |        * CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |               AS DECIMAL(18,0))) AS num,
+        |    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |      AS BIGINT) AS w_total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_trades
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, bar_hour, w_total, n_trades,
+        |    (2 * CAST(num * 1000000 AS BIGINT) + w_total)
+        |      // (2 * w_total) AS v6
+        |  FROM g WHERE w_total > 0)
+        |SELECT event_type, bar_hour,
+        |  CAST(v6 AS DOUBLE) / 1000000 AS vwap, w_total, n_trades
+        |FROM v ORDER BY event_type, bar_hour""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.vwapBars(ev(s, dir)).orderBy("event_type", "bar_hour")
+    },
+
     // ---- #260 streaming simhash near-dup screen (batch shape) ------------
     // The CONTENT twin of #44's key dedup and the streaming twin of #32b:
     // docs arrive in order, each probes a per-(band,bucket) index of the

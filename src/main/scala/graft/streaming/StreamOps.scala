@@ -344,6 +344,36 @@ object StreamOps {
         col("volume"), col("n_trades"))
   }
 
+  /** #276 — live hourly VWAP per instrument: the streaming twin of
+    * `vwap_hourly` (#263). The windowed aggregate keeps only the two
+    * additive partials (DECIMAL Σ value·k, BIGINT Σk) plus a count — both
+    * arrival-order independent, so stream ≡ batch exactly — and the
+    * integer half-up micro-unit divide (the #263 parity spelling: 6-dp
+    * midpoints are common on cents×integer inputs and double-rounding
+    * diverges across engines) runs as a PROJECTION on the closed window's
+    * partials. State per open window is O(instruments) scalars, evicted
+    * by the 1-hour watermark; zero-weight bars drop (0/0 VWAP).
+    */
+  def vwapBars(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        sum(col("value").cast("decimal(18,2)") * k.cast("decimal(18,0)"))
+          .as("num"),
+        sum(k).cast("long").as("w_total"),
+        count(lit(1)).cast("long").as("n_trades"))
+      .filter(col("w_total") > 0)
+      .withColumn("v6",
+        expr("(2 * CAST(num * 1000000 AS BIGINT) + w_total)" +
+          " div (2 * w_total)"))
+      .select(col("event_type"),
+        unix_timestamp(col("w.start")).cast("long").as("bar_hour"),
+        (col("v6").cast("double") / lit(1000000d)).as("vwap"),
+        col("w_total"), col("n_trades"))
+  }
+
   /** #44 — drop duplicate (user_id, event_type) arrivals; on streams the
     * watermark bounds the dedup state (dropDuplicatesWithinWatermark), in
     * batch it is an exact keep-first dedup.

@@ -103,6 +103,73 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- #277 code-switching / mixed-language detector ---------------------
+    // The per-doc signal #36's argmax throws away: how much stopword
+    // evidence points AWAY from the winning language. Mixed-language docs
+    // (translations pasted together, boilerplate in a second language,
+    // mislabeled feeds) poison monolingual training mixes, and a pure
+    // argmax scores them confidently. mix_ratio = (Σ hits − max hits) /
+    // Σ hits over the four lexicons; mixed = ≥2 foreign hits AND ratio
+    // ≥ 0.25. Same distinct-token intersect scan as #36 — stateless, zero
+    // shuffle at any SF; the ratio is one exact-integer divide →
+    // round(·,4).
+    "lang_mix" -> OpDef(
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    len(list_intersect(ws, ${sqlList(lexicons(1)._2)})) AS h_en,
+         |    len(list_intersect(ws, ${sqlList(lexicons(0)._2)})) AS h_de,
+         |    len(list_intersect(ws, ${sqlList(lexicons(3)._2)})) AS h_fr,
+         |    len(list_intersect(ws, ${sqlList(lexicons(2)._2)})) AS h_es
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
+         |         WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+         |         WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+         |         WHEN h_fr >= h_es THEN 'fr'
+         |         ELSE 'es' END AS pred_lang,
+         |    h_en + h_de + h_fr + h_es AS h_tot,
+         |    h_en + h_de + h_fr + h_es - greatest(h_en, h_de, h_fr, h_es)
+         |      AS h_other
+         |  FROM h)
+         |SELECT doc_id, pred_lang,
+         |  CAST(h_tot AS BIGINT) AS n_hits_total,
+         |  CAST(h_other AS BIGINT) AS n_hits_other,
+         |  CASE WHEN h_tot > 0
+         |       THEN round(CAST(h_other AS DOUBLE) / h_tot, 4) ELSE 0.0 END
+         |    AS mix_ratio,
+         |  CAST(CASE WHEN h_other >= 2
+         |             AND 4 * h_other >= h_tot THEN 1 ELSE 0 END AS BIGINT)
+         |    AS mixed
+         |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ws = array_distinct(words)
+      def hits(lex: Seq[String]): Column =
+        size(array_intersect(ws, array(lex.map(lit): _*)))
+      val hEn = hits(lexicons(1)._2); val hDe = hits(lexicons(0)._2)
+      val hFr = hits(lexicons(3)._2); val hEs = hits(lexicons(2)._2)
+      val hTot = hEn + hDe + hFr + hEs
+      val hOther = hTot - greatest(hEn, hDe, hFr, hEs)
+      docs(s, dir).select(
+        col("doc_id"),
+        when(hEn === 0 && hDe === 0 && hFr === 0 && hEs === 0, "und")
+          .when(hEn >= hDe && hEn >= hFr && hEn >= hEs, "en")
+          .when(hDe >= hFr && hDe >= hEs, "de")
+          .when(hFr >= hEs, "fr")
+          .otherwise("es").as("pred_lang"),
+        hTot.cast(LongType).as("n_hits_total"),
+        hOther.cast(LongType).as("n_hits_other"),
+        when(hTot > 0, round(hOther.cast(DoubleType) / hTot, 4))
+          .otherwise(0.0).as("mix_ratio"),
+        // 4·other ≥ total is the exact-integer spelling of ratio ≥ 0.25 —
+        // the flag never compares a rounded double
+        when(hOther >= 2 && hOther * 4 >= hTot, 1L).otherwise(0L).as("mixed"))
+        .orderBy("doc_id")
+    },
+
     // ---- #189 declared-vs-predicted language confusion matrix -------------
     // The language-metadata audit: crosstab of the corpus's DECLARED lang
     // column against #36's predicted language, with the share within each
@@ -430,6 +497,59 @@ object TextOps {
             concat(lit("strat:"), col("doc_id").cast(StringType))) % denom === 0)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    },
+
+    // ---- #273 deterministic train/val/test split --------------------------
+    // The split every training run needs BEFORE packing/sharding: hash each
+    // doc into 100 buckets (train < 98, val = 98, test = 99 — the 98/1/1
+    // convention) with the stratified_sample md5 discipline, then audit the
+    // split per (lang, source) stratum: counts, token mass, and the exact
+    // held-out MEMBERSHIP pinned by the id-sums (a miscounted boundary or a
+    // hash drift moves a doc_id and breaks the sum, not just a ratio).
+    // Scale shape: the assignment is a pure codegen map riding the scan —
+    // zero shuffle, reproducible per doc at any SF (growing the corpus
+    // never reassigns an existing doc) — and the audit is ONE grain
+    // collapse to ≤ |langs|×|sources| cells. train_frac is a single IEEE
+    // divide of exact integers → round(·,4).
+    "train_test_split" -> OpDef(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    ${graft.ops.parity.md5LongSql("'split:'||CAST(doc_id AS VARCHAR)")}
+         |      % 100 AS bk
+         |  FROM documents)
+         |SELECT lang, source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(CASE WHEN bk < 98 THEN 1 END) AS BIGINT) AS n_train,
+         |  CAST(COUNT(CASE WHEN bk = 98 THEN 1 END) AS BIGINT) AS n_val,
+         |  CAST(COUNT(CASE WHEN bk = 99 THEN 1 END) AS BIGINT) AS n_test,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  round(CAST(COUNT(CASE WHEN bk < 98 THEN 1 END) AS DOUBLE)
+         |        / COUNT(*), 4) AS train_frac,
+         |  CAST(COALESCE(SUM(CASE WHEN bk = 98 THEN doc_id END), 0) AS BIGINT)
+         |    AS val_id_sum,
+         |  CAST(COALESCE(SUM(CASE WHEN bk = 99 THEN doc_id END), 0) AS BIGINT)
+         |    AS test_id_sum
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val bk = graft.ops.parity.md5Long(
+        concat(lit("split:"), col("doc_id").cast(StringType))) % 100
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          bk.as("bk"))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).cast(LongType).as("n_docs"),
+          count(when(col("bk") < 98, 1)).cast(LongType).as("n_train"),
+          count(when(col("bk") === 98, 1)).cast(LongType).as("n_val"),
+          count(when(col("bk") === 99, 1)).cast(LongType).as("n_test"),
+          sum("n_chars").cast(LongType).as("sum_chars"),
+          round(count(when(col("bk") < 98, 1)).cast(DoubleType)
+            / count(lit(1)), 4).as("train_frac"),
+          coalesce(sum(when(col("bk") === 98, col("doc_id"))), lit(0L))
+            .cast(LongType).as("val_id_sum"),
+          coalesce(sum(when(col("bk") === 99, col("doc_id"))), lit(0L))
+            .cast(LongType).as("test_id_sum"))
+        .orderBy("lang", "source")
     },
 
     // ---- #105 PII scrubbing (curation redaction pass) ---------------------

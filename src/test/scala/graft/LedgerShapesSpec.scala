@@ -79,6 +79,29 @@ class LedgerShapesSpec extends SparkSpecBase {
     exp.foreach { case (u, v) => assert(got(u) == v, s"user $u") }
   }
 
+  test("drawdown_max: peak-to-trough of the exact replay, final via last event") {
+    val exp = events.groupBy(_._3).map { case (u, rs) =>
+      var bal = BigDecimal(0)
+      var peak = BigDecimal(Double.MinValue)
+      var maxDd = BigDecimal(Double.MinValue)
+      var hi = BigDecimal(Double.MinValue)
+      rs.sortBy(_._1).foreach { r =>
+        val amt = if (r._4 == "purchase" || r._4 == "signup") cents(r._5)
+                  else -cents(r._5)
+        bal += amt
+        if (bal > peak) peak = bal
+        if (peak - bal > maxDd) maxDd = peak - bal
+        if (bal > hi) hi = bal
+      }
+      u -> ((rs.length.toLong, maxDd.toDouble, hi.toDouble, bal.toDouble))
+    }
+    val got = run("drawdown_max").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (u, v) => assert(got(u) == v, s"user $u") }
+  }
+
   test("top_movers: top-20 |Δvolume| with (type, hour) tie-break") {
     val bars = events.groupBy(e => (e._4, hourOf(e._2))).map { case (k, rs) =>
       k -> rs.map(r => cents(r._5)).sum

@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
 class StreamOpsStreamingSpec extends SparkSpecBase {
 
   private type Ev = (Long, Long, String, java.sql.Timestamp, Double)
+  // 6-tuple fixture: vwap needs the json props weight the Ev rows drop
+  private type EvP = (Long, Long, String, java.sql.Timestamp, Double, String)
 
   private def eventRows(): Array[Ev] = {
     import spark.implicits._
@@ -214,6 +216,40 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
     assert(got.subsetOf(batch), s"diff: ${got.diff(batch).take(3)}")
     // every bar the final watermark closed must have been emitted: the
     // watermark is max(ts) - 1h, a closed bar ends at or before it
+    val wmUs = ev.map(_._4.getTime).max - 3600000L
+    val mustClose = batch.filter { b => (b._2 + 3600L) * 1000L <= wmUs }
+    assert(mustClose.subsetOf(got),
+      s"unemitted closed bars: ${mustClose.diff(got).take(3)}")
+  }
+
+  test("live VWAP: closed windows are byte-identical to the batch twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value", "props")
+      .as[EvP].collect().sortBy(_._4.getTime)
+    // shuffled halves: the state is two additive partials, so any arrival
+    // order must converge to the identical integer-rounded bar
+    val rnd = new scala.util.Random(11)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[EvP]
+    val q = StreamOps.vwapBars(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value",
+          "props"))
+      .writeStream.format("memory").queryName("vwap").outputMode("append")
+      .start()
+    try {
+      in.addData(rnd.shuffle(h1.toSeq)); q.processAllAvailable()
+      in.addData(rnd.shuffle(h2.toSeq)); q.processAllAvailable()
+    } finally q.stop()
+    type Bar = (String, Long, Double, Long, Long)
+    def bar(r: org.apache.spark.sql.Row): Bar =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))
+    val got = spark.sql("select * from vwap").collect().map(bar).toSet
+    assert(got.nonEmpty, "no window closed — watermark never advanced")
+    val batch = run("stream_vwap").collect().map(bar).toSet
+    assert(got.subsetOf(batch), s"diff: ${got.diff(batch).take(3)}")
     val wmUs = ev.map(_._4.getTime).max - 3600000L
     val mustClose = batch.filter { b => (b._2 + 3600L) * 1000L <= wmUs }
     assert(mustClose.subsetOf(got),
