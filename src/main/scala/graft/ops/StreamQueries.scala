@@ -319,6 +319,36 @@ object StreamQueries {
       StreamOps.vwapBars(ev(s, dir)).orderBy("event_type", "bar_hour")
     },
 
+    // ---- #278 live per-account balances (batch shape) --------------------
+    // The stateful streaming twin of #264: four integer-cent scalars per
+    // account (mapGroupsWithState), each batch slice folded in event_id
+    // order, snapshot emitted per touched account. The batch shape here is
+    // the SAME integer-cent fold (so stream ≡ batch is exact equality —
+    // StreamOpsStreamingSpec pins the ordered 2-batch replay and in-batch
+    // shuffle invariance); the oracle is #264's decimal derivation, which
+    // the cent fold reproduces bit-for-bit.
+    "stream_balance" -> OpDef(
+      """WITH led AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN CAST("value" AS DECIMAL(18,2))
+        |         ELSE -CAST("value" AS DECIMAL(18,2)) END AS amt
+        |  FROM events),
+        |run AS (
+        |  SELECT user_id, event_id,
+        |    SUM(amt) OVER (PARTITION BY user_id ORDER BY event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS bal
+        |  FROM led)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tx,
+        |  CAST(arg_max(bal, event_id) AS DOUBLE) AS final_balance,
+        |  CAST(MIN(bal) AS DOUBLE) AS min_balance,
+        |  CAST(MAX(bal) AS DOUBLE) AS max_balance
+        |FROM run GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.balanceLive(ev(s, dir)).orderBy("user_id")
+    },
+
     // ---- #260 streaming simhash near-dup screen (batch shape) ------------
     // The CONTENT twin of #44's key dedup and the streaming twin of #32b:
     // docs arrive in order, each probes a per-(band,bucket) index of the

@@ -15,6 +15,21 @@ final case class DwellEv(user_id: Long, event_type: String, us: Long,
 final case class DwellOut(user_id: Long, event_type: String, day: String,
     dwell_us: Long)
 
+/** One signed ledger delta for the per-account balance state machine
+  * (exact integer cents — the state must fold in the same arithmetic the
+  * batch twin's DECIMAL(18,2) does).
+  */
+final case class BalEv(user_id: Long, event_id: Long, amt_c: Long)
+
+/** Per-account balance state: tx count, current / low / high water marks,
+  * all in integer cents.
+  */
+final case class BalState(n: Long, bal: Long, lo: Long, hi: Long)
+
+/** One emitted balance snapshot (the #264 read-out shape). */
+final case class BalOut(user_id: Long, n_tx: Long, final_balance: Double,
+    min_balance: Double, max_balance: Double)
+
 /** SURVEY §2.4 — streaming analytics transforms.
   *
   * Each transform is a pure DataFrame→DataFrame function valid on BOTH a
@@ -372,6 +387,57 @@ object StreamOps {
         unix_timestamp(col("w.start")).cast("long").as("bar_hour"),
         (col("v6").cast("double") / lit(1000000d)).as("vwap"),
         col("w_total"), col("n_trades"))
+  }
+
+  /** #278 — live per-account balances: the streaming twin of
+    * `balance_running` (#264), i.e. the account view a sink keeps warm
+    * while the ledger ingests. State per account is FOUR integer-cent
+    * scalars (tx count, balance, low/high water marks) — O(accounts)
+    * total, no event retention; each micro-batch's arrivals fold in
+    * event_id order (in-batch arrival order is a shuffle artifact, so the
+    * state machine sorts its batch slice — the dwellRows discipline), and
+    * the updated snapshot row emits per touched account (Update mode).
+    * Cross-batch the contract is ordered replay (the CDC cursor
+    * guarantee); the emission spec pins 2-batch ordered replay ≡ batch
+    * and in-batch shuffle-invariance. Exact integer cents end to end —
+    * the /100.0 at the output boundary is the same correctly-rounded
+    * double the batch twin's DECIMAL(18,2) cast produces.
+    */
+  def balanceLive(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val amtC = when(col("event_type").isin("purchase", "signup"), cents)
+      .otherwise(-cents)
+    val sel = events
+      .select(col("user_id"), col("event_id"), amtC.as("amt_c")).as[BalEv]
+    if (events.isStreaming)
+      sel.groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+          (uid: Long, it: Iterator[BalEv], state: GroupState[BalState]) => {
+            var st = state.getOption
+              .getOrElse(BalState(0L, 0L, Long.MaxValue, Long.MinValue))
+            it.toSeq.sortBy(_.event_id).foreach { e =>
+              val b = st.bal + e.amt_c
+              st = BalState(st.n + 1, b, math.min(st.lo, b),
+                math.max(st.hi, b))
+            }
+            state.update(st)
+            BalOut(uid, st.n, st.bal / 100.0, st.lo / 100.0, st.hi / 100.0)
+          }).toDF()
+    else {
+      // batch twin: the same integer-cent fold as the state machine, so
+      // stream ≡ batch is exact equality, not float proximity
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sel.toDF()
+        .withColumn("bal", sum("amt_c").over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_tx"),
+          (max_by(col("bal"), col("event_id")) / 100.0).as("final_balance"),
+          (min("bal") / 100.0).as("min_balance"),
+          (max("bal") / 100.0).as("max_balance"))
+    }
   }
 
   /** #44 — drop duplicate (user_id, event_type) arrivals; on streams the

@@ -255,4 +255,37 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
     assert(mustClose.subsetOf(got),
       s"unemitted closed bars: ${mustClose.diff(got).take(3)}")
   }
+
+  test("live balances: ordered 2-batch replay lands on the batch twin exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // ordered replay contract (the CDC cursor guarantee): split by GLOBAL
+    // event_id order so each account's deltas arrive in ledger order
+    // across batches; WITHIN a batch arrivals shuffle — the state machine
+    // must sort its slice, so a scrambled batch changes nothing
+    val ev = eventRows().sortBy(_._1)
+    val rnd = new scala.util.Random(13)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.balanceLive(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("bal").outputMode("update")
+      .start()
+    try {
+      in.addData(rnd.shuffle(h1.toSeq)); q.processAllAvailable()
+      in.addData(rnd.shuffle(h2.toSeq)); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a touched account's snapshot per batch: the
+    // LAST row per account is its final state
+    val emitted = spark.sql("select * from bal").collect()
+    val got = emitted.map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap // later duplicates of a key overwrite — memory sink appends in
+             // batch order, so the map keeps the final snapshot
+    val batch = run("stream_balance").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got == batch,
+      s"diff: ${(got.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff got.toSet).take(3)}")
+  }
 }
