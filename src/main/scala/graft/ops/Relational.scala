@@ -1170,41 +1170,42 @@ object Relational {
       // floor() before the long cast on BOTH engines: Spark's double→long
       // truncates toward zero, DuckDB's rounds half-to-even — floor makes
       // fractional quantities agree (the topk_weighted convention)
-      // persist justification: the pre-agg grain feeds BOTH the bucket-total
-      // branch and the detail join of the two-level prefix below — without
-      // it each branch re-scans the FACT table (2× the dominant IO at
-      // 100 TB). What is cached is the collapsed (flag, distinct-price)
-      // grain, orders of magnitude below the fact row count; registered
-      // with CacheRegistry so long-lived sessions have a release path.
-      val byValue = graft.CacheRegistry.track(
-        tbl(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-          .agg(sum(floor(col("l_quantity")).cast(LongType)).as("wt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      //
       // Cumulative weights via the rfm_segments bucketed two-level prefix
       // (r11): the price grain is ≈ one row per distinct extendedprice —
       // NOT domain-bounded — so a per-flag window over it funnels the
       // whole grain through |flags| tasks (10 s of the sf1 sweep was this
-      // op). Bucket the grain into 8192-cent ranges: the only
-      // per-flag-sequential window runs on the BUCKET grain (price-range/
-      // $81.92 rows, domain-bounded, CapacityPin-audited), and the
-      // within-bucket prefix is partitioned by (flag, bucket) with ≤ 8192
-      // distinct cent values per partition BY CONSTRUCTION. (v*100).cast
-      // (long) is monotone in v, which is all bucketing needs — boundary
-      // truncation slack moves a value between adjacent buckets, never
-      // out of order.
-      val bucketed = byValue
+      // op). Bucket into 8192-cent ranges: the only per-flag-sequential
+      // window runs on the BUCKET grain (price-range/$81.92 rows,
+      // domain-bounded, CapacityPin-audited), and the within-bucket prefix
+      // is partitioned by (flag, bucket) with ≤ 8192 distinct cent values
+      // per partition BY CONSTRUCTION. (v*100).cast(long) is monotone in
+      // v, which is all bucketing needs — boundary truncation slack moves
+      // a value between adjacent buckets, never out of order.
+      //
+      // r11b: the window runs over RAW detail rows with a RANGE frame (all
+      // ties of v fold into the same cumulative — the distinct-value cum is
+      // read off any tied row). The earlier (flag, v) pre-agg collapsed
+      // nothing (extendedprice is near-unique) yet its exchange was paid
+      // TWICE (bt branch + detail branch recompute); detail-windowing pays
+      // ONE fact-sized exchange. Sub-bucket skew cannot exceed the ≤8192
+      // distinct cents per bucket times the per-value tie mass — the same
+      // bound the pre-agg form had after its join-back.
+      val detail = tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          floor(col("l_quantity")).cast(LongType).as("wt"))
         .withColumn("bk", expr("CAST(v * 100 AS BIGINT) div 8192"))
       val byFlag = Window.partitionBy("l_returnflag")
-      val bt = bucketed.groupBy(col("l_returnflag"), col("bk"))
+      val bt = detail.groupBy(col("l_returnflag"), col("bk"))
         .agg(sum("wt").as("bcnt"))
         .withColumn("boff",
           sum("bcnt").over(byFlag.orderBy("bk")) - col("bcnt"))
         .withColumn("tot", sum("bcnt").over(byFlag))
         .select("l_returnflag", "bk", "boff", "tot")
-      bucketed.join(broadcast(bt), Seq("l_returnflag", "bk"))
+      detail.join(broadcast(bt), Seq("l_returnflag", "bk"))
         .withColumn("cum", col("boff") +
-          sum("wt").over(Window.partitionBy("l_returnflag", "bk").orderBy("v")))
+          sum("wt").over(Window.partitionBy("l_returnflag", "bk").orderBy("v")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("l_returnflag")
         .agg(
           min(when(col("cum") * 4 >= col("tot"), col("v"))).as("p25"),

@@ -117,13 +117,14 @@ class PlanAuditSpec extends SparkSpecBase {
 
   // r11 shape (bucketed two-level prefix — the r5 single per-flag window
   // funneled the whole distinct-price grain through |flags| tasks): the
-  // cached (flag, value) pre-agg is read by BOTH branches (2 InMemoryTable
-  // scans of ONE cached frame — the fact table itself is scanned once, into
-  // the cache build); the bucket-grain totals come back as a BROADCAST join
-  // (the global_rank offsets discipline — bucket grain is domain-bounded);
-  // the only sequential window runs on that bucket grain. A sort-merge
-  // join, or a 3rd scan, means a branch stopped riding the cache.
-  test("quantiles_exact_weighted: bucketed prefix, cached pre-agg, offsets broadcast") {
+  // bucket-grain totals branch is its own pruned scan + tiny aggregation,
+  // coming back as a BROADCAST join (the global_rank offsets discipline —
+  // bucket grain is domain-bounded); the detail branch pays ONE fact-sized
+  // (flag, bucket) window exchange with a RANGE frame folding value ties
+  // (the earlier (flag, v) pre-agg collapsed nothing on near-unique prices
+  // yet its exchange was paid twice). A sort-merge join, or a 3rd scan,
+  // means a branch grew a join-back.
+  test("quantiles_exact_weighted: bucketed prefix, detail range window, offsets broadcast") {
     val a = auditOf(run("quantiles_exact_weighted"))
     assert(a.scans <= 2 && a.shuffles <= 7, s"$a")
     assert(a.broadcastJoins == 1 && a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty,
