@@ -479,6 +479,63 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, dir) => minhashLshPairs(docs(s, dir), tau = 0.35) },
 
+    // ---- #280 MinHash signature mergeability (-State/-Merge proof) --------
+    // The sketch-handoff property every 100-TB dedup pipeline leans on:
+    // per-shard MinHash signatures must MERGE (elementwise min) to exactly
+    // the signature a single pass over the union computes — that is what
+    // lets shards sketch independently and a coordinator fold. Per lang:
+    // sig_md5 = the one-pass [[graft.functions.MinHashAgg]] over all
+    // shingle hashes; sig_md5_reagg = per-(lang, source) cell signatures
+    // re-merged via posexplode + (lang, perm) min + ordered re-assembly
+    // (all codegen — no zip_with lambda). The oracle computes the
+    // semantics ONCE and expects both columns to equal it, so a merge-path
+    // divergence fails the gate. Scale shape: shingle rows collapse to
+    // cells (one exchange), the merge works on |langs|×|sources|×16
+    // scalars — constants.
+    "minhash_reagg" -> OpDef(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_transform($shinglesSql, g -> ${h32Sql("g")}) AS sh
+         |  FROM documents),
+         |e AS (SELECT DISTINCT lang, unnest(sh) AS h FROM t),
+         |sig AS (
+         |  SELECT lang, j,
+         |    MIN((${sqlLongList(permA)}[j+1] * h + ${sqlLongList(permB)}[j+1])
+         |        % $P) AS m
+         |  FROM e, (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS j)
+         |  GROUP BY 1, 2),
+         |s2 AS (
+         |  SELECT lang,
+         |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS sig_md5
+         |  FROM sig GROUP BY 1),
+         |n AS (SELECT lang, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shingles
+         |      FROM e GROUP BY 1)
+         |SELECT s2.lang, n.n_shingles, s2.sig_md5,
+         |  s2.sig_md5 AS sig_md5_reagg
+         |FROM s2 JOIN n USING (lang) ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = trackCache(shingleRowsOf(docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val onepass = e.groupBy("lang")
+        .agg(call_function("minhash16", col("h")).as("sig"),
+          countDistinct("h").cast(LongType).as("n_shingles"))
+        .select(col("lang"), col("n_shingles"),
+          md5(concat_ws(",", col("sig").cast(ArrayType(StringType))))
+            .as("sig_md5"))
+      val cells = e.groupBy("lang", "source")
+        .agg(call_function("minhash16", col("h")).as("sig"))
+      val merged = cells
+        .select(col("lang"), posexplode(col("sig")).as(Seq("j", "m")))
+        .groupBy("lang", "j").agg(min("m").as("m"))
+        .groupBy("lang")
+        .agg(sort_array(collect_list(struct(col("j"), col("m")))).as("ord"))
+        .select(col("lang"),
+          md5(concat_ws(",", col("ord.m").cast(ArrayType(StringType))))
+            .as("sig_md5_reagg"))
+      onepass.join(merged, Seq("lang")).orderBy("lang")
+    },
+
     // ---- #32 SimHash 60-bit signature per doc ----------------------------
     // bit i of sig = majority vote of bit i over the doc's distinct token
     // hashes. Pure narrow expression — zero shuffle at any scale.

@@ -33,6 +33,12 @@ object TextOps {
 
   private def sqlList(ws: Seq[String]): String = ws.mkString("['", "', '", "']")
 
+  /** DuckDB spelling of the 32-bit gram hash (first 8 md5 hex chars — the
+    * dedup-family h32, shared so tok_coverage ranks the same keys).
+    */
+  private def h32Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
   // whitespace tokenizer shared by every text query (and the capacity-regime
   // guard, which must count distinct tokens with the SAME tokenization)
   private[graft] val words: Column = split(col("text"), " ")
@@ -396,6 +402,76 @@ object TextOps {
           call_function("topk_approx", col("tok"), lit(20), lit(1024)))
           .as("top_tokens"))
         .orderBy("lang")
+    },
+
+    // ---- #279 phrase-vocabulary coverage curve -----------------------------
+    // How much of the corpus's word-3-gram mass the top-k phrases cover
+    // (k = 100 / 1k / 10k) — the templatedness read-out that sizes both
+    // dedup budgets (high cov100 ⇒ boilerplate dominates) and
+    // tokenizer/merge tables. Scale shape: gram instances hash to 8-byte
+    // h32 keys before any shuffle; ONE collapse to the vocab grain; the
+    // top-10k pick is TakeOrderedAndProject (no global sort materializes)
+    // and the only unpartitioned window runs on those ≤10k rows — a
+    // CONSTANT, not a corpus-sized funnel (the global_rank discipline).
+    // Ties break (freq desc, h asc) — deterministic on both engines.
+    // Coverages are exact-integer ratios → round(·,4).
+    "tok_coverage" -> OpDef(
+      s"""WITH w AS (
+         |  SELECT string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT unnest(list_transform(
+         |    generate_series(0, len(ws) - 3),
+         |    i -> ${h32Sql("ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]")})) AS h
+         |  FROM w WHERE len(ws) >= 3),
+         |c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |r AS (
+         |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, h) AS rn
+         |  FROM c QUALIFY rn <= 10000),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         |             CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+         |cv AS (
+         |  SELECT CAST(SUM(CASE WHEN rn <= 100 THEN n ELSE 0 END) AS BIGINT)
+         |           AS m100,
+         |         CAST(SUM(CASE WHEN rn <= 1000 THEN n ELSE 0 END) AS BIGINT)
+         |           AS m1k,
+         |         CAST(SUM(n) AS BIGINT) AS m10k
+         |  FROM r)
+         |SELECT t.n_vocab, t.n_total,
+         |  round(CAST(cv.m100 AS DOUBLE) / t.n_total, 4) AS cov_top100,
+         |  round(CAST(cv.m1k AS DOUBLE) / t.n_total, 4) AS cov_top1k,
+         |  round(CAST(cv.m10k AS DOUBLE) / t.n_total, 4) AS cov_top10k
+         |FROM t, cv""".stripMargin
+    ) { (s, dir) =>
+      val d = docs(s, dir).select(words.as("ws")).filter(size(col("ws")) >= 3)
+      // 8-hex-char h32 inline (parity.md5Long is the 15-char variant — the
+      // oracle above interpolates the 8-char spelling, both sides must match)
+      val g32 = d
+        .select(col("ws"),
+          explode(sequence(lit(0), size(col("ws")) - 3)).as("i"))
+        .select(conv(substring(md5(concat_ws(" ",
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2),
+          element_at(col("ws"), col("i") + 3))), 1, 8), 16, 10)
+          .cast(LongType).as("h"))
+      val vc = g32.groupBy("h").agg(count(lit(1)).as("n"))
+      val top = vc.orderBy(col("n").desc, col("h")).limit(10000)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n").desc, col("h"))))
+      val cov = top.agg(
+        sum(when(col("rn") <= 100, col("n")).otherwise(0L)).cast(LongType)
+          .as("m100"),
+        sum(when(col("rn") <= 1000, col("n")).otherwise(0L)).cast(LongType)
+          .as("m1k"),
+        sum("n").cast(LongType).as("m10k"))
+      val tot = vc.agg(count(lit(1)).cast(LongType).as("n_vocab"),
+        sum("n").cast(LongType).as("n_total"))
+      tot.crossJoin(cov).select(col("n_vocab"), col("n_total"),
+        round(col("m100").cast(DoubleType) / col("n_total"), 4)
+          .as("cov_top100"),
+        round(col("m1k").cast(DoubleType) / col("n_total"), 4)
+          .as("cov_top1k"),
+        round(col("m10k").cast(DoubleType) / col("n_total"), 4)
+          .as("cov_top10k"))
     },
 
     // ---- #83 repetition signal (Gopher/RefinedWeb dup-ngram quality rule)

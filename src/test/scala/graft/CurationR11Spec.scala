@@ -98,6 +98,64 @@ class CurationR11Spec extends SparkSpecBase {
     }
   }
 
+  /** First 8 md5 hex chars as a long — the dedup-family h32. */
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  private def grams3(text: String): Seq[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < 3) Seq.empty
+    else (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+  }
+
+  test("minhash_reagg: merged cell signatures equal the brute-force signature") {
+    val permA = graft.functions.MinHashAgg.defaultA
+    val permB = graft.functions.MinHashAgg.defaultB
+    val p = graft.functions.MinHashAgg.Prime
+    val exp = docs.groupBy(_._3).map { case (lang, ds) =>
+      val hs = ds.flatMap(d => grams3(d._2).distinct.map(h32)).distinct
+      val sig = permA.indices.map(j =>
+        hs.map(h => (permA(j) * h + permB(j)) % p).min)
+      val md5 = {
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(sig.mkString(",").getBytes("UTF-8"))
+        dg.map("%02x".format(_)).mkString
+      }
+      lang -> ((hs.size.toLong, md5))
+    }
+    val got = run("minhash_reagg").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (lang, (n, md5)) =>
+      val (gn, one, reagg) = got(lang)
+      assert(gn == n, s"$lang shingle count")
+      assert(one == md5, s"$lang one-pass signature")
+      assert(reagg == md5, s"$lang re-merged signature")
+    }
+  }
+
+  test("tok_coverage: top-k phrase mass with (freq desc, h asc) tie-break") {
+    val counts = docs.toSeq.flatMap(d => grams3(d._2)).map(h32)
+      .groupBy(identity).map { case (h, v) => (h, v.length.toLong) }
+    val ranked = counts.toSeq.sortBy { case (h, n) => (-n, h) }.take(10000)
+    val nTotal = counts.values.sum
+    def cov(k: Int): Double = {
+      val m = ranked.take(k).map(_._2).sum
+      math.floor(m.toDouble / nTotal * 10000 + 0.5) / 10000
+    }
+    val r = run("tok_coverage").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == counts.size.toLong, "n_vocab")
+    assert(row.getLong(1) == nTotal, "n_total")
+    assert(row.getDouble(2) == cov(100), "cov_top100")
+    assert(row.getDouble(3) == cov(1000), "cov_top1k")
+    assert(row.getDouble(4) == cov(10000), "cov_top10k")
+  }
+
   test("dow_hour_heatmap: margins and Pearson residuals on the 168-cell grid") {
     val events = graft.sources.Tables(spark, sfDir, "events")
       .select("ts").collect().map(_.getTimestamp(0))
