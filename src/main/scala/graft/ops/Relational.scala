@@ -2594,11 +2594,18 @@ object Relational {
         |SELECT node, r AS rank FROM r3
         |ORDER BY r DESC, node LIMIT 20""".stripMargin
     ) { (s, dir) =>
+      // r11b: graph keys are LONGS throughout the iterations — supplier k
+      // ↦ 2k, customer k ↦ 2k+1 (an injective bipartite encoding) — and
+      // the 's…'/'c…' node string materializes only on the final ≤|nodes|
+      // read-out. The 2026-r9 string keys hashed and shuffled variable-
+      // width UTF-8 through FOUR join+agg rounds; 8-byte keys cut the
+      // standalone sf1 time 30.3 s → (measured below) and shrink every
+      // exchange of the iteration pipeline at any scale.
       val e0 = tbl(s, dir, "lineitem")
         .join(tbl(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -2615,7 +2622,15 @@ object Relational {
             .as("r"))
       val r0 = deg.select(col("src").as("node"), lit(1.0).as("r"))
       val r3 = iterate(iterate(iterate(r0)))
-      r3.orderBy(col("r").desc, col("node")).limit(20)
+      // the output (and its r-then-node tie-break) is on the STRING node —
+      // decode before the TakeOrdered so ordering matches the oracle
+      r3.select(
+          when(col("node") % 2 === 0,
+            concat(lit("s"), (col("node") / 2).cast(LongType)))
+            .otherwise(concat(lit("c"), ((col("node") - 1) / 2).cast(LongType)))
+            .as("node"),
+          col("r"))
+        .orderBy(col("r").desc, col("node")).limit(20)
         .select(col("node"), col("r").as("rank"))
     },
 
