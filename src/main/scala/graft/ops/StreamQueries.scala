@@ -349,6 +349,38 @@ object StreamQueries {
       StreamOps.balanceLive(ev(s, dir)).orderBy("user_id")
     },
 
+    // ---- #281 live per-account max drawdown (batch shape) ----------------
+    // The stateful streaming twin of #272 — the risk monitor next to
+    // #278's balance view. Peak and max-fall are prefix-incremental, so
+    // four cent scalars per account suffice; same ordered-replay contract
+    // and exact stream ≡ batch equality (cent fold both sides).
+    "stream_drawdown" -> OpDef(
+      """WITH led AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN CAST("value" AS DECIMAL(18,2))
+        |         ELSE -CAST("value" AS DECIMAL(18,2)) END AS amt
+        |  FROM events),
+        |run AS (
+        |  SELECT user_id, event_id,
+        |    SUM(amt) OVER (PARTITION BY user_id ORDER BY event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS bal
+        |  FROM led),
+        |pk AS (
+        |  SELECT user_id, event_id, bal,
+        |    MAX(bal) OVER (PARTITION BY user_id ORDER BY event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM run)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tx,
+        |  CAST(MAX(peak - bal) AS DOUBLE) AS max_drawdown,
+        |  CAST(MAX(bal) AS DOUBLE) AS peak_balance,
+        |  CAST(arg_max(bal, event_id) AS DOUBLE) AS final_balance
+        |FROM pk GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.drawdownLive(ev(s, dir)).orderBy("user_id")
+    },
+
     // ---- #260 streaming simhash near-dup screen (batch shape) ------------
     // The CONTENT twin of #44's key dedup and the streaming twin of #32b:
     // docs arrive in order, each probes a per-(band,bucket) index of the

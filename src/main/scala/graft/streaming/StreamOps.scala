@@ -30,6 +30,15 @@ final case class BalState(n: Long, bal: Long, lo: Long, hi: Long)
 final case class BalOut(user_id: Long, n_tx: Long, final_balance: Double,
     min_balance: Double, max_balance: Double)
 
+/** Per-account drawdown state: tx count, balance, running peak, max
+  * peak-to-trough fall — integer cents (the #272 machine, made streaming).
+  */
+final case class DdState(n: Long, bal: Long, peak: Long, mdd: Long)
+
+/** One emitted drawdown snapshot (the #272 read-out shape). */
+final case class DdOut(user_id: Long, n_tx: Long, max_drawdown: Double,
+    peak_balance: Double, final_balance: Double)
+
 /** SURVEY §2.4 — streaming analytics transforms.
   *
   * Each transform is a pure DataFrame→DataFrame function valid on BOTH a
@@ -437,6 +446,51 @@ object StreamOps {
           (max_by(col("bal"), col("event_id")) / 100.0).as("final_balance"),
           (min("bal") / 100.0).as("min_balance"),
           (max("bal") / 100.0).as("max_balance"))
+    }
+  }
+
+  /** #281 — live per-account maximum drawdown: the streaming twin of
+    * `drawdown_max` (#272) and the risk monitor a live ledger keeps next
+    * to [[balanceLive]]. The drawdown is ORDER-dependent (it reads the
+    * balance trajectory), so it rides the same contract: four integer-cent
+    * scalars per account (balance, running peak, max fall, count), each
+    * batch slice folded in event_id order, ordered replay across batches.
+    * The max-drawdown fold is prefix-incremental — peak and mdd only ever
+    * grow — so state stays O(accounts) with no trajectory retention.
+    */
+  def drawdownLive(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val amtC = when(col("event_type").isin("purchase", "signup"), cents)
+      .otherwise(-cents)
+    val sel = events
+      .select(col("user_id"), col("event_id"), amtC.as("amt_c")).as[BalEv]
+    if (events.isStreaming)
+      sel.groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+          (uid: Long, it: Iterator[BalEv], state: GroupState[DdState]) => {
+            var st = state.getOption
+              .getOrElse(DdState(0L, 0L, Long.MinValue, Long.MinValue))
+            it.toSeq.sortBy(_.event_id).foreach { e =>
+              val b = st.bal + e.amt_c
+              val pk = math.max(st.peak, b)
+              st = DdState(st.n + 1, b, pk, math.max(st.mdd, pk - b))
+            }
+            state.update(st)
+            DdOut(uid, st.n, st.mdd / 100.0, st.peak / 100.0, st.bal / 100.0)
+          }).toDF()
+    else {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sel.toDF()
+        .withColumn("bal", sum("amt_c").over(w))
+        .withColumn("peak", max("bal").over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_tx"),
+          (max(col("peak") - col("bal")) / 100.0).as("max_drawdown"),
+          (max("bal") / 100.0).as("peak_balance"),
+          (max_by(col("bal"), col("event_id")) / 100.0).as("final_balance"))
     }
   }
 

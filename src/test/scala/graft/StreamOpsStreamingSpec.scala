@@ -288,4 +288,29 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
     assert(got == batch,
       s"diff: ${(got.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff got.toSet).take(3)}")
   }
+
+  test("live drawdown: ordered 2-batch replay lands on the batch twin exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = eventRows().sortBy(_._1)
+    val rnd = new scala.util.Random(17)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.drawdownLive(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("dd").outputMode("update")
+      .start()
+    try {
+      in.addData(rnd.shuffle(h1.toSeq)); q.processAllAvailable()
+      in.addData(rnd.shuffle(h2.toSeq)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select * from dd").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    val batch = run("stream_drawdown").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got == batch,
+      s"diff: ${(got.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff got.toSet).take(3)}")
+  }
 }
