@@ -381,6 +381,36 @@ object StreamQueries {
       StreamOps.drawdownLive(ev(s, dir)).orderBy("user_id")
     },
 
+    // ---- #282 live conversion funnel (batch shape) -----------------------
+    // The per-user-grain streaming twin of #67 (CH windowFunnel, kept live):
+    // three µs timestamps of state per user, each batch slice folded
+    // greedily in (ts, event_id) order — exactly the batch definition's
+    // nested earliest-qualifying MINs under ordered replay. Oracle = the
+    // #67 derivation read out per user instead of histogrammed.
+    "stream_funnel" -> OpDef(
+      """WITH t AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |tt AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+        |                      AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+        |             OVER (PARTITION BY user_id) AS t2 FROM t),
+        |ttt AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                      AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+        |             OVER (PARTITION BY user_id) AS t3 FROM tt),
+        |u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        |      FROM ttt GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level
+        |FROM u ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.funnelLive(ev(s, dir)).orderBy("user_id")
+    },
+
     // ---- #260 streaming simhash near-dup screen (batch shape) ------------
     // The CONTENT twin of #44's key dedup and the streaming twin of #32b:
     // docs arrive in order, each probes a per-(band,bucket) index of the

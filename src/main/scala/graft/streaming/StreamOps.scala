@@ -39,6 +39,16 @@ final case class DdState(n: Long, bal: Long, peak: Long, mdd: Long)
 final case class DdOut(user_id: Long, n_tx: Long, max_drawdown: Double,
     peak_balance: Double, final_balance: Double)
 
+/** One event for the live-funnel state machine (µs event time). */
+final case class FunEv(user_id: Long, event_type: String, us: Long,
+    event_id: Long)
+
+/** Per-user funnel state: the three stage timestamps (µs, −1 = unreached). */
+final case class FunState(t1: Long, t2: Long, t3: Long)
+
+/** One emitted funnel snapshot: the user's current funnel level. */
+final case class FunOut(user_id: Long, level: Long)
+
 /** SURVEY §2.4 — streaming analytics transforms.
   *
   * Each transform is a pure DataFrame→DataFrame function valid on BOTH a
@@ -491,6 +501,67 @@ object StreamOps {
           (max(col("peak") - col("bal")) / 100.0).as("max_drawdown"),
           (max("bal") / 100.0).as("peak_balance"),
           (max_by(col("bal"), col("event_id")) / 100.0).as("final_balance"))
+    }
+  }
+
+  /** #282 — live conversion funnel: the streaming twin of `funnel_window`
+    * (#67) at the per-user grain — the CH windowFunnel read-out a live
+    * product dashboard keeps warm. State per user is THREE µs timestamps
+    * (earliest signup; earliest click after it within the 7-day horizon;
+    * earliest purchase after that, same horizon). The batch definition's
+    * nested earliest-qualifying MINs are exactly a greedy fold over
+    * ts-ordered events — each event either advances the lowest unreached
+    * stage or is dropped — so processing each batch slice in (ts,
+    * event_id) order under the ordered-replay contract reproduces the
+    * batch windows bit-for-bit. Levels only ever grow; emission is the
+    * Update-mode snapshot per touched user (a sink rollup folds the level
+    * histogram, the windowedDwell handoff).
+    */
+  def funnelLive(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HorizonUs = 7L * 86400L * 1000000L
+    val sel = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id")).as[FunEv]
+    if (events.isStreaming)
+      sel.groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+          (uid: Long, it: Iterator[FunEv], state: GroupState[FunState]) => {
+            var st = state.getOption.getOrElse(FunState(-1L, -1L, -1L))
+            it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              if (st.t1 < 0) {
+                if (e.event_type == "signup") st = FunState(e.us, -1L, -1L)
+              } else if (st.t2 < 0) {
+                if (e.event_type == "click" && e.us > st.t1 &&
+                  e.us <= st.t1 + HorizonUs) st = st.copy(t2 = e.us)
+              } else if (st.t3 < 0) {
+                if (e.event_type == "purchase" && e.us > st.t2 &&
+                  e.us <= st.t1 + HorizonUs) st = st.copy(t3 = e.us)
+              }
+            }
+            state.update(st)
+            FunOut(uid,
+              if (st.t3 >= 0) 3L else if (st.t2 >= 0) 2L
+              else if (st.t1 >= 0) 1L else 0L)
+          }).toDF()
+    else {
+      val w = Window.partitionBy("user_id")
+      val d = sel.toDF()
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("us") > col("t1") &&
+            col("us") <= col("t1") + HorizonUs, col("us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("us") > col("t2") &&
+            col("us") <= col("t1") + HorizonUs, col("us"))).over(w))
+      d.groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3L)
+            .when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L)
+            .otherwise(0L).as("level"))
     }
   }
 
