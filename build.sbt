@@ -28,3 +28,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Self-installing pre-commit compile gate: a fresh clone gets the hook
+// the first time sbt loads, with no manual step. The hook (a Test/compile
+// gate, scripts/precommit.sh) exists because a commit that does not
+// compile poisons every later checkout of that commit; after two such
+// incidents the protection must not depend on anyone remembering to run
+// scripts/install_hooks.sh.
+Global / onLoad := {
+  val prev = (Global / onLoad).value
+  val base = (ThisBuild / baseDirectory).value
+  (s: State) => {
+    val src = base / "scripts" / "precommit.sh"
+    val hook = base / ".git" / "hooks" / "pre-commit"
+    if (src.exists && (base / ".git").isDirectory && !hook.exists) {
+      IO.copyFile(src, hook)
+      hook.setExecutable(true)
+      s.log.info(s"installed ${hook.getPath} (Test/compile gate)")
+    }
+    prev(s)
+  }
+}

@@ -94,15 +94,48 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Standing-anchor self-check (r12): compare against the committed r11
+    // full-sweep map (BASELINE_ANCHOR.json) so a regression is visible in
+    // the bench line itself instead of requiring last round's (possibly
+    // broken — r10 was rc=1) BENCH json. Only when the anchor's SF dir
+    // basename matches the benched one, and only on queries the anchor
+    // timed at >= 0.3 s (below that single-JVM noise dominates — the r8
+    // 19x phantom-regression class). Embedded in the JSON line, not a
+    // separate stdout line, so the driver's one-line contract holds.
+    val anchorJson: String = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BASELINE_ANCHOR.json")
+      val f = new java.io.File(path)
+      if (path == "none" || !f.isFile) "null" else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sfOf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!sfOf.exists(s => new java.io.File(s).getName == new java.io.File(sfDir).getName)) "null"
+        else {
+          val q = "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
+          val anchor = q.findAllMatchIn(
+            txt.drop(txt.indexOf("\"queries\""))).map(m =>
+            m.group(1) -> m.group(2).toDouble).toMap
+          val shared = results.filter { case (k, _) =>
+            anchor.get(k).exists(_ >= 0.3) }
+          if (shared.isEmpty) "null" else {
+            val (wq, wnow) = shared.maxBy { case (k, v) => v / anchor(k) }
+            val wa = anchor(wq)
+            val aTot = shared.map { case (k, _) => anchor(k) }.sum
+            val nTot = shared.map(_._2).sum
+            f"""{"query":"$wq","anchor":$wa%.3f,"now":$wnow%.3f,"ratio":${wnow / wa}%.2f,"n_compared":${shared.size},"total_ratio":${nTot / aTot}%.2f}"""
+          }
+        }
+      } catch { case _: Throwable => "null" }
+    }
     // The FULL per-query map (252+ entries) outgrew the driver's tail capture
     // two rounds running (BENCH_r08/r09 recorded "parsed": null), so the
     // stdout line carries only the TOP-20 slowest queries; the complete map
     // always lands in target/bench.json (plus the optional env-var mirror).
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${qJson(results)},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${qJson(results)},"errors":$errJson,"anchor_worst":$anchorJson,"sf":"$sfDir"}"""
     val top20 = results.sortBy(-_._2).take(20)
     val stdoutLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"queries":${qJson(top20)},"errors":$errJson,"sf":"$sfDir","full":"target/bench.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"queries":${qJson(top20)},"errors":$errJson,"anchor_worst":$anchorJson,"sf":"$sfDir","full":"target/bench.json"}"""
     val outs = Seq("target/bench.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
     outs.foreach { p =>
       val path = java.nio.file.Paths.get(p)

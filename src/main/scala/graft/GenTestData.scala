@@ -18,9 +18,22 @@ import org.apache.spark.sql.types.{FloatType, IntegerType, LongType, TimestampNT
   * Jaccard ≈ 0.96), embeddings are 10 Gaussian-ish label clusters like the
   * driver's.
   *
-  * Usage: `sbt "runMain graft.GenTestData <outDir> <sf>"`.
+  * Usage: `sbt "runMain graft.GenTestData <outDir> <sf> [open]"`.
   * `events.ts` is written as TIMESTAMP_MICROS (Spark cannot emit the
   * driver's TIMESTAMP(NANOS)); [[graft.sources.Tables]] handles both.
+  *
+  * The optional `open` mode (r12) swaps the documents vocabulary from the
+  * driver's 31 words to an OPEN, Zipf(1)-distributed 2^20-word space
+  * (rank = floor(exp(u·ln V)) — the standard inverse-CDF spelling, so
+  * p(rank r) ∝ 1/r like real text). Purpose: the 31-word corpus is an
+  * adversarial worst case for the AllPairs prefix filter — EVERY shingle's
+  * df grows ∝ corpus size, so candidates grow ~n² no matter what (the r11
+  * verdict's one open scale question). On an open vocabulary a doc's
+  * rarest shingles stay rare as the corpus grows, which is the regime real
+  * web-scale corpora live in; DedupScaleProbe on an `open` corpus measures
+  * that directly. Everything else (dup/near-dup family seeding, doc count,
+  * lengths, langs, all other tables) is identical, so the same oracle SQL
+  * verifies both corpora.
   */
 object GenTestData {
 
@@ -40,13 +53,15 @@ object GenTestData {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sf = args(1).toDouble
+    val openVocab = args.length > 2 && args(2) == "open"
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
-    generate(spark, outDir, sf)
+    generate(spark, outDir, sf, openVocab)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  def generate(spark: SparkSession, outDir: String, sf: Double,
+      openVocab: Boolean = false): Unit = {
     import spark.implicits._
 
     // the driver tables' scaling law (rows at sf1)
@@ -150,13 +165,21 @@ object GenTestData {
     val isNearDup = r >= 0.002 && isDup
     val tid = when(isDup, id - 10).otherwise(id)
     val nWords = ((u(tid, 33) * 91).cast(IntegerType) + 10)
+    // word from a 64-bit position hash: closed = uniform over the 31-word
+    // driver vocab (hash spellings unchanged from r9 — existing corpora
+    // regenerate byte-identically); open = Zipf(1) rank over 2^20 words
+    // (inverse CDF: rank = floor(exp(u·ln V)) ∈ [1, V), p(r) ∝ 1/r)
+    def word(posHash: Column): Column =
+      if (openVocab)
+        format_string("w%d", floor(exp(
+          (pmod(posHash, lit(1000000000L)).cast("double") / 1e9)
+            * log(lit(1048576.0)))).cast(LongType))
+      else element_at(array(Vocab.map(lit): _*),
+        pmod(posHash, lit(Vocab.size)).cast(IntegerType) + 1)
     val baseText = concat_ws(" ",
-      transform(sequence(lit(1), nWords), i => element_at(
-        array(Vocab.map(lit): _*),
-        pmod(xxhash64(tid, i, lit(34)), lit(Vocab.size)).cast(IntegerType) + 1)))
+      transform(sequence(lit(1), nWords), i => word(xxhash64(tid, i, lit(34)))))
     val text0 = when(isNearDup,
-      concat(baseText, lit(" "), element_at(array(Vocab.map(lit): _*),
-        pmod(xxhash64(id, lit(35)), lit(Vocab.size)).cast(IntegerType) + 1)))
+      concat(baseText, lit(" "), word(xxhash64(id, lit(35)))))
       .otherwise(baseText)
     write(spark.range(nDocs).select(id.as("doc_id"), text0.as("text"),
       // en ≈ 41%, the rest ≈ 15% each — the driver's observed mix

@@ -300,17 +300,16 @@ object StreamQueries {
       """WITH g AS (
         |  SELECT event_type,
         |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bar_hour,
-        |    SUM(CAST("value" AS DECIMAL(18,2))
-        |        * CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |               AS DECIMAL(18,0))) AS num,
+        |    CAST(SUM(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        * CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |      AS HUGEINT) AS num_c,
         |    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |      AS BIGINT) AS w_total,
         |    CAST(COUNT(*) AS BIGINT) AS n_trades
         |  FROM events GROUP BY 1, 2),
         |v AS (
         |  SELECT event_type, bar_hour, w_total, n_trades,
-        |    (2 * CAST(num * 1000000 AS BIGINT) + w_total)
-        |      // (2 * w_total) AS v6
+        |    (2 * num_c * 10000 + w_total) // (2 * w_total) AS v6
         |  FROM g WHERE w_total > 0)
         |SELECT event_type, bar_hour,
         |  CAST(v6 AS DOUBLE) / 1000000 AS vwap, w_total, n_trades

@@ -391,17 +391,24 @@ object StreamOps {
   def vwapBars(events: DataFrame): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
     val k = get_json_object(col("props"), "$.k").cast("long")
+    // Σ value·k is kept as integer CENTS·k in DECIMAL(38,0) — exact to
+    // 1e38 — so the half-up micro-unit divide never leaves decimal space.
+    // (The r11 spelling cast num·1e6 to BIGINT, which wraps silently past
+    // ~9.2e12 hourly notional under Spark's non-ANSI default while the
+    // DuckDB oracle raises — a latent cross-engine divergence at large SF.
+    // 2·num_c·10^4 = 2·num·10^6; IntegralDivide accepts decimal operands
+    // and returns BIGINT, and v6 itself is bounded by max(value)·10^6.)
+    val centsK = ((col("value").cast("decimal(18,2)") * 100).cast("long") * k)
+      .cast("decimal(38,0)")
     src
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
-        sum(col("value").cast("decimal(18,2)") * k.cast("decimal(18,0)"))
-          .as("num"),
+        sum(centsK).as("num_c"),
         sum(k).cast("long").as("w_total"),
         count(lit(1)).cast("long").as("n_trades"))
       .filter(col("w_total") > 0)
       .withColumn("v6",
-        expr("(2 * CAST(num * 1000000 AS BIGINT) + w_total)" +
-          " div (2 * w_total)"))
+        expr("(2 * num_c * 10000 + w_total) div (2 * w_total)"))
       .select(col("event_type"),
         unix_timestamp(col("w.start")).cast("long").as("bar_hour"),
         (col("v6").cast("double") / lit(1000000d)).as("vwap"),

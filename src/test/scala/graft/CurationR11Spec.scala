@@ -38,8 +38,11 @@ class CurationR11Spec extends SparkSpecBase {
     assert(got.keySet == exp.keySet)
     exp.foreach { case (k, v) => assert(got(k) == v, s"stratum $k") }
     // an existing doc's split never changes when the corpus grows: the
-    // assignment depends only on doc_id
-    assert(md5Long("split:42") % 100 == md5Long("split:42") % 100)
+    // assignment depends only on doc_id, and the hash spelling itself is
+    // pinned to a hard constant (md5("split:42")[0:15 hex] = 0x6ba1...,
+    // bucket 28) so a drift in the md5Long spelling fails loudly
+    assert(md5Long("split:42") == 484715419973882428L)
+    assert(md5Long("split:42") % 100 == 28)
   }
 
   test("lang_mix: foreign-hit mass, integer flag spelling of ratio >= 0.25") {

@@ -126,7 +126,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // means a branch grew a join-back.
   test("quantiles_exact_weighted: bucketed prefix, detail range window, offsets broadcast") {
     val a = auditOf(run("quantiles_exact_weighted"))
-    assert(a.scans <= 2 && a.shuffles <= 7, s"$a")
+    // measured at 5 for the r11b shape (detail window exchange + bucket
+    // totals agg pair + final sort); pinned there so a regression back to
+    // the old double-exchange prefix (or worse) fails the audit
+    assert(a.scans <= 2 && a.shuffles <= 5, s"$a")
     assert(a.broadcastJoins == 1 && a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty,
       s"$a")
   }

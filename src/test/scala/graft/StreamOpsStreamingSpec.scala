@@ -338,10 +338,41 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
       r.getLong(0) -> r.getLong(1)).toMap
     assert(got == batch,
       s"diff: ${(got.toSet diff batch.toSet).take(5)} / ${(batch.toSet diff got.toSet).take(5)}")
-    // non-vacuous: the dense sf0.001 fixture pushes every user to ≥2 —
-    // require at least two distinct levels so a constant-level bug can't
-    // pass silently
-    assert(batch.values.toSet.size >= 2,
+    // non-vacuous, and pinned: the sf0.001 fixture is known to produce
+    // exactly levels {2, 3} (14 users convert fully, 1 stalls at click) —
+    // a fixture drift or constant-level bug moves this set and fails here
+    assert(batch.values.toSet == Set(2L, 3L),
       s"levels present: ${batch.values.toSet}")
+  }
+
+  // The sf0.001 fixture only reaches levels {2,3}; this synthetic leg
+  // drives all FOUR funnel levels through the live state machine across a
+  // 3-batch ordered replay (level progressions split across batches) and
+  // pins both the exact per-user read-out and stream ≡ batch equality.
+  test("live funnel: synthetic 3-batch replay exercises all four levels") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val b1: Seq[Ev] = Seq((1L, 0L, "view", ts(0), 0.0),
+      (2L, 1L, "signup", ts(1), 0.0), (3L, 2L, "signup", ts(2), 0.0))
+    val b2: Seq[Ev] = Seq((4L, 2L, "click", ts(3), 0.0),
+      (5L, 3L, "signup", ts(4), 0.0))
+    val b3: Seq[Ev] = Seq((6L, 3L, "click", ts(5), 0.0),
+      (7L, 3L, "purchase", ts(6), 0.0))
+    val in = MemoryStream[Ev]
+    val q = StreamOps.funnelLive(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("fun4").outputMode("update")
+      .start()
+    try {
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.sql("select * from fun4").collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap // last snapshot per user wins
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $got")
+    val single = StreamOps.funnelLive((b1 ++ b2 ++ b3)
+        .toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == got)
   }
 }
