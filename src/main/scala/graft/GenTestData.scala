@@ -76,8 +76,13 @@ object GenTestData {
     val nEmb = math.max(500L, (20000 * sf).toLong) // driver floor at small SF
     val id = col("id")
 
+    // Open mode only changes the documents text; every other table is
+    // vocabulary-independent and byte-identical to the closed corpus, so
+    // open mode skips them — hardlink/copy them from the closed dir when a
+    // full-table run (e.g. the DuckDB oracle harness) needs an open corpus.
     def write(df: DataFrame, name: String, files: Int): Unit =
-      df.coalesce(files).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      if (!openVocab || name == "documents")
+        df.coalesce(files).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     write(Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
       (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name"), "region", 1)

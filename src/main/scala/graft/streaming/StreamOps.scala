@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** One event for the per-user dwell state machine (µs event time). */
 final case class DwellEv(user_id: Long, event_type: String, us: Long,
-    event_id: Long)
+    event_id: Long, ts: java.sql.Timestamp)
 
 /** One emitted dwell: the gap from an event to the same user's next one,
   * attributed to the FIRST event's type and day.
@@ -19,7 +19,8 @@ final case class DwellOut(user_id: Long, event_type: String, day: String,
   * (exact integer cents — the state must fold in the same arithmetic the
   * batch twin's DECIMAL(18,2) does).
   */
-final case class BalEv(user_id: Long, event_id: Long, amt_c: Long)
+final case class BalEv(user_id: Long, event_id: Long, amt_c: Long, us: Long,
+    ts: java.sql.Timestamp)
 
 /** Per-account balance state: tx count, current / low / high water marks,
   * all in integer cents.
@@ -41,7 +42,7 @@ final case class DdOut(user_id: Long, n_tx: Long, max_drawdown: Double,
 
 /** One event for the live-funnel state machine (µs event time). */
 final case class FunEv(user_id: Long, event_type: String, us: Long,
-    event_id: Long)
+    event_id: Long, ts: java.sql.Timestamp)
 
 /** Per-user funnel state: the three stage timestamps (µs, −1 = unreached). */
 final case class FunState(t1: Long, t2: Long, t3: Long)
@@ -57,6 +58,61 @@ final case class FunOut(user_id: Long, level: Long)
   * the static shape is what the batch query bank + DuckDB oracle check.
   */
 object StreamOps {
+
+  /** Opt-in inactivity eviction for the per-key state machines (r12).
+    *
+    * `spark.graft.stream.inactivityHorizon` (e.g. "45m", "12h", "30d", or
+    * raw milliseconds) arms EventTimeTimeout on [[dwellRows]],
+    * [[balanceLive]], [[drawdownLive]] and [[funnelLive]]: a key silent
+    * past the horizon (in EVENT time, judged by the watermark) has its
+    * state dropped after one final snapshot emission (ledger twins) /
+    * silently (dwell). Unset (the default) keeps the documented
+    * O(accounts)-state NoTimeout premise — bit-identical behavior to r11.
+    *
+    * Semantics under eviction are the CDC ordered-replay contract: rows
+    * older than the watermark are dropped by Spark before the state
+    * function sees them, so a "late arrival that reopens a key" is
+    * necessarily ≥ horizon after the key's last event — a genuinely new
+    * activity epoch. The ledger/funnel state machines then restart from
+    * zero (the snapshot stream makes the restart visible: n_tx resets);
+    * [[dwellRows]] is exactly lossless because its horizon is floored at
+    * the 30-minute dwell cap — any pair spanning an eviction gap would
+    * have been over the cap and dropped anyway.
+    *
+    * `spark.graft.stream.watermarkDelay` (same formats, default "1h")
+    * sets the late tolerance of the watermark armed with the horizon.
+    */
+  private[graft] def horizonMsOf(df: DataFrame): Option[Long] =
+    df.sparkSession.conf.getOption("spark.graft.stream.inactivityHorizon")
+      .filter(_.nonEmpty).map(parseDurationMs)
+
+  private def watermarkDelayOf(df: DataFrame): String =
+    df.sparkSession.conf.getOption("spark.graft.stream.watermarkDelay")
+      .filter(_.nonEmpty).map(s => s"${parseDurationMs(s)} milliseconds")
+      .getOrElse("1 hour")
+
+  private[graft] def parseDurationMs(s: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.forall(_.isDigit)) t.toLong
+    else {
+      val n = t.dropRight(1).trim.toLong
+      t.last match {
+        case 'm' => n * 60000L
+        case 'h' => n * 3600000L
+        case 'd' => n * 86400000L
+        case _ => throw new IllegalArgumentException(
+          s"bad duration '$s' (want <n>m|h|d or ms)")
+      }
+    }
+  }
+
+  /** (source with watermark iff evicting, timeout conf) for a state op. */
+  private def evictionArm(events: DataFrame, horizon: Option[Long])
+      : (DataFrame, GroupStateTimeout) =
+    if (horizon.isDefined && events.isStreaming)
+      (events.withWatermark("ts", watermarkDelayOf(events)),
+        GroupStateTimeout.EventTimeTimeout)
+    else (events, GroupStateTimeout.NoTimeout)
 
   /** #42 — tumbling-window event counts per type, 1-day windows, 1-hour
     * watermark on streams (late data beyond it is dropped; state per open
@@ -303,28 +359,41 @@ object StreamOps {
   def dwellRows(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val sel = events.select(col("user_id"), col("event_type"),
-      unix_micros(col("ts")).as("us"), col("event_id")).as[DwellEv]
     val capUs = 1800L * 1000000L
+    // eviction (opt-in, see horizonMsOf) is EXACTLY lossless here: the
+    // horizon floors at the 30-min dwell cap, so any pair spanning an
+    // eviction gap was over the cap and would have been dropped anyway
+    val horizon = horizonMsOf(events).map(h => math.max(h, capUs / 1000L))
+    val (src, timeoutConf) = evictionArm(events, horizon)
+    val sel = src.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("ts")).as[DwellEv]
     def dayOf(us: Long): String =
       java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L)).toString
     if (events.isStreaming)
       sel.groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
           (uid: Long, it: Iterator[DwellEv],
            state: GroupState[(Long, String, Long)]) => {
-            val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
-            val out = Seq.newBuilder[DwellOut]
-            var prev = state.getOption
-            evs.foreach { e =>
-              prev.foreach { case (pus, ptype, _) =>
-                val d = e.us - pus
-                if (d <= capUs) out += DwellOut(uid, ptype, dayOf(pus), d)
+            if (state.hasTimedOut) {
+              state.remove()
+              Iterator.empty
+            } else {
+              val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+              val out = Seq.newBuilder[DwellOut]
+              var prev = state.getOption
+              evs.foreach { e =>
+                prev.foreach { case (pus, ptype, _) =>
+                  val d = e.us - pus
+                  if (d <= capUs) out += DwellOut(uid, ptype, dayOf(pus), d)
+                }
+                prev = Some((e.us, e.event_type, e.event_id))
               }
-              prev = Some((e.us, e.event_type, e.event_id))
+              prev.foreach { p =>
+                state.update(p)
+                horizon.foreach(h => state.setTimeoutTimestamp(p._1 / 1000L + h))
+              }
+              out.result().iterator
             }
-            prev.foreach(state.update)
-            out.result().iterator
           }).toDF()
     else {
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -435,21 +504,35 @@ object StreamOps {
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
     val amtC = when(col("event_type").isin("purchase", "signup"), cents)
       .otherwise(-cents)
-    val sel = events
-      .select(col("user_id"), col("event_id"), amtC.as("amt_c")).as[BalEv]
+    val horizon = horizonMsOf(events)
+    val (src, timeoutConf) = evictionArm(events, horizon)
+    val sel = src.select(col("user_id"), col("event_id"), amtC.as("amt_c"),
+      unix_micros(col("ts")).as("us"), col("ts")).as[BalEv]
     if (events.isStreaming)
       sel.groupByKey(_.user_id)
-        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        .mapGroupsWithState(timeoutConf)(
           (uid: Long, it: Iterator[BalEv], state: GroupState[BalState]) => {
-            var st = state.getOption
-              .getOrElse(BalState(0L, 0L, Long.MaxValue, Long.MinValue))
-            it.toSeq.sortBy(_.event_id).foreach { e =>
-              val b = st.bal + e.amt_c
-              st = BalState(st.n + 1, b, math.min(st.lo, b),
-                math.max(st.hi, b))
+            if (state.hasTimedOut) {
+              // snapshot-on-evict: re-emit the final state, then drop it —
+              // a later arrival restarts the account from zero (visible:
+              // n_tx resets), per the CDC ordered-replay contract
+              val st = state.get
+              state.remove()
+              BalOut(uid, st.n, st.bal / 100.0, st.lo / 100.0, st.hi / 100.0)
+            } else {
+              var st = state.getOption
+                .getOrElse(BalState(0L, 0L, Long.MaxValue, Long.MinValue))
+              var maxUs = Long.MinValue
+              it.toSeq.sortBy(_.event_id).foreach { e =>
+                val b = st.bal + e.amt_c
+                st = BalState(st.n + 1, b, math.min(st.lo, b),
+                  math.max(st.hi, b))
+                maxUs = math.max(maxUs, e.us)
+              }
+              state.update(st)
+              horizon.foreach(h => state.setTimeoutTimestamp(maxUs / 1000L + h))
+              BalOut(uid, st.n, st.bal / 100.0, st.lo / 100.0, st.hi / 100.0)
             }
-            state.update(st)
-            BalOut(uid, st.n, st.bal / 100.0, st.lo / 100.0, st.hi / 100.0)
           }).toDF()
     else {
       // batch twin: the same integer-cent fold as the state machine, so
@@ -481,21 +564,32 @@ object StreamOps {
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
     val amtC = when(col("event_type").isin("purchase", "signup"), cents)
       .otherwise(-cents)
-    val sel = events
-      .select(col("user_id"), col("event_id"), amtC.as("amt_c")).as[BalEv]
+    val horizon = horizonMsOf(events)
+    val (src, timeoutConf) = evictionArm(events, horizon)
+    val sel = src.select(col("user_id"), col("event_id"), amtC.as("amt_c"),
+      unix_micros(col("ts")).as("us"), col("ts")).as[BalEv]
     if (events.isStreaming)
       sel.groupByKey(_.user_id)
-        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        .mapGroupsWithState(timeoutConf)(
           (uid: Long, it: Iterator[BalEv], state: GroupState[DdState]) => {
-            var st = state.getOption
-              .getOrElse(DdState(0L, 0L, Long.MinValue, Long.MinValue))
-            it.toSeq.sortBy(_.event_id).foreach { e =>
-              val b = st.bal + e.amt_c
-              val pk = math.max(st.peak, b)
-              st = DdState(st.n + 1, b, pk, math.max(st.mdd, pk - b))
+            if (state.hasTimedOut) {
+              val st = state.get
+              state.remove()
+              DdOut(uid, st.n, st.mdd / 100.0, st.peak / 100.0, st.bal / 100.0)
+            } else {
+              var st = state.getOption
+                .getOrElse(DdState(0L, 0L, Long.MinValue, Long.MinValue))
+              var maxUs = Long.MinValue
+              it.toSeq.sortBy(_.event_id).foreach { e =>
+                val b = st.bal + e.amt_c
+                val pk = math.max(st.peak, b)
+                st = DdState(st.n + 1, b, pk, math.max(st.mdd, pk - b))
+                maxUs = math.max(maxUs, e.us)
+              }
+              state.update(st)
+              horizon.foreach(h => state.setTimeoutTimestamp(maxUs / 1000L + h))
+              DdOut(uid, st.n, st.mdd / 100.0, st.peak / 100.0, st.bal / 100.0)
             }
-            state.update(st)
-            DdOut(uid, st.n, st.mdd / 100.0, st.peak / 100.0, st.bal / 100.0)
           }).toDF()
     else {
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -528,28 +622,40 @@ object StreamOps {
     val spark = events.sparkSession
     import spark.implicits._
     val HorizonUs = 7L * 86400L * 1000000L
-    val sel = events.select(col("user_id"), col("event_type"),
-      unix_micros(col("ts")).as("us"), col("event_id")).as[FunEv]
+    val horizon = horizonMsOf(events)
+    val (src, timeoutConf) = evictionArm(events, horizon)
+    val sel = src.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("ts")).as[FunEv]
+    def levelOf(st: FunState): Long =
+      if (st.t3 >= 0) 3L else if (st.t2 >= 0) 2L
+      else if (st.t1 >= 0) 1L else 0L
     if (events.isStreaming)
       sel.groupByKey(_.user_id)
-        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        .mapGroupsWithState(timeoutConf)(
           (uid: Long, it: Iterator[FunEv], state: GroupState[FunState]) => {
-            var st = state.getOption.getOrElse(FunState(-1L, -1L, -1L))
-            it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-              if (st.t1 < 0) {
-                if (e.event_type == "signup") st = FunState(e.us, -1L, -1L)
-              } else if (st.t2 < 0) {
-                if (e.event_type == "click" && e.us > st.t1 &&
-                  e.us <= st.t1 + HorizonUs) st = st.copy(t2 = e.us)
-              } else if (st.t3 < 0) {
-                if (e.event_type == "purchase" && e.us > st.t2 &&
-                  e.us <= st.t1 + HorizonUs) st = st.copy(t3 = e.us)
+            if (state.hasTimedOut) {
+              val st = state.get
+              state.remove()
+              FunOut(uid, levelOf(st))
+            } else {
+              var st = state.getOption.getOrElse(FunState(-1L, -1L, -1L))
+              var maxUs = Long.MinValue
+              it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+                if (st.t1 < 0) {
+                  if (e.event_type == "signup") st = FunState(e.us, -1L, -1L)
+                } else if (st.t2 < 0) {
+                  if (e.event_type == "click" && e.us > st.t1 &&
+                    e.us <= st.t1 + HorizonUs) st = st.copy(t2 = e.us)
+                } else if (st.t3 < 0) {
+                  if (e.event_type == "purchase" && e.us > st.t2 &&
+                    e.us <= st.t1 + HorizonUs) st = st.copy(t3 = e.us)
+                }
+                maxUs = math.max(maxUs, e.us)
               }
+              state.update(st)
+              horizon.foreach(h => state.setTimeoutTimestamp(maxUs / 1000L + h))
+              FunOut(uid, levelOf(st))
             }
-            state.update(st)
-            FunOut(uid,
-              if (st.t3 >= 0) 3L else if (st.t2 >= 0) 2L
-              else if (st.t1 >= 0) 1L else 0L)
           }).toDF()
     else {
       val w = Window.partitionBy("user_id")
