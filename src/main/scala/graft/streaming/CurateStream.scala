@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.cdc.{Cursor, CursorStore}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -19,14 +20,23 @@ import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructFiel
   *      band bucket, drop docs with a hamming≤2 earlier neighbor),
   *   4. benchmark decontamination (#73) against a STATIC 8-gram set,
   *
-  * — and appends survivors to `outDir/kept`. Cross-batch state is two
-  * parquet tables under `outDir/state` (the object-store-native form a
-  * 100 TB incremental curation run actually uses — state IS the corpus
-  * index, not executor memory):
+  * — and writes survivors to a per-batch `outDir/kept/batch=<bid>`
+  * version. Cross-batch state is two parquet tables versioned per batch
+  * under `outDir/state` (the object-store-native form a 100 TB
+  * incremental curation run actually uses — state IS the corpus index,
+  * not executor memory):
   *
-  *   - `md5_seen`  (th): every canonical text hash ever seen,
-  *   - `sim_index` (b, bkey, doc_id, sig): the first-cap band index,
-  *     bounded at O(buckets × cap) rows by construction.
+  *   - `md5_seen_v<bid>`  (th): every canonical text hash ever seen,
+  *   - `sim_index_v<bid>` (b, bkey, doc_id, sig): the first-cap band
+  *     index, bounded at O(buckets × cap) rows by construction.
+  *
+  * r12: the whole flush rides the CDC sink's exactly-once contract
+  * ([[ChangeStreamSink]] / reference `db/flush.go:13-69`): kept docs and
+  * state versions are per-batch idempotent overwrites, a [[CursorStore]]
+  * commit keyed by (module, batchId) is the transaction point, replays
+  * of committed batches are true no-ops, and readers ([[keptAll]],
+  * [[latestState]]) resolve only through committed cursors — a crash at
+  * ANY point between writes duplicates and loses nothing.
   *
   * The simhash screen is the DECLARATIVE twin of the typed
   * `flatMapGroupsWithState` operator ([[StreamDedup]]): union the stored
@@ -63,10 +73,20 @@ object CurateStream {
     StructField("b", IntegerType), StructField("bkey", LongType),
     StructField("doc_id", LongType), StructField("sig", LongType)))
 
+  /** The module identity the curation stream commits cursors under (the
+    * reference's output-module hash, `db/cursor.go:27`).
+    */
+  val ModuleHash = "curate_stream"
+
+  private def keptDir(outDir: String, bid: Long) = s"$outDir/kept/batch=$bid"
+  private def md5Dir(outDir: String, bid: Long) = s"$outDir/state/md5_seen_v$bid"
+  private def simDir(outDir: String, bid: Long) = s"$outDir/state/sim_index_v$bid"
+
   /** Start the curation stream over a streaming `documents` frame
     * (doc_id, lang, source, text). `benchGrams` is the static benchmark
     * 8-gram set (column `h`), known up front as in any decontamination
-    * run. Survivors land in `outDir/kept` as (doc_id, lang, quality).
+    * run. Survivors land in versioned `outDir/kept/batch=<bid>` dirs —
+    * read them through [[keptAll]], which resolves the committed set.
     */
   def start(docsStream: DataFrame, outDir: String, benchGrams: DataFrame,
       minQuality: Double = 0.25,
@@ -74,28 +94,85 @@ object CurateStream {
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, outDir, benchGrams, minQuality, cap)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processBatch(batch, bid, outDir, benchGrams, minQuality, cap)
       }
       .start()
 
-  /** One micro-batch: load state, run the screens, append survivors,
-    * atomically swap the state tables (write-next-then-rename — the new
-    * state plans READ the current state dirs, so they must be fully
-    * materialized before the overwrite).
+  /** One micro-batch under the sink's exactly-once contract
+    * ([[ChangeStreamSink]] / reference `db/flush.go:13-69`):
+    *
+    *   0. committed(ModuleHash, batchId) → return. A replayed batch whose
+    *      kept docs + state + cursor are already durable is a true no-op —
+    *      never re-append, never touch a version a reader may hold.
+    *   1. prior state resolves through the cursor to the newest batch
+    *      committed STRICTLY BEFORE this one (`readBatchBefore`) — a crash
+    *      that left this batch's own half-written versions can never feed
+    *      them back into its replay.
+    *   2. kept docs and both state tables write to NEW per-batch versions
+    *      (idempotent overwrites; orphans from a crash are overwritten by
+    *      the replay and invisible to readers until step 3).
+    *   3. the cursor commit is the transaction point: only after it do
+    *      [[keptAll]] / [[latestState]] expose this batch's outputs.
+    *
+    * A crash between ANY two steps therefore loses nothing and duplicates
+    * nothing (CurateStreamSpec's crash-replay leg pins it).
     */
-  def processBatch(batch: DataFrame, outDir: String, benchGrams: DataFrame,
-      minQuality: Double, cap: Int): Unit = {
+  def processBatch(batch: DataFrame, batchId: Long, outDir: String,
+      benchGrams: DataFrame, minQuality: Double, cap: Int): Unit = {
     val s = batch.sparkSession
-    val md5Seen = readState(s, s"$outDir/state/md5_seen", Md5Schema)
-    val simIndex = readState(s, s"$outDir/state/sim_index", SimSchema)
+    val store = new CursorStore(s"$outDir/cursor", s)
+    if (store.committed(ModuleHash, batchId)) return // replay: durable already
+    if (batch.isEmpty) return
+    val (md5Seen, simIndex) = store.readBatchBefore(ModuleHash, batchId) match {
+      case Some((_, prev)) =>
+        (s.read.schema(Md5Schema).parquet(md5Dir(outDir, prev)),
+          s.read.schema(SimSchema).parquet(simDir(outDir, prev)))
+      case None => (emptyMd5(s), emptySim(s))
+    }
     val r = curateBatch(batch, md5Seen, simIndex, benchGrams, minQuality, cap)
-    r.kept.write.mode("append").parquet(s"$outDir/kept")
-    r.md5Seen.write.mode("overwrite").parquet(s"$outDir/state/md5_seen.next")
-    r.simIndex.write.mode("overwrite").parquet(s"$outDir/state/sim_index.next")
-    swapState(s, s"$outDir/state/md5_seen")
-    swapState(s, s"$outDir/state/sim_index")
+    r.kept.write.mode("overwrite").parquet(keptDir(outDir, batchId))
+    r.md5Seen.write.mode("overwrite").parquet(md5Dir(outDir, batchId))
+    r.simIndex.write.mode("overwrite").parquet(simDir(outDir, batchId))
+    // the transaction point (kept + state + cursor "in one transaction"):
+    // blockNum carries the batch's max doc_id — the monotone progress
+    // marker under ordered replay, like the reference's block number
+    val maxDoc = batch.agg(max("doc_id")).collect()(0).getLong(0)
+    store.commit(Cursor(ModuleHash, s"cursor:$batchId", maxDoc,
+      s"docs:$maxDoc"), batchId)
+    // GC: state versions older than the immediate prior are unreachable
+    // (prior resolution only ever looks one committed batch back); kept
+    // versions are output and always retained
+    val committed = store.allBatches(ModuleHash).sorted
+    committed.dropRight(2).foreach { old =>
+      deleteDir(s, md5Dir(outDir, old))
+      deleteDir(s, simDir(outDir, old))
+    }
   }
+
+  /** Every kept doc across all COMMITTED batches — the reader view. A
+    * half-written version from a crashed batch has no cursor row and is
+    * invisible here (the [[ChangeStreamSink.latestSnapshot]] discipline).
+    */
+  def keptAll(s: SparkSession, outDir: String): DataFrame = {
+    val bids = new CursorStore(s"$outDir/cursor", s)
+      .allBatches(ModuleHash).sorted
+    if (bids.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("quality", org.apache.spark.sql.types.DoubleType))))
+    else s.read.parquet(bids.map(keptDir(outDir, _)): _*)
+  }
+
+  /** The newest COMMITTED (md5_seen, sim_index) state pair, if any. */
+  def latestState(s: SparkSession, outDir: String)
+      : Option[(DataFrame, DataFrame)] =
+    new CursorStore(s"$outDir/cursor", s).readWithBatch(ModuleHash)
+      .map { case (_, bid) =>
+        (s.read.schema(Md5Schema).parquet(md5Dir(outDir, bid)),
+          s.read.schema(SimSchema).parquet(simDir(outDir, bid)))
+      }
 
   final case class BatchResult(kept: DataFrame, md5Seen: DataFrame,
       simIndex: DataFrame)
@@ -181,20 +258,9 @@ object CurateStream {
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       SimSchema)
 
-  private def readState(s: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
+  private def deleteDir(s: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) s.read.schema(schema).parquet(dir)
-    else if (schema == Md5Schema) emptyMd5(s) else emptySim(s)
-  }
-
-  private def swapState(s: SparkSession, dir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val cur = new org.apache.hadoop.fs.Path(dir)
-    val next = new org.apache.hadoop.fs.Path(dir + ".next")
-    if (fs.exists(cur)) fs.delete(cur, true)
-    fs.rename(next, cur)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 }
