@@ -14,7 +14,8 @@ class CapacityRegimeSpec extends SparkSpecBase {
 
   private val sfDirs = (driverDirs ++ Seq(
       "/root/repo/testdata-local/sf1",   // 10× probe from graft.GenTestData
-      "/root/repo/testdata-local/sf3"))  // 30× probe (r10: full-gate SF)
+      "/root/repo/testdata-local/sf3",   // 30× probe (r10: full-gate SF)
+      "/root/repo/testdata-local/sf10")) // 100× probe (r12: full-sweep SF)
     .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
 
   test("fixture sanity: every driver SF is present and audited") {
