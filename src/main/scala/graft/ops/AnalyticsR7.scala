@@ -424,6 +424,61 @@ object AnalyticsR7 {
         .orderBy("doc_id")
     },
 
+    // ---- #283 bigram surprisal (conditional-LM quality signal, r12) --------
+    // Mean −ln P(w₂|w₁) per document under the corpus bigram LM — the
+    // next-order #142: a doc of individually common words in UNUSUAL
+    // order scores high here while unigram surprisal misses it (and it is
+    // the cheap stand-in for model-perplexity curation cuts, DSIR/CCNet
+    // lineage). LM = ONE bigram-grain collapse with the context total as
+    // a grain window (no unigram join-back, the #141 shape); docs join
+    // the LM on (a, b) — hash join, LM stays distributed (O(observed
+    // bigrams), never collected; at the 2^20-vocab scale the LM is
+    // corpus-sized and a broadcast would be the mistake). Every doc
+    // bigram exists in the LM by construction (the LM is fit on the same
+    // corpus) → no smoothing branch. Per-doc ln fold is order-dependent →
+    // round(·,4) clamp; output bounded to doc_id < 100 (the filter prunes
+    // the fact side BEFORE the join; the LM build still scans the corpus,
+    // as it must).
+    "bigram_surprisal" -> OpDef(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS pr
+        |  FROM t),
+        |pp AS (
+        |  SELECT doc_id, split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b
+        |  FROM p),
+        |c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM pp GROUP BY 1, 2),
+        |w AS (
+        |  SELECT a, b, cab,
+        |    CAST(SUM(cab) OVER (PARTITION BY a) AS BIGINT) AS ca
+        |  FROM c)
+        |SELECT pp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(SUM(-ln(CAST(w.cab AS DOUBLE) / w.ca)) / COUNT(*), 4)
+        |    AS surprisal2
+        |FROM pp JOIN w USING (a, b)
+        |WHERE pp.doc_id < 100
+        |GROUP BY pp.doc_id ORDER BY pp.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ts = split(col("text"), " ")
+      val n1 = greatest(size(ts) - 1, lit(0))
+      val pp = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(ts, lit(1), n1).as("a"), slice(ts, lit(2), n1).as("b"))).as("p"))
+        .select(col("doc_id"), col("p").getField("a").as("a"),
+          col("p").getField("b").as("b"))
+      val lm = pp.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        .withColumn("ca",
+          sum("cab").over(Window.partitionBy("a")).cast(LongType))
+      pp.filter(col("doc_id") < 100)
+        .join(lm, Seq("a", "b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(-log(col("cab").cast(DoubleType) / col("ca")))
+            / count(lit(1)), 4).as("surprisal2"))
+        .orderBy("doc_id")
+    },
+
     // ---- #143 timing-quantile state/merge re-aggregation -------------------
     // The -State/-Merge pattern WITHOUT a custom wire format: the
     // quantile_timing bucket counts are ADDITIVE, so the persisted

@@ -639,6 +639,79 @@ object AssociationStats {
           round((col("n") * col("n_ab")).cast(DoubleType)
             / (col("na") * col("nb")), 4).as("lift"))
         .orderBy("brand_a", "brand_b")
+    },
+
+    // ---- #284 corr -State/-Merge re-aggregation (r12) ----------------------
+    // The mergeability proof for SECOND moments (#94's incremental form —
+    // CH corrState/corrMerge): per-(type, day) state cells hold the six
+    // additive partials (n, Σx, Σy, Σxy, Σxx, Σyy) with the moment sums in
+    // exact decimals, a rollup SUMs cells per type, and the corr/slope/
+    // intercept chain runs on the merged totals. Because decimal sums are
+    // associative and exact, merge-of-cells ≡ one-pass #94 BIT-FOR-BIT at
+    // any split of the data — this is how a 100 TB sink maintains live
+    // correlations: fold each flush into O(groups × days) cells, never
+    // rescan history (the quantile_timing_reagg discipline on moments;
+    // merge identity spec-pinned in MomentsReaggSpec). Two agg exchanges
+    // (cells are ~types×days rows) + the output sort, zero joins.
+    "corr_reagg" -> OpDef(
+      """WITH st AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+        |    CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT))
+        |      AS BIGINT) AS sy,
+        |    SUM(CAST(value AS DECIMAL(18,2))
+        |        * CAST(json_extract_string(props, 'k') AS BIGINT)) AS sxy,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS sxx,
+        |    CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)
+        |             * CAST(json_extract_string(props, 'k') AS BIGINT))
+        |      AS BIGINT) AS syy
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(sx) AS DOUBLE) AS sx, CAST(SUM(sy) AS DOUBLE) AS sy,
+        |    CAST(SUM(sxy) AS DOUBLE) AS sxy, CAST(SUM(sxx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(syy) AS DOUBLE) AS syy
+        |  FROM st GROUP BY 1)
+        |SELECT event_type, n,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+        |FROM m ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      MomentCells.corrFromCells(
+        MomentCells.cells(tbl(s, dir, "events"))).orderBy("event_type")
     }
   )
+
+  /** The #284 state/merge kernel, exposed for the mergeability spec: cells
+    * are the additive corr partials at the (event_type, day) grain; any
+    * UNION of disjoint slices' cells merges to the same totals because
+    * every field is an exact decimal/integer sum.
+    */
+  object MomentCells {
+    def cells(events: DataFrame): DataFrame = {
+      val x = col("value").cast(DecimalType(18, 2))
+      val y = get_json_object(col("props"), "$.k").cast(LongType)
+      events.groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).cast(LongType).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+          sum(y * y).cast(LongType).as("syy"))
+    }
+
+    def corrFromCells(cells: DataFrame): DataFrame = {
+      val m = cells.groupBy("event_type")
+        .agg(sum("n").cast(LongType).as("n"),
+          sum("sx").cast(DoubleType).as("sx"),
+          sum("sy").cast(DoubleType).as("sy"),
+          sum("sxy").cast(DoubleType).as("sxy"),
+          sum("sxx").cast(DoubleType).as("sxx"),
+          sum("syy").cast(DoubleType).as("syy"))
+      val n = col("n"); val sx = col("sx"); val sy = col("sy")
+      m.select(col("event_type"), n,
+        ((n * col("sxy") - sx * sy)
+          / (sqrt(n * col("sxx") - sx * sx) * sqrt(n * col("syy") - sy * sy)))
+          .as("corr_xy"))
+    }
+  }
 }
