@@ -318,6 +318,45 @@ object StreamQueries {
       StreamOps.vwapBars(ev(s, dir)).orderBy("event_type", "bar_hour")
     },
 
+    // ---- #285 live windowed correlation (batch shape) ---------------------
+    // The streaming face of corr_reagg (#284): the six additive corr
+    // partials ride ONE watermarked 1-day tumbling-window aggregate
+    // (decimal-exact, arrival-order independent → stream ≡ batch
+    // bit-for-bit), the #94 IEEE chain runs as a projection on closed
+    // windows, and zero-variance windows drop under an identical double
+    // predicate on both engines. StreamOpsStreamingSpec pins closed
+    // windows ≡ batch on a shuffled 2-batch replay.
+    "stream_corr" -> OpDef(
+      """WITH st AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+        |    CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT))
+        |      AS BIGINT) AS sy,
+        |    SUM(CAST(value AS DECIMAL(18,2))
+        |        * CAST(json_extract_string(props, 'k') AS BIGINT)) AS sxy,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS sxx,
+        |    CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)
+        |             * CAST(json_extract_string(props, 'k') AS BIGINT))
+        |      AS BIGINT) AS syy
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |    CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+        |    CAST(syy AS DOUBLE) AS syy
+        |  FROM st)
+        |SELECT event_type, day, n,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+        |FROM m
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY event_type, day""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.corrBars(ev(s, dir)).orderBy("event_type", "day")
+    },
+
     // ---- #278 live per-account balances (batch shape) --------------------
     // The stateful streaming twin of #264: four integer-cent scalars per
     // account (mapGroupsWithState), each batch slice folded in event_id

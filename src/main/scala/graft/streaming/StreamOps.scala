@@ -484,6 +484,39 @@ object StreamOps {
         col("w_total"), col("n_trades"))
   }
 
+  /** #285 — live per-(day, type) Pearson correlation between value and the
+    * json k weight: the streaming face of `corr_reagg` (#284). The six
+    * corr partials (n, Σx, Σy, Σxy, Σxx, Σyy) are ADDITIVE with the moment
+    * sums in exact decimals, so they ride ONE watermarked tumbling-window
+    * aggregate — arrival-order independent, stream ≡ batch bit-for-bit —
+    * and the IEEE corr chain (the #94 spelling) runs as a projection on
+    * the closed window's totals. State per open window is O(types × open
+    * windows) scalars, evicted by the 1-hour watermark. Windows without
+    * variance on either axis drop (the corr is undefined; the double
+    * predicate is the identical expression on both engines).
+    */
+  def corrBars(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    val x = col("value").cast("decimal(18,2)")
+    val y = get_json_object(col("props"), "$.k").cast("long")
+    val m = src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val vx = n * col("sxx") - sx * sx
+    val vy = n * col("syy") - sy * sy
+    m.filter(vx > 0 && vy > 0)
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        n.cast("long").as("n"),
+        ((n * col("sxy") - sx * sy) / (sqrt(vx) * sqrt(vy))).as("corr_xy"))
+  }
+
   /** #278 — live per-account balances: the streaming twin of
     * `balance_running` (#264), i.e. the account view a sink keeps warm
     * while the ledger ingests. State per account is FOUR integer-cent

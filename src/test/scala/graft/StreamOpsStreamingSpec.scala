@@ -256,6 +256,43 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
       s"unemitted closed bars: ${mustClose.diff(got).take(3)}")
   }
 
+  test("live corr: closed windows are bit-identical to the batch twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value", "props")
+      .as[EvP].collect().sortBy(_._4.getTime)
+    // shuffled halves: all six partials are additive decimal/integer sums,
+    // so any arrival order must converge to the identical double corr
+    val rnd = new scala.util.Random(13)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[EvP]
+    val q = StreamOps.corrBars(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value",
+          "props"))
+      .writeStream.format("memory").queryName("corrw").outputMode("append")
+      .start()
+    try {
+      in.addData(rnd.shuffle(h1.toSeq)); q.processAllAvailable()
+      in.addData(rnd.shuffle(h2.toSeq)); q.processAllAvailable()
+    } finally q.stop()
+    type CBar = (String, String, Long, Double)
+    def bar(r: org.apache.spark.sql.Row): CBar =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val got = spark.sql("select * from corrw").collect().map(bar).toSet
+    assert(got.nonEmpty, "no window closed — watermark never advanced")
+    val batch = run("stream_corr").collect().map(bar).toSet
+    assert(got.subsetOf(batch), s"diff: ${got.diff(batch).take(3)}")
+    // every day window fully behind the watermark must have emitted
+    val wmMs = ev.map(_._4.getTime).max - 3600000L
+    val dayEndMs = (d: String) => java.time.LocalDate.parse(d)
+      .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+    val mustClose = batch.filter(b => dayEndMs(b._2) <= wmMs)
+    assert(mustClose.subsetOf(got),
+      s"unemitted closed windows: ${mustClose.diff(got).take(3)}")
+  }
+
   test("live balances: ordered 2-batch replay lands on the batch twin exactly") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
