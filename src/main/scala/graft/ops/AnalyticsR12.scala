@@ -229,6 +229,206 @@ object AnalyticsR12 {
         .orderBy("event_type")
     },
 
+    // ---- #290 Wald–Wolfowitz runs test on daily up/down moves -------------
+    // Is each type's daily flow a random walk, or does it trend/mean-revert?
+    // Signs of consecutive-day deltas (zeros and calendar gaps excluded —
+    // the delta must be a TRUE 1-day move), runs counted as sign changes
+    // over the FILTERED sequence, then the classical z against the
+    // random-arrangement null. Daily grain collapse (one exchange) → two
+    // cell-grain window passes on the SAME (t, day) ordering (lag for the
+    // delta, lag for the previous sign — no new exchange) → per-type
+    // integer collapse. Everything is exact integers until the final
+    // μ/σ/z chain → round(·, 4).
+    "runs_test" -> OpDef(
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, $epochDaySql AS d,
+         |    SUM(CAST("value" AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |mv AS (
+         |  SELECT t, d, v - lag(v) OVER w AS dv, d - lag(d) OVER w AS gap
+         |  FROM daily WINDOW w AS (PARTITION BY t ORDER BY d)),
+         |sg AS (
+         |  SELECT t, d, CASE WHEN dv > 0 THEN 1 ELSE -1 END AS s
+         |  FROM mv WHERE gap = 1 AND dv <> 0),
+         |runs AS (
+         |  SELECT t, s,
+         |    CASE WHEN lag(s) OVER (PARTITION BY t ORDER BY d) IS DISTINCT
+         |         FROM s THEN 1 ELSE 0 END AS new_run
+         |  FROM sg),
+         |ag AS (
+         |  SELECT t,
+         |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dn,
+         |    CAST(SUM(new_run) AS BIGINT) AS n_runs
+         |  FROM runs GROUP BY 1),
+         |st AS (
+         |  SELECT t, n_up, n_dn, n_runs,
+         |    2.0 * n_up * n_dn / (n_up + n_dn) + 1 AS mu,
+         |    2.0 * n_up * n_dn * (2.0 * n_up * n_dn - n_up - n_dn)
+         |      / ((n_up + n_dn) * (n_up + n_dn) * (n_up + n_dn - 1.0)) AS var
+         |  FROM ag WHERE n_up > 0 AND n_dn > 0 AND n_up + n_dn > 1)
+         |SELECT t AS event_type, n_up, n_dn, n_runs,
+         |  round((n_runs - mu) / sqrt(var), 4) AS z
+         |FROM st WHERE var > 0 ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"), epochDay.as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      val w = Window.partitionBy("t").orderBy("d")
+      val sg = daily
+        .withColumn("dv", col("v") - lag("v", 1).over(w))
+        .withColumn("gap", col("d") - lag("d", 1).over(w))
+        .filter(col("gap") === 1 && col("dv") =!= 0)
+        .select(col("t"), col("d"),
+          when(col("dv") > 0, lit(1)).otherwise(lit(-1)).as("s"))
+      val ag = sg
+        .withColumn("new_run",
+          when(not(lag("s", 1).over(w) <=> col("s")), lit(1)).otherwise(lit(0)))
+        .groupBy("t")
+        .agg(sum(when(col("s") === 1, 1).otherwise(0)).cast(LongType)
+          .as("n_up"),
+          sum(when(col("s") === -1, 1).otherwise(0)).cast(LongType)
+            .as("n_dn"),
+          sum("new_run").cast(LongType).as("n_runs"))
+        .filter(col("n_up") > 0 && col("n_dn") > 0
+          && col("n_up") + col("n_dn") > 1)
+      val nUp = col("n_up"); val nDn = col("n_dn")
+      val mu = lit(2.0) * nUp * nDn / (nUp + nDn) + 1
+      val vr = (lit(2.0) * nUp * nDn * (lit(2.0) * nUp * nDn - nUp - nDn)
+        / ((nUp + nDn) * (nUp + nDn) * (nUp + nDn - lit(1.0))))
+      ag.withColumn("mu", mu).withColumn("var", vr)
+        .filter(col("var") > 0)
+        .select(col("t").as("event_type"), nUp, nDn, col("n_runs"),
+          round((col("n_runs") - col("mu")) / sqrt(col("var")), 4).as("z"))
+        .orderBy("event_type")
+    },
+
+    // ---- #291 Theil–Sen robust trend slope --------------------------------
+    // The median of all pairwise day-slopes of the daily flow — the robust
+    // trend line an outlier day can't drag. The pair join runs on the
+    // CELL grain (≤ |types| × days² pairs — calendar-bounded, never
+    // corpus-quadratic; the same documented regime as interval_overlap's
+    // aggregate form), each slope is ONE IEEE divide of exact-decimal
+    // numerator by integer day gap (identical bits both engines, so
+    // GROUPING BY the double is sound), and the lower median comes from
+    // the mad_exact cumulative-count selection — picked, not interpolated,
+    // so the output needs NO rounding clamp at all.
+    "theil_sen_trend" -> OpDef(
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, $epochDaySql AS d,
+         |    SUM(CAST("value" AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT a.t, CAST(b.v - a.v AS DOUBLE) / (b.d - a.d) AS slope
+         |  FROM daily a JOIN daily b ON a.t = b.t AND b.d > a.d),
+         |g AS (
+         |  SELECT t, slope, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pr GROUP BY 1, 2),
+         |cw AS (
+         |  SELECT t, slope, c,
+         |    SUM(c) OVER (PARTITION BY t ORDER BY slope) AS cum,
+         |    SUM(c) OVER (PARTITION BY t) AS n
+         |  FROM g)
+         |SELECT t AS event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+         |  MIN(slope) AS sen_slope
+         |FROM cw WHERE 2 * cum >= n GROUP BY t ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"), epochDay.as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      val a = daily.select(col("t"), col("d").as("da"), col("v").as("va"))
+      val b = daily.select(col("t").as("tb"), col("d").as("db"),
+        col("v").as("vb"))
+      val pr = a.join(b, col("t") === col("tb") && col("db") > col("da"))
+        .select(col("t"),
+          ((col("vb") - col("va")).cast(DoubleType) / (col("db") - col("da")))
+            .as("slope"))
+      val g = pr.groupBy("t", "slope").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("t").orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("t")
+      g.withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+        .filter(lit(2) * col("cum") >= col("n"))
+        .groupBy("t")
+        .agg(max("n").cast(LongType).as("n_pairs"), min("slope").as("sen_slope"))
+        .select(col("t").as("event_type"), col("n_pairs"), col("sen_slope"))
+        .orderBy("event_type")
+    },
+
+    // ---- #292 Mann–Kendall trend test -------------------------------------
+    // The non-parametric companion of #291: S = Σ_{i<j} sign(v_j − v_i)
+    // over the daily series, tie-corrected variance, the ±1-continuity z.
+    // Same bounded cell-grain pair join as #291 (sign compares exact
+    // decimals — no float enters until the z chain); the tie spectrum
+    // folds from a (t, v) grain count. Integers throughout; the final
+    // var/18, sqrt, divide chain is identical IEEE → round(·, 4); tau is
+    // S over the exact pair count.
+    "mann_kendall_trend" -> OpDef(
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, $epochDaySql AS d,
+         |    SUM(CAST("value" AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |sgn AS (
+         |  SELECT a.t,
+         |    CAST(SUM(CASE WHEN b.v > a.v THEN 1
+         |                  WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM daily a JOIN daily b ON a.t = b.t AND b.d > a.d
+         |  GROUP BY 1),
+         |nn AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+         |ties AS (
+         |  SELECT t, CAST(COALESCE(SUM(tt * (tt - 1) * (2 * tt + 5)), 0)
+         |    AS BIGINT) AS tcorr
+         |  FROM (SELECT t, v, CAST(COUNT(*) AS BIGINT) AS tt
+         |        FROM daily GROUP BY 1, 2) g
+         |  WHERE tt > 1 GROUP BY 1),
+         |st AS (
+         |  SELECT s.t, s.s, s.n_pairs, nn.n,
+         |    (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+         |      - COALESCE(ties.tcorr, 0)) / 18.0 AS var
+         |  FROM sgn s JOIN nn ON nn.t = s.t
+         |  LEFT JOIN ties ON ties.t = s.t)
+         |SELECT t AS event_type, n, s, n_pairs,
+         |  round(CAST(s AS DOUBLE) / n_pairs, 4) AS tau,
+         |  round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+         |             WHEN s < 0 THEN (s + 1) / sqrt(var)
+         |             ELSE 0.0 END, 4) AS z
+         |FROM st WHERE var > 0 ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"), epochDay.as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      val a = daily.select(col("t"), col("d").as("da"), col("v").as("va"))
+      val b = daily.select(col("t").as("tb"), col("d").as("db"),
+        col("v").as("vb"))
+      val sgn = a.join(b, col("t") === col("tb") && col("db") > col("da"))
+        .groupBy("t")
+        .agg(sum(when(col("vb") > col("va"), 1)
+          .when(col("vb") < col("va"), -1).otherwise(0)).cast(LongType)
+          .as("s"),
+          count(lit(1)).cast(LongType).as("n_pairs"))
+      val nn = daily.groupBy("t").agg(count(lit(1)).cast(LongType).as("n"))
+      val ties = daily.groupBy("t", "v").agg(count(lit(1)).cast(LongType)
+        .as("tt"))
+        .filter(col("tt") > 1)
+        .groupBy("t")
+        .agg(coalesce(sum(col("tt") * (col("tt") - 1)
+          * (lit(2) * col("tt") + 5)), lit(0L)).cast(LongType).as("tcorr"))
+      val st = sgn.join(broadcast(nn), Seq("t"))
+        .join(broadcast(ties), Seq("t"), "left")
+        .withColumn("var",
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+            - coalesce(col("tcorr"), lit(0L))) / lit(18.0))
+        .filter(col("var") > 0)
+      st.select(col("t").as("event_type"), col("n"), col("s"), col("n_pairs"),
+        round(col("s").cast(DoubleType) / col("n_pairs"), 4).as("tau"),
+        round(when(col("s") > 0, (col("s") - 1) / sqrt(col("var")))
+          .when(col("s") < 0, (col("s") + 1) / sqrt(col("var")))
+          .otherwise(lit(0.0)), 4).as("z"))
+        .orderBy("event_type")
+    },
+
     // ---- #289 cross-source vocabulary overlap (corpus mixing audit) -------
     // Pairwise token-vocabulary Jaccard between document sources — the
     // audit behind mixture decisions: sources with near-disjoint vocab

@@ -106,6 +106,79 @@ class AnalyticsR12Spec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("runs_test: gap-aware sign runs, classical z") {
+    val exp = daily.flatMap { case (t, cells) =>
+      val signs = cells.zip(cells.drop(1)).collect {
+        case ((d0, v0), (d1, v1)) if d1 - d0 == 1 && v1 != v0 =>
+          if (v1 > v0) 1 else -1
+      }
+      val nUp = signs.count(_ == 1).toLong
+      val nDn = signs.count(_ == -1).toLong
+      if (nUp == 0 || nDn == 0 || nUp + nDn <= 1) None
+      else {
+        val runs = 1L + signs.zip(signs.drop(1)).count(p => p._1 != p._2)
+        val n = (nUp + nDn).toDouble
+        val mu = 2.0 * nUp * nDn / n + 1
+        val vr = 2.0 * nUp * nDn * (2.0 * nUp * nDn - nUp - nDn) /
+          (n * n * (n - 1))
+        if (vr > 0) Some(t -> ((nUp, nDn, runs, r4((runs - mu) / math.sqrt(vr)))))
+        else None
+      }
+    }
+    val got = run("runs_test").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (t, v) =>
+      val g = got(t)
+      assert(g._1 == v._1 && g._2 == v._2 && g._3 == v._3, s"counts $t")
+      assert(math.abs(g._4 - v._4) < 2e-4, s"z $t: ${g._4} vs ${v._4}")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("theil_sen_trend: lower median of pairwise slopes, picked exactly") {
+    val exp = daily.filter(_._2.size >= 2).map { case (t, cells) =>
+      val slopes = (for {
+        i <- cells.indices; j <- (i + 1) until cells.size
+      } yield (cells(j)._2 - cells(i)._2).toDouble /
+        (cells(j)._1 - cells(i)._1)).sorted
+      t -> ((slopes.size.toLong, slopes((slopes.size - 1) / 2)))
+    }
+    val got = run("theil_sen_trend").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (t, v) => assert(got(t) == v, s"type $t") }
+  }
+
+  test("mann_kendall_trend: S, tie-corrected var, continuity z, tau") {
+    val exp = daily.map { case (t, cells) =>
+      val n = cells.size.toLong
+      var sStat = 0L
+      for (i <- cells.indices; j <- (i + 1) until cells.size) {
+        val c = cells(j)._2.compare(cells(i)._2)
+        sStat += (if (c > 0) 1 else if (c < 0) -1 else 0)
+      }
+      val nPairs = n * (n - 1) / 2
+      val tcorr = cells.groupBy(_._2).values.map(_.size.toLong)
+        .filter(_ > 1).map(tt => tt * (tt - 1) * (2 * tt + 5)).sum
+      val vr = (n * (n - 1) * (2 * n + 5) - tcorr) / 18.0
+      val z = if (sStat > 0) (sStat - 1) / math.sqrt(vr)
+        else if (sStat < 0) (sStat + 1) / math.sqrt(vr) else 0.0
+      t -> ((n, sStat, nPairs, r4(sStat.toDouble / nPairs), r4(z)))
+    }
+    val got = run("mann_kendall_trend").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (t, v) =>
+      val g = got(t)
+      assert((g._1, g._2, g._3) == ((v._1, v._2, v._3)), s"ints $t")
+      assert(math.abs(g._4 - v._4) < 2e-4 && math.abs(g._5 - v._5) < 2e-4,
+        s"tau/z $t")
+    }
+  }
+
   test("vocab_jaccard_sources: distinct-grain intersection over all pairs") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
       .select("source", "text").collect()
