@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
 import graft.{GraftSession, OpDef}
 import graft.sources.Tables
 
-/** SURVEY §2 #286-#289 — r12 additions: risk-adjusted rolling series,
-  * variance-homogeneity testing, forecast-skill scoring, and cross-source
-  * vocabulary overlap.
+/** SURVEY §2 #286-#289 and #293-#299 — r12 additions: risk-adjusted rolling
+  * series, variance-homogeneity testing, forecast-skill scoring,
+  * cross-source vocabulary overlap, lead-lag cross-correlation, normality
+  * testing, long-range dependence, market indicators, structural breaks,
+  * and a distributed Poisson bootstrap.
   *
   * Same parity discipline as the rest of the bank (SURVEY §5): every
   * accumulated amount folds in exact decimals; doubles appear only in a
@@ -484,6 +486,578 @@ object AnalyticsR12 {
             / (col("vocab_a") + col("vocab_b") - col("n_common")), 6)
             .as("jaccard"))
         .orderBy("src_a", "src_b")
-    }
+    },
+
+    // ---- #293 lead–lag cross-correlation between type pairs ---------------
+    // Does one instrument's daily flow LEAD another's? Pearson corr between
+    // type a's daily series and type b's series shifted by lag ∈ [−3, +3]
+    // days, for every ordered pair a < b (negative lags cover b-leads-a, so
+    // unordered pairs suffice). The fact table collapses to the daily cell
+    // grain ONCE; the 7-lag expansion and the pair join both ride that
+    // grain (join key = calendar day ⇒ ≤ |types|² matches per day — cell-
+    // bounded, never corpus-quadratic). Moment sums fold as exact decimals;
+    // the corr chain is one identical IEEE sequence → round(·, 4).
+    "lead_lag_corr" -> OpDef(
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, $epochDaySql AS d,
+         |    SUM(CAST("value" AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+         |pr AS (
+         |  SELECT a.t AS ta, b.t AS tb, l.lag AS lag, a.v AS x, b.v AS y
+         |  FROM daily a
+         |  JOIN lags l ON TRUE
+         |  JOIN daily b ON b.d = a.d + l.lag AND a.t < b.t),
+         |ag AS (
+         |  SELECT ta, tb, lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         |    CAST(SUM(y * y) AS DOUBLE) AS syy
+         |  FROM pr GROUP BY 1, 2, 3),
+         |v AS (
+         |  SELECT ta, tb, lag, n_days,
+         |    n_days * sxx - sx * sx AS dx, n_days * syy - sy * sy AS dy,
+         |    n_days * sxy - sx * sy AS cxy
+         |  FROM ag WHERE n_days >= 10)
+         |SELECT ta AS type_a, tb AS type_b, lag, n_days,
+         |  round(cxy / sqrt(dx * dy), 4) AS xcorr
+         |FROM v WHERE dx > 0 AND dy > 0
+         |ORDER BY type_a, type_b, lag""".stripMargin
+    ) { (s, dir) =>
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"), epochDay.as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      val a = daily
+        .select(col("t").as("ta"), col("d"), col("v").as("x"))
+        .withColumn("lag0", explode(sequence(lit(-3), lit(3))))
+        .withColumn("lag", col("lag0").cast(LongType)).drop("lag0")
+        .withColumn("dm", col("d") + col("lag"))
+      val b = daily.select(col("t").as("tb"), col("d").as("db"),
+        col("v").as("y"))
+      val ag = a.join(b, col("dm") === col("db") && col("ta") < col("tb"))
+        .groupBy("ta", "tb", "lag")
+        .agg(count(lit(1)).cast(LongType).as("n_days"),
+          sum("x").cast(DoubleType).as("sx"),
+          sum("y").cast(DoubleType).as("sy"),
+          sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+          sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+          sum(col("y") * col("y")).cast(DoubleType).as("syy"))
+        .filter(col("n_days") >= 10)
+      val n = col("n_days")
+      ag
+        .withColumn("dx", n * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dy", n * col("syy") - col("sy") * col("sy"))
+        .withColumn("cxy", n * col("sxy") - col("sx") * col("sy"))
+        .filter(col("dx") > 0 && col("dy") > 0)
+        .select(col("ta").as("type_a"), col("tb").as("type_b"), col("lag"),
+          n, round(col("cxy") / sqrt(col("dx") * col("dy")), 4).as("xcorr"))
+        .orderBy("type_a", "type_b", "lag")
+    },
+
+    // ---- #294 Jarque–Bera normality test on daily increments --------------
+    // Are the day-over-day flow changes normal (the premise behind every
+    // Gaussian risk model on this series)? JB = n/6·(g₁² + g₂²/4) over the
+    // TRUE 1-day deltas (calendar gaps excluded). Deltas become exact
+    // integer cents; power sums ride the skew_kurt discipline — cast to
+    // wide exact types BEFORE multiplying (Spark DECIMAL(38,0) chain,
+    // DuckDB HUGEINT: both exact for |k|≤1e8 cents ⇒ k⁴ ≤ 1e32) — so the
+    // only float steps are the final central-moment chain → round(·, 4).
+    "jarque_bera" -> OpDef(
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, $epochDaySql AS d,
+         |    SUM(CAST("value" AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |mv AS (
+         |  SELECT t, v - lag(v) OVER w AS dv, d - lag(d) OVER w AS gap
+         |  FROM daily WINDOW w AS (PARTITION BY t ORDER BY d)),
+         |c AS (
+         |  SELECT t, CAST(dv * 100 AS HUGEINT) AS k FROM mv WHERE gap = 1),
+         |m AS (
+         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(k) AS DOUBLE) AS s1,
+         |    CAST(SUM(k * k) AS DOUBLE) AS s2,
+         |    CAST(SUM(k * k * k) AS DOUBLE) AS s3,
+         |    CAST(SUM(k * k * k * k) AS DOUBLE) AS s4
+         |  FROM c GROUP BY 1),
+         |ct AS (
+         |  SELECT t, n,
+         |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+         |    s3 / n - 3 * (s1 / n) * (s2 / n)
+         |      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         |    s4 / n - 4 * (s1 / n) * (s3 / n)
+         |      + 6 * ((s1 / n) * (s1 / n)) * (s2 / n)
+         |      - 3 * (((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n))) AS m4
+         |  FROM m WHERE n >= 8),
+         |g AS (
+         |  SELECT t, n, m3 / (m2 * sqrt(m2)) AS g1,
+         |    m4 / (m2 * m2) - 3 AS g2
+         |  FROM ct WHERE m2 > 0)
+         |SELECT t AS event_type, n, round(g1, 4) AS g1, round(g2, 4) AS g2,
+         |  round(n / 6.0 * (g1 * g1 + g2 * g2 / 4), 4) AS jb
+         |FROM g ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"), epochDay.as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      val w = Window.partitionBy("t").orderBy("d")
+      val c = daily
+        .withColumn("dv", col("v") - lag("v", 1).over(w))
+        .withColumn("gap", col("d") - lag("d", 1).over(w))
+        .filter(col("gap") === 1)
+        .select(col("t"),
+          (col("dv") * 100).cast(DecimalType(20, 0)).as("k"))
+      val m = c.groupBy("t")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("k").cast(DoubleType).as("s1"),
+          sum(col("k") * col("k")).cast(DoubleType).as("s2"),
+          sum(col("k") * col("k") * col("k")).cast(DoubleType).as("s3"),
+          sum(col("k") * col("k") * col("k") * col("k"))
+            .cast(DoubleType).as("s4"))
+        .filter(col("n") >= 8)
+      val n = col("n"); val mean = col("s1") / n
+      val ct = m.select(col("t"), n,
+        (col("s2") / n - mean * mean).as("m2"),
+        (col("s3") / n - lit(3) * mean * (col("s2") / n)
+          + lit(2) * mean * mean * mean).as("m3"),
+        (col("s4") / n - lit(4) * mean * (col("s3") / n)
+          + lit(6) * (mean * mean) * (col("s2") / n)
+          - lit(3) * ((mean * mean) * (mean * mean))).as("m4"))
+        .filter(col("m2") > 0)
+      val g = ct.select(col("t"), n,
+        (col("m3") / (col("m2") * sqrt(col("m2")))).as("g1"),
+        (col("m4") / (col("m2") * col("m2")) - 3).as("g2"))
+      g.select(col("t").as("event_type"), n,
+          round(col("g1"), 4).as("g1"), round(col("g2"), 4).as("g2"),
+          round(n / lit(6.0)
+            * (col("g1") * col("g1") + col("g2") * col("g2") / 4), 4)
+            .as("jb"))
+        .orderBy("event_type")
+    },
+
+    // ---- #295 Hurst exponent via the aggregated-variance method -----------
+    // Long-range dependence of the HOURLY flow: aggregate the series into
+    // complete blocks of m ∈ {1,2,4,8,16} OBSERVED hours (index blocks over
+    // the per-type hour rank, so calendar gaps shorten the series instead
+    // of voiding every block — the estimator runs on the series as
+    // sampled), Var(block sum) ∝ m^{2H}. The hour grain is load-bearing:
+    // the events table spans a fixed 31-day window at every SF, so a daily
+    // series tops out at 31 points and m=16 can never field the ≥4
+    // complete blocks the variance needs — hourly gives ≥64 observed
+    // cells per type from sf0.001 up. H falls out of a FIXED-DESIGN
+    // log-log regression (the five ln m abscissae are constants, so the
+    // OLS slope collapses to a closed ±2/±1/0 contrast over the five
+    // ln-variances — no order-dependent float fold anywhere). One
+    // cell-grain exchange builds all five block grains (the 5× expansion
+    // rides |types|×|hours| cells, not the fact table); block sums are
+    // exact decimals; doubles appear only in the five variance chains and
+    // the final contrast → round(·, 4).
+    "hurst_exponent" -> OpDef(
+      s"""WITH daily AS (
+         |  SELECT event_type AS t,
+         |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS d,
+         |    SUM(CAST("value" AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT t, v,
+         |    row_number() OVER (PARTITION BY t ORDER BY d) - 1 AS rn
+         |  FROM daily),
+         |blk AS (
+         |  SELECT rk.t, s.m,
+         |    CAST((rn - rn % s.m) / s.m AS BIGINT) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(SUM(v) AS DECIMAL(18,2)) AS bs
+         |  FROM rk JOIN (SELECT unnest([1, 2, 4, 8, 16]) AS m) s ON TRUE
+         |  GROUP BY 1, 2, 3),
+         |vm AS (
+         |  SELECT t, m, CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(bs) AS DOUBLE) AS sb,
+         |    CAST(SUM(bs * bs) AS DOUBLE) AS qb
+         |  FROM blk WHERE c = m GROUP BY 1, 2),
+         |vv AS (
+         |  SELECT t, m, (qb - sb * sb / nb) / (nb - 1) AS var
+         |  FROM vm WHERE nb >= 4),
+         |pv AS (
+         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_scales,
+         |    MAX(CASE WHEN m = 1 THEN var END) AS v1,
+         |    MAX(CASE WHEN m = 2 THEN var END) AS v2,
+         |    MAX(CASE WHEN m = 8 THEN var END) AS v8,
+         |    MAX(CASE WHEN m = 16 THEN var END) AS v16
+         |  FROM vv WHERE var > 0 GROUP BY t)
+         |SELECT t AS event_type, n_scales,
+         |  round((-2 * ln(v1) - ln(v2) + ln(v8) + 2 * ln(v16))
+         |        / (20 * ln(2)), 4) AS hurst
+         |FROM pv WHERE n_scales = 5
+         |ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"),
+          floor(col("ts").cast(LongType) / 3600).cast(LongType).as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      val scales = explode(array(Seq(1, 2, 4, 8, 16).map(lit): _*)).as("m")
+      val rk = daily
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("t").orderBy("d")) - 1)
+      val blk = rk
+        .select(col("t"), col("rn"), col("v"), scales)
+        .groupBy(col("t"), col("m"),
+          ((col("rn") - col("rn") % col("m")) / col("m")).cast(LongType)
+            .as("b"))
+        .agg(count(lit(1)).cast(LongType).as("c"),
+          sum("v").cast(DecimalType(18, 2)).as("bs"))
+      val vm = blk.filter(col("c") === col("m"))
+        .groupBy("t", "m")
+        .agg(count(lit(1)).cast(LongType).as("nb"),
+          sum("bs").cast(DoubleType).as("sb"),
+          sum(col("bs") * col("bs")).cast(DoubleType).as("qb"))
+        .filter(col("nb") >= 4)
+        .withColumn("var",
+          (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1))
+        .filter(col("var") > 0)
+      val pv = vm.groupBy("t")
+        .agg(count(lit(1)).cast(LongType).as("n_scales"),
+          max(when(col("m") === 1, col("var"))).as("v1"),
+          max(when(col("m") === 2, col("var"))).as("v2"),
+          max(when(col("m") === 8, col("var"))).as("v8"),
+          max(when(col("m") === 16, col("var"))).as("v16"))
+        .filter(col("n_scales") === 5)
+      pv.select(col("t").as("event_type"), col("n_scales"),
+          round((lit(-2) * log(col("v1")) - log(col("v2")) + log(col("v8"))
+            + lit(2) * log(col("v16"))) / (lit(20) * log(lit(2.0))), 4)
+            .as("hurst"))
+        .orderBy("event_type")
+    },
+
+    // ---- #296 RSI-14 on the daily flow -------------------------------------
+    // The classic relative-strength index (simple 14-day form) per
+    // instrument: gains/losses of TRUE 1-day deltas, summed over a
+    // calendar-correct trailing window — RANGE BETWEEN 13 PRECEDING on the
+    // integer day key, so calendar gaps shrink the window instead of
+    // silently stretching it (a ROWS frame would). One cell-grain exchange;
+    // gain/loss split and window sums stay exact decimals; RSI =
+    // 100·G/(G+L) is ONE double divide → round(·, 4).
+    "rsi_daily" -> OpDef(
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, $epochDaySql AS d,
+         |    SUM(CAST("value" AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |mv AS (
+         |  SELECT t, d, v - lag(v) OVER w AS dv, d - lag(d) OVER w AS gap
+         |  FROM daily WINDOW w AS (PARTITION BY t ORDER BY d)),
+         |dd AS (
+         |  SELECT t, d,
+         |    CASE WHEN dv > 0 THEN dv ELSE CAST(0 AS DECIMAL(18,2)) END AS g,
+         |    CASE WHEN dv < 0 THEN -dv ELSE CAST(0 AS DECIMAL(18,2)) END AS l
+         |  FROM mv WHERE gap = 1),
+         |win AS (
+         |  SELECT t, d, CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+         |    SUM(g) OVER w AS sg, SUM(l) OVER w AS sl
+         |  FROM dd
+         |  WINDOW w AS (PARTITION BY t ORDER BY d
+         |               RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT t AS event_type, d AS day, n_win,
+         |  round(100.0 * CAST(sg AS DOUBLE)
+         |        / (CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE)), 4) AS rsi
+         |FROM win WHERE n_win >= 7 AND sg + sl > 0
+         |ORDER BY event_type, day""".stripMargin
+    ) { (s, dir) =>
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"), epochDay.as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      val w = Window.partitionBy("t").orderBy("d")
+      val dd = daily
+        .withColumn("dv", col("v") - lag("v", 1).over(w))
+        .withColumn("gap", col("d") - lag("d", 1).over(w))
+        .filter(col("gap") === 1)
+        .select(col("t"), col("d"),
+          when(col("dv") > 0, col("dv"))
+            .otherwise(lit(0).cast(DecimalType(18, 2))).as("g"),
+          when(col("dv") < 0, -col("dv"))
+            .otherwise(lit(0).cast(DecimalType(18, 2))).as("l"))
+      val wr = Window.partitionBy("t").orderBy("d").rangeBetween(-13, 0)
+      dd
+        .withColumn("n_win", count(lit(1)).over(wr).cast(LongType))
+        .withColumn("sg", sum("g").over(wr))
+        .withColumn("sl", sum("l").over(wr))
+        .filter(col("n_win") >= 7 && col("sg") + col("sl") > 0)
+        .select(col("t").as("event_type"), col("d").as("day"), col("n_win"),
+          round(lit(100.0) * col("sg").cast(DoubleType)
+            / (col("sg").cast(DoubleType) + col("sl").cast(DoubleType)), 4)
+            .as("rsi"))
+        .orderBy("event_type", "day")
+    },
+
+    // ---- #297 Bollinger-band breach audit ----------------------------------
+    // How often does each instrument's daily flow escape its own trailing
+    // 20-day ±2σ band? Rolling mean/σ ride ONE RANGE frame on the integer
+    // day key (same cell-grain discipline as #286 — never a date self-
+    // join); the band compare runs v (an exact decimal rendered to double)
+    // against an identical IEEE mean±2σ chain on both engines, so the
+    // breach flags are bit-deterministic; the per-type collapse is then
+    // pure integer counting → one divide → round(·, 6).
+    "bollinger_breach" -> OpDef(
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, $epochDaySql AS d,
+         |    SUM(CAST("value" AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |cells AS (SELECT t, d, v, v * v AS v2 FROM daily),
+         |win AS (
+         |  SELECT t, d, CAST(v AS DOUBLE) AS vd,
+         |    CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+         |    CAST(SUM(v) OVER w AS DOUBLE) AS sw,
+         |    CAST(SUM(v2) OVER w AS DOUBLE) AS qw
+         |  FROM cells
+         |  WINDOW w AS (PARTITION BY t ORDER BY d
+         |               RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |st AS (
+         |  SELECT t, d, vd, n_win, sw / n_win AS mu,
+         |    sqrt((qw - sw * sw / n_win) / (n_win - 1)) AS sd
+         |  FROM win WHERE n_win >= 5),
+         |fl AS (
+         |  SELECT t,
+         |    CASE WHEN vd > mu + 2 * sd THEN 1 ELSE 0 END AS up,
+         |    CASE WHEN vd < mu - 2 * sd THEN 1 ELSE 0 END AS dn
+         |  FROM st)
+         |SELECT t AS event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(up) AS BIGINT) AS n_upper, CAST(SUM(dn) AS BIGINT) AS n_lower,
+         |  round(CAST(SUM(up) + SUM(dn) AS DOUBLE) / COUNT(*), 6) AS breach_rate
+         |FROM fl GROUP BY t ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"), epochDay.as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+        .withColumn("v2", col("v") * col("v"))
+      val wr = Window.partitionBy("t").orderBy("d").rangeBetween(-19, 0)
+      val st = daily
+        .withColumn("vd", col("v").cast(DoubleType))
+        .withColumn("n_win", count(lit(1)).over(wr).cast(LongType))
+        .withColumn("sw", sum("v").over(wr).cast(DoubleType))
+        .withColumn("qw", sum("v2").over(wr).cast(DoubleType))
+        .filter(col("n_win") >= 5)
+        .withColumn("mu", col("sw") / col("n_win"))
+        .withColumn("sd",
+          sqrt((col("qw") - col("sw") * col("sw") / col("n_win"))
+            / (col("n_win") - 1)))
+      st
+        .select(col("t"),
+          when(col("vd") > col("mu") + lit(2) * col("sd"), 1).otherwise(0)
+            .as("up"),
+          when(col("vd") < col("mu") - lit(2) * col("sd"), 1).otherwise(0)
+            .as("dn"))
+        .groupBy("t")
+        .agg(count(lit(1)).cast(LongType).as("n_days"),
+          sum("up").cast(LongType).as("n_upper"),
+          sum("dn").cast(LongType).as("n_lower"),
+          round((sum("up") + sum("dn")).cast(DoubleType) / count(lit(1)), 6)
+            .as("breach_rate"))
+        .select(col("t").as("event_type"), col("n_days"), col("n_upper"),
+          col("n_lower"), col("breach_rate"))
+        .orderBy("event_type")
+    },
+
+    // ---- #298 Chow structural-break test -----------------------------------
+    // Did the linear day-trend of the flow CHANGE at mid-sample? Fit
+    // v = α + β·day by OLS on the full span and on the two halves split at
+    // the per-type median day; F = ((SSR_p − SSR₁ − SSR₂)/2) /
+    // ((SSR₁+SSR₂)/(n−4)). The median split day comes from the exact
+    // cumulative-count selection on the daily grain and BROADCASTS back
+    // (≤ |types| rows); both segments' regression sums fold as conditional
+    // exact decimals in ONE cell-grain pass; every SSR is the same
+    // closed-form IEEE chain → round(·, 4).
+    "chow_break" -> OpDef(
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, $epochDaySql AS d,
+         |    SUM(CAST("value" AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |cw AS (
+         |  SELECT t, d,
+         |    row_number() OVER (PARTITION BY t ORDER BY d) AS rn,
+         |    COUNT(*) OVER (PARTITION BY t) AS n
+         |  FROM daily),
+         |sp AS (SELECT t, MIN(d) AS split_d FROM cw WHERE 2 * rn >= n GROUP BY t),
+         |seg AS (
+         |  SELECT daily.t, CASE WHEN d <= split_d THEN 1 ELSE 2 END AS h,
+         |    d, v
+         |  FROM daily JOIN sp ON sp.t = daily.t),
+         |sums AS (
+         |  SELECT t, h, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(d) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DOUBLE) AS sxx,
+         |    CAST(SUM(v) AS DOUBLE) AS sy,
+         |    CAST(SUM(v * v) AS DOUBLE) AS syy,
+         |    CAST(SUM(v * d) AS DOUBLE) AS sxy
+         |  FROM seg GROUP BY 1, 2),
+         |pool AS (
+         |  SELECT t, CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx,
+         |    SUM(sy) AS sy, SUM(syy) AS syy, SUM(sxy) AS sxy,
+         |    CAST(MIN(n) AS BIGINT) AS n_min
+         |  FROM sums GROUP BY t HAVING COUNT(*) = 2),
+         |ssr AS (
+         |  SELECT s.t, p.n, p.n_min, s.h,
+         |    (s.syy - s.sy * s.sy / s.n)
+         |      - (s.sxy - s.sx * s.sy / s.n) * (s.sxy - s.sx * s.sy / s.n)
+         |        / (s.sxx - s.sx * s.sx / s.n) AS ssr_h,
+         |    (p.syy - p.sy * p.sy / p.n)
+         |      - (p.sxy - p.sx * p.sy / p.n) * (p.sxy - p.sx * p.sy / p.n)
+         |        / (p.sxx - p.sx * p.sx / p.n) AS ssr_p
+         |  FROM sums s JOIN pool p ON p.t = s.t
+         |  WHERE s.sxx - s.sx * s.sx / s.n > 0
+         |    AND p.sxx - p.sx * p.sx / p.n > 0),
+         |ag AS (
+         |  SELECT t, CAST(MAX(n) AS BIGINT) AS n, MAX(n_min) AS n_min,
+         |    MAX(ssr_p) AS ssr_p, SUM(ssr_h) AS ssr_12,
+         |    CAST(COUNT(*) AS BIGINT) AS n_seg
+         |  FROM ssr GROUP BY t)
+         |SELECT t AS event_type, n,
+         |  round(((ssr_p - ssr_12) / 2) / (ssr_12 / (n - 4)), 4) AS f_chow
+         |FROM ag
+         |WHERE n_seg = 2 AND n_min >= 3 AND ssr_12 > 0
+         |ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type").as("t"), epochDay.as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+      val wRn = Window.partitionBy("t").orderBy("d")
+      val wAll = Window.partitionBy("t")
+      val sp = daily
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(lit(2) * col("rn") >= col("n"))
+        .groupBy("t").agg(min("d").as("split_d"))
+      val seg = daily.join(broadcast(sp), Seq("t"))
+        .select(col("t"),
+          when(col("d") <= col("split_d"), 1).otherwise(2).as("h"),
+          col("d"), col("v"))
+      val sums = seg.groupBy("t", "h")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("d").cast(DoubleType).as("sx"),
+          sum(col("d").cast(DecimalType(38, 0)) * col("d"))
+            .cast(DoubleType).as("sxx"),
+          sum("v").cast(DoubleType).as("sy"),
+          sum(col("v") * col("v")).cast(DoubleType).as("syy"),
+          sum(col("v") * col("d")).cast(DoubleType).as("sxy"))
+      val pool = sums.groupBy("t")
+        .agg(sum("n").cast(LongType).as("n"), sum("sx").as("sx"),
+          sum("sxx").as("sxx"), sum("sy").as("sy"), sum("syy").as("syy"),
+          sum("sxy").as("sxy"), min("n").cast(LongType).as("n_min"),
+          count(lit(1)).as("n_seg"))
+        .filter(col("n_seg") === 2)
+      def ssrOf(n: Column, sx: Column, sxx: Column, sy: Column, syy: Column,
+                sxy: Column): Column =
+        (syy - sy * sy / n) -
+          (sxy - sx * sy / n) * (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      val ssr = sums.join(pool.select(col("t"), col("n").as("np"),
+          col("sx").as("sxp"), col("sxx").as("sxxp"), col("sy").as("syp"),
+          col("syy").as("syyp"), col("sxy").as("sxyp"), col("n_min")),
+          Seq("t"))
+        .filter(col("sxx") - col("sx") * col("sx") / col("n") > 0 &&
+          col("sxxp") - col("sxp") * col("sxp") / col("np") > 0)
+        .select(col("t"), col("np"), col("n_min"),
+          ssrOf(col("n"), col("sx"), col("sxx"), col("sy"), col("syy"),
+            col("sxy")).as("ssr_h"),
+          ssrOf(col("np"), col("sxp"), col("sxxp"), col("syp"), col("syyp"),
+            col("sxyp")).as("ssr_p"))
+      val ag = ssr.groupBy("t")
+        .agg(max("np").cast(LongType).as("n"), max("n_min").as("n_min"),
+          max("ssr_p").as("ssr_p"), sum("ssr_h").as("ssr_12"),
+          count(lit(1)).cast(LongType).as("n_seg"))
+        .filter(col("n_seg") === 2 && col("n_min") >= 3 && col("ssr_12") > 0)
+      ag.select(col("t").as("event_type"), col("n"),
+          round(((col("ssr_p") - col("ssr_12")) / 2)
+            / (col("ssr_12") / (col("n") - 4)), 4).as("f_chow"))
+        .orderBy("event_type")
+    },
+
+    // ---- #299 distributed Poisson bootstrap CI for the mean ---------------
+    // The resample-free bootstrap that actually distributes (Chamandy et
+    // al., Google 2012): replicate b gives each row a Poisson(1) weight
+    // drawn by inverse-CDF from the portable md5 hash of (event_id, b) —
+    // deterministic, seedless, identical on both engines. B = 64 replicate
+    // means fold in ONE exchange keyed (type, b): the ×64 expansion
+    // happens map-side and partial-aggregates BEFORE the shuffle, so
+    // shuffle volume is |types|·64 cells per partition, not 64 scans of
+    // the fact table. CI bounds are PICKED ranked replicate means (ranks
+    // 2/63 of 64 ≈ a 95% percentile interval) — selection, not
+    // interpolation; each mean is one double divide → round(·, 6).
+    "bootstrap_mean_ci" -> OpDef(
+      s"""WITH reps AS (
+         |  SELECT e.event_type, e."value", b.b,
+         |    ${parity.md5LongSql("CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
+         |      % 1000000 AS r
+         |  FROM events e JOIN (SELECT unnest(range(0, 64)) AS b) b ON TRUE),
+         |wts AS (
+         |  SELECT event_type, b,
+         |    CASE WHEN r < 367879 THEN 0 WHEN r < 735759 THEN 1
+         |         WHEN r < 919699 THEN 2 WHEN r < 981012 THEN 3
+         |         WHEN r < 996340 THEN 4 WHEN r < 999406 THEN 5
+         |         WHEN r < 999917 THEN 6 ELSE 7 END AS w,
+         |    CAST("value" AS DECIMAL(18,2)) AS v
+         |  FROM reps),
+         |rm AS (
+         |  SELECT event_type, b,
+         |    CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS mean_b
+         |  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
+         |rk AS (
+         |  SELECT event_type, mean_b,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY mean_b, b) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+         |  FROM rm),
+         |ci AS (
+         |  SELECT event_type, MAX(nb) AS n_reps,
+         |    MAX(CASE WHEN rk = 2 THEN mean_b END) AS lo,
+         |    MAX(CASE WHEN rk = 63 THEN mean_b END) AS hi
+         |  FROM rk WHERE nb = 64 GROUP BY event_type),
+         |pt AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         |      AS mean
+         |  FROM events GROUP BY 1)
+         |SELECT p.event_type, p.n_rows, round(p.mean, 6) AS mean,
+         |  round(c.lo, 6) AS ci_lo, round(c.hi, 6) AS ci_hi
+         |FROM pt p JOIN ci c ON c.event_type = p.event_type
+         |ORDER BY p.event_type""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.parity.md5Long
+      val reps = tbl(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("b0", explode(sequence(lit(0), lit(63))))
+        .withColumn("b", col("b0").cast(LongType)).drop("b0")
+        .withColumn("r",
+          md5Long(concat(col("event_id").cast(StringType), lit(":"),
+            col("b").cast(StringType))) % 1000000)
+      val wts = reps.select(col("event_type"), col("b"),
+        when(col("r") < 367879, 0).when(col("r") < 735759, 1)
+          .when(col("r") < 919699, 2).when(col("r") < 981012, 3)
+          .when(col("r") < 996340, 4).when(col("r") < 999406, 5)
+          .when(col("r") < 999917, 6).otherwise(7).as("w"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      val rm = wts.groupBy("event_type", "b")
+        .agg(sum(col("w") * col("v")).cast(DoubleType).as("swv"),
+          sum("w").cast(LongType).as("sw"))
+        .filter(col("sw") > 0)
+        .select(col("event_type"), col("b"),
+          (col("swv") / col("sw")).as("mean_b"))
+      val wRk = Window.partitionBy("event_type").orderBy("mean_b", "b")
+      val wNb = Window.partitionBy("event_type")
+      val ci = rm
+        .withColumn("rk", row_number().over(wRk))
+        .withColumn("nb", count(lit(1)).over(wNb).cast(LongType))
+        .filter(col("nb") === 64)
+        .groupBy("event_type")
+        .agg(max("nb").as("n_reps"),
+          max(when(col("rk") === 2, col("mean_b"))).as("lo"),
+          max(when(col("rk") === 63, col("mean_b"))).as("hi"))
+      val pt = tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(LongType).as("n_rows"),
+          (sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            / count(lit(1))).as("mean"))
+      pt.join(broadcast(ci), Seq("event_type"))
+        .select(col("event_type"), col("n_rows"),
+          round(col("mean"), 6).as("mean"), round(col("lo"), 6).as("ci_lo"),
+          round(col("hi"), 6).as("ci_hi"))
+        .orderBy("event_type")
+    },
   )
 }

@@ -229,6 +229,96 @@ object TextOps {
         .orderBy("lang", "pred_lang")
     },
 
+    // ---- #300 Cohen's kappa: declared vs predicted language ---------------
+    // The scalar verdict on #189's confusion matrix: chance-corrected
+    // agreement between the corpus's DECLARED lang column and #36's
+    // prediction. κ = (p_o − p_e)/(1 − p_e) with p_e from the row/column
+    // marginals. Same single stateless scan as #189 down to the ≤25-cell
+    // grain; marginals and the diagonal fold from that constant-size grain
+    // (full-outer on the ≤6 label set so a label present only as
+    // prediction still contributes to p_e); integers until the two final
+    // divides → round(·, 6). One number a curation run can gate on.
+    "langid_kappa" -> OpDef(
+      s"""WITH t AS (
+         |  SELECT lang, list_distinct(string_split(text, ' ')) AS ws
+         |  FROM documents),
+         |h AS (
+         |  SELECT lang,
+         |    len(list_intersect(ws, ${sqlList(lexicons(1)._2)})) AS h_en,
+         |    len(list_intersect(ws, ${sqlList(lexicons(0)._2)})) AS h_de,
+         |    len(list_intersect(ws, ${sqlList(lexicons(3)._2)})) AS h_fr,
+         |    len(list_intersect(ws, ${sqlList(lexicons(2)._2)})) AS h_es
+         |  FROM t),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
+         |         WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+         |         WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+         |         WHEN h_fr >= h_es THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM h),
+         |g AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM p GROUP BY 1, 2),
+         |rowt AS (SELECT lang AS lbl, CAST(SUM(n) AS BIGINT) AS rn
+         |         FROM g GROUP BY 1),
+         |colt AS (SELECT pred_lang AS lbl, CAST(SUM(n) AS BIGINT) AS cn
+         |         FROM g GROUP BY 1),
+         |marg AS (
+         |  SELECT COALESCE(r.lbl, c.lbl) AS lbl,
+         |    CAST(COALESCE(r.rn, 0) AS DECIMAL(19,0))
+         |      * CAST(COALESCE(c.cn, 0) AS DECIMAL(19,0)) AS rc
+         |  FROM rowt r FULL OUTER JOIN colt c ON c.lbl = r.lbl),
+         |tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM g),
+         |pe AS (SELECT CAST(SUM(rc) AS DOUBLE) AS src FROM marg)
+         |SELECT tt.n_docs, tt.n_agree,
+         |  round(CAST(tt.n_agree AS DOUBLE) / tt.n_docs, 6) AS po,
+         |  round(pe.src / tt.n_docs / tt.n_docs, 6) AS pe,
+         |  round((CAST(tt.n_agree AS DOUBLE) / tt.n_docs
+         |         - pe.src / tt.n_docs / tt.n_docs)
+         |        / (1 - pe.src / tt.n_docs / tt.n_docs), 6) AS kappa
+         |FROM tot tt JOIN pe ON TRUE""".stripMargin
+    ) { (s, dir) =>
+      val ws = array_distinct(words)
+      def hits(lex: Seq[String]): Column =
+        size(array_intersect(ws, array(lex.map(lit): _*)))
+      val hEn = hits(lexicons(1)._2); val hDe = hits(lexicons(0)._2)
+      val hFr = hits(lexicons(3)._2); val hEs = hits(lexicons(2)._2)
+      val g = docs(s, dir).select(
+          col("lang"),
+          when(hEn === 0 && hDe === 0 && hFr === 0 && hEs === 0, "und")
+            .when(hEn >= hDe && hEn >= hFr && hEn >= hEs, "en")
+            .when(hDe >= hFr && hDe >= hEs, "de")
+            .when(hFr >= hEs, "fr")
+            .otherwise("es").as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      // marginal product per label WITHOUT a join: a full-outer on the
+      // label set can't broadcast (Spark full-outer ⇒ sort-merge), so the
+      // row/column totals stack as a two-sided union and ONE tiny agg
+      // pairs them up — zero joins anywhere in the plan.
+      val rowt = g.select(col("lang").as("lbl"), col("n").as("rn"),
+        lit(0L).as("cn"))
+      val colt = g.select(col("pred_lang").as("lbl"), lit(0L).as("rn"),
+        col("n").as("cn"))
+      val marg = rowt.unionAll(colt).groupBy("lbl")
+        .agg(sum("rn").cast(DecimalType(19, 0)).as("rn"),
+          sum("cn").cast(DecimalType(19, 0)).as("cn"))
+        .select((col("rn") * col("cn")).as("rc"))
+      val tot = g.agg(sum("n").cast(LongType).as("n_docs"),
+        sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+          .cast(LongType).as("n_agree"))
+      val pe = marg.agg(sum("rc").cast(DoubleType).as("src"))
+      val poC = col("n_agree").cast(DoubleType) / col("n_docs")
+      val peC = col("src") / col("n_docs") / col("n_docs")
+      tot.crossJoin(pe)
+        .select(col("n_docs"), col("n_agree"),
+          round(poC, 6).as("po"), round(peC, 6).as("pe"),
+          round((poC - peC) / (lit(1) - peC), 6).as("kappa"))
+    },
+
     // ---- #37 quality scoring ---------------------------------------------
     // length / duplication / stopword signals; identical double expression
     // shape on both engines, round(·,4) for parity.
