@@ -479,6 +479,92 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, dir) => minhashLshPairs(docs(s, dir), tau = 0.35) },
 
+    // ---- #301 MinHash estimator calibration --------------------------------
+    // How good is the 16-perm signature as a Jaccard ESTIMATE on the pairs
+    // LSH actually surfaces? Per true-Jaccard decile: matching-position
+    // share k/16 vs exact |A∩B|/|A∪B| — the QA read-out that justifies (or
+    // refutes) trusting sketch-level thresholds before the exact verify at
+    // a new τ. est = k/16 is an EXACT double (k integer, /16 a power of
+    // two); true j is ONE identically-spelled IEEE divide; the decile key
+    // floors (n_int·10)/n_uni computed on exact integers — bit-identical
+    // cross-engine even at decile boundaries. Only the per-decile mean
+    // folds are order-dependent → round(·,4). Scale: candidates ride the
+    // same band-bucket join as #31 (never all-pairs); signatures hash-join
+    // back on doc_id (corpus-sized ⇒ not broadcast); the 16-term match
+    // count is a codegen comparison chain on two 16-long arrays.
+    "minhash_est_error" -> OpDef(
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_transform($shinglesSql, g -> ${h32Sql("g")}) AS sh
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(0, ${NumPerms - 1}), j ->
+         |      list_min(list_transform(sh, h ->
+         |        (${sqlLongList(permA)}[j+1] * h + ${sqlLongList(permB)}[j+1]) % $P))) AS mh
+         |  FROM t),
+         |bands_e AS (
+         |  SELECT doc_id, sh, mh, unnest(generate_series(0, ${NumBands - 1})) AS b FROM sig),
+         |bands AS (
+         |  SELECT doc_id, sh, mh, b,
+         |    md5(array_to_string(
+         |      list_transform(list_slice(mh, b * $BandRows + 1, b * $BandRows + $BandRows),
+         |                     v -> v::VARCHAR), ',')) AS bkey
+         |  FROM bands_e
+         |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey) <= $LshBucketCap),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sh AS sh_a, b.sh AS sh_b, a.mh AS mh_a, b.mh AS mh_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT
+         |    len(list_filter(generate_series(1, ${NumPerms}),
+         |                    i -> mh_a[i] = mh_b[i])) AS k,
+         |    len(list_intersect(sh_a, sh_b)) AS n_int,
+         |    len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) AS n_uni
+         |  FROM cand),
+         |sc AS (
+         |  SELECT least(9, CAST(floor(CAST(n_int * 10 AS DOUBLE) / n_uni)
+         |                       AS BIGINT)) AS bucket,
+         |    CAST(k AS DOUBLE) / ${NumPerms} AS est,
+         |    CAST(n_int AS DOUBLE) / n_uni AS tru
+         |  FROM ver)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  round(AVG(est), 4) AS mean_est, round(AVG(tru), 4) AS mean_true,
+         |  round(AVG(abs(est - tru)), 4) AS mean_abs_err
+         |FROM sc GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = trackCache(shingleRowsOf(docs(s, dir)).select("doc_id", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sig = e.groupBy("doc_id")
+        .agg(call_function("minhash16", col("h")).as("mh"))
+      val cand = minhashCandidates(s, e)
+      val pairs = withIntersect(cand, e)
+        .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
+          Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
+          Seq("doc_b"))
+      val k = (0 until NumPerms).map(j =>
+          when(element_at(col("mh_a"), j + 1) ===
+            element_at(col("mh_b"), j + 1), 1).otherwise(0))
+        .reduce(_ + _)
+      val sc = pairs
+        .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
+        .select(
+          least(lit(9L), floor((col("n_int") * 10).cast(DoubleType)
+            / col("n_uni")).cast(LongType)).as("bucket"),
+          (k.cast(DoubleType) / NumPerms).as("est"),
+          (col("n_int").cast(DoubleType) / col("n_uni")).as("tru"))
+      sc.groupBy("bucket")
+        .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+          round(avg("est"), 4).as("mean_est"),
+          round(avg("tru"), 4).as("mean_true"),
+          round(avg(abs(col("est") - col("tru"))), 4).as("mean_abs_err"))
+        .orderBy("bucket")
+    },
+
     // ---- #280 MinHash signature mergeability (-State/-Merge proof) --------
     // The sketch-handoff property every 100-TB dedup pipeline leans on:
     // per-shard MinHash signatures must MERGE (elementwise min) to exactly

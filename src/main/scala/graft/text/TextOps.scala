@@ -340,6 +340,133 @@ object TextOps {
         |FROM m ORDER BY doc_id""".stripMargin
     ) { (s, dir) => qualityOf(docs(s, dir)).orderBy("doc_id") },
 
+    // ---- #302 per-doc word entropy -----------------------------------------
+    // Shannon entropy of the within-doc word distribution — the repetition
+    // signal #37's distinct_ratio only sees coarsely (a doc that is one
+    // phrase looped has low H long before its type count collapses). The
+    // identity H = ln n − (Σ c·ln c)/n keeps every per-row term a function
+    // of the INTEGER count c (no per-type division), so the only
+    // order-dependent fold is one Σ c·ln c per doc → round(·,4). Norm form
+    // divides by ln(n_types) (the max-entropy bound). Scale: token-grain
+    // exchange on (doc_id, w), then the doc collapse rides the same key
+    // prefix; output bounded by the pushed doc_id < 100 scan filter (the
+    // bigram_surprisal pattern).
+    "word_entropy" -> OpDef(
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 100),
+        |c AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sl
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) - sl / n_tokens, 4) AS entropy,
+        |  CASE WHEN n_types > 1 THEN
+        |    round((ln(CAST(n_tokens AS DOUBLE)) - sl / n_tokens)
+        |          / ln(CAST(n_types AS DOUBLE)), 4) END AS norm_entropy
+        |FROM a ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val c = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(words).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val a = c.groupBy("doc_id")
+        .agg(sum("c").cast(LongType).as("n_tokens"),
+          count(lit(1)).cast(LongType).as("n_types"),
+          sum(col("c").cast(DoubleType) * log(col("c").cast(DoubleType)))
+            .as("sl"))
+      val h = log(col("n_tokens").cast(DoubleType)) - col("sl") / col("n_tokens")
+      a.select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(h, 4).as("entropy"),
+          when(col("n_types") > 1,
+            round(h / log(col("n_types").cast(DoubleType)), 4))
+            .as("norm_entropy"))
+        .orderBy("doc_id")
+    },
+
+    // ---- #303 duplicate-vs-quality bias audit ------------------------------
+    // Are duplicates LOWER quality than unique docs? The curation question
+    // behind every "dedup first or filter first" pipeline-order decision,
+    // answered per lang: mean #37 quality composite for dup-family members
+    // vs singletons plus the point-biserial correlation
+    // r = (m̄₁−m̄₀)/σ_q·√(p(1−p)). Dup membership = the #29b NORMALIZED
+    // canonical key's family size > 1 (lower → distinct words → sort →
+    // md5 — raw-text md5 matches nothing below sf0.1, which would make
+    // this audit vacuous at the gate SF); the 16-byte digest shuffles,
+    // never the text, and family sizes hash-join back on it (corpus-sized
+    // ⇒ NOT broadcast at scale). The quality composite is the #37 codegen
+    // chain; group folds are doubles (same-spelled IEEE both engines) →
+    // round(·,4); degenerate groups (no dups / no σ) yield NULL under
+    // identical exact predicates.
+    "dup_quality_bias" -> OpDef(
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS k,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |  FROM documents),
+        |g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS fam FROM q GROUP BY k),
+        |j AS (
+        |  SELECT q.lang,
+        |    CASE WHEN g.fam > 1 THEN 1 ELSE 0 END AS is_dup,
+        |    least(CAST(n_words AS DOUBLE), 100.0) / 100.0
+        |      * (0.5 + 0.5 * (CAST(n_distinct AS DOUBLE) / n_words)) AS qv
+        |  FROM q JOIN g ON g.k = q.k),
+        |m AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+        |    SUM(CASE WHEN is_dup = 1 THEN qv END) AS sq1,
+        |    SUM(CASE WHEN is_dup = 0 THEN qv END) AS sq0,
+        |    SUM(qv) AS sq, SUM(qv * qv) AS sqq
+        |  FROM j GROUP BY 1)
+        |SELECT lang, n_dup, n - n_dup AS n_uniq,
+        |  round(sq1 / n_dup, 4) AS q_dup,
+        |  round(sq0 / (n - n_dup), 4) AS q_uniq,
+        |  CASE WHEN n_dup > 0 AND n_dup < n
+        |        AND sqq / n - (sq / n) * (sq / n) > 0 THEN
+        |    round((sq1 / n_dup - sq0 / (n - n_dup))
+        |          / sqrt(sqq / n - (sq / n) * (sq / n))
+        |          * sqrt((CAST(n_dup AS DOUBLE) / n)
+        |                 * (1 - CAST(n_dup AS DOUBLE) / n)), 4) END AS r_pb
+        |FROM m ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      val q = docs(s, dir).select(col("doc_id"), col("lang"),
+        // sort_array, not array_sort: codegen on the per-row scan path
+        md5(concat_ws(" ",
+          sort_array(array_distinct(split(lower(col("text")), " ")))))
+          .as("k"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"))
+      val g = q.groupBy("k").agg(count(lit(1)).cast(LongType).as("fam"))
+      val j = q.join(g, Seq("k"))
+        .select(col("lang"),
+          when(col("fam") > 1, 1).otherwise(0).as("is_dup"),
+          (least(col("n_words").cast(DoubleType), lit(100.0)) / 100.0
+            * (lit(0.5) + lit(0.5)
+              * (col("n_distinct").cast(DoubleType) / col("n_words"))))
+            .as("qv"))
+      val m = j.groupBy("lang")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("is_dup").cast(LongType).as("n_dup"),
+          sum(when(col("is_dup") === 1, col("qv"))).as("sq1"),
+          sum(when(col("is_dup") === 0, col("qv"))).as("sq0"),
+          sum("qv").as("sq"), sum(col("qv") * col("qv")).as("sqq"))
+      val n = col("n"); val nd = col("n_dup")
+      val varQ = col("sqq") / n - (col("sq") / n) * (col("sq") / n)
+      val p = nd.cast(DoubleType) / n
+      m.select(col("lang"), nd, (n - nd).as("n_uniq"),
+          round(col("sq1") / nd, 4).as("q_dup"),
+          round(col("sq0") / (n - nd), 4).as("q_uniq"),
+          when(nd > 0 && nd < n && varQ > 0,
+            round((col("sq1") / nd - col("sq0") / (n - nd)) / sqrt(varQ)
+              * sqrt(p * (lit(1) - p)), 4)).as("r_pb"))
+        .orderBy("lang")
+    },
+
     // ---- #38 token counting: whitespace + regex + BPE-ish budget ----------
     // BPE-ish = every word costs ceil(len/4) subword tokens (integer form
     // (len+3) div 4 — exact on both engines).
