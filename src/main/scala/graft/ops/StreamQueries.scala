@@ -419,6 +419,45 @@ object StreamQueries {
       StreamOps.drawdownLive(ev(s, dir)).orderBy("user_id")
     },
 
+    // ---- #304 live Bollinger band breach alerts (batch shape) -------------
+    // The CAUSAL streaming twin of #297: a day's flow judged against the
+    // mean ± 2σ band of the PRIOR ≤20 CLOSED days, emitted exactly once —
+    // when the next day's first arrival closes it (the final open day never
+    // emits; the batch shape excludes each type's max day to match). State
+    // = one open cell + ≤20 closed cells of exact integer cents per
+    // instrument. Every sum is exact (BIGINT cents, HUGEINT/DECIMAL(38,0)
+    // squares) and converts to double ONCE; output carries only integers
+    // and the exact 2-dp flow — no rounded float columns at all.
+    "stream_bollinger" -> OpDef(
+      """WITH f AS (
+        |  SELECT event_type AS t,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |g AS (SELECT t, d, CAST(SUM(c) AS BIGINT) AS vc FROM f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT t, d, vc,
+        |    CAST(COUNT(*) OVER pw AS BIGINT) AS n_win,
+        |    CAST(SUM(vc) OVER pw AS DOUBLE) / 100 AS sw,
+        |    CAST(SUM(CAST(vc AS HUGEINT) * vc) OVER pw AS DOUBLE) / 10000 AS qw,
+        |    MAX(d) OVER (PARTITION BY t) AS dmax
+        |  FROM g
+        |  WINDOW pw AS (PARTITION BY t ORDER BY d
+        |                RANGE BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT t, d, CAST(vc AS DOUBLE) / 100 AS vd, n_win,
+        |    sw / n_win AS mu,
+        |    sqrt((qw - sw * sw / n_win) / (n_win - 1)) AS sd
+        |  FROM w WHERE n_win >= 5 AND d < dmax)
+        |SELECT t AS event_type, d AS day, n_win, vd AS flow,
+        |  CAST(CASE WHEN vd > mu + 2 * sd THEN 1
+        |            WHEN vd < mu - 2 * sd THEN -1 ELSE 0 END AS BIGINT)
+        |    AS breach
+        |FROM s ORDER BY event_type, day""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.bollingerLive(ev(s, dir)).orderBy("event_type", "day")
+    },
+
     // ---- #282 live conversion funnel (batch shape) -----------------------
     // The per-user-grain streaming twin of #67 (CH windowFunnel, kept live):
     // three µs timestamps of state per user, each batch slice folded

@@ -50,6 +50,29 @@ final case class FunState(t1: Long, t2: Long, t3: Long)
 /** One emitted funnel snapshot: the user's current funnel level. */
 final case class FunOut(user_id: Long, level: Long)
 
+/** One event for the live Bollinger state machine: instrument, epoch day,
+  * integer cents, µs event time.
+  */
+final case class BbEv(t: String, d: Long, c: Long, us: Long,
+    ts: java.sql.Timestamp)
+
+/** One CLOSED daily flow cell (epoch day, exact integer cents). */
+final case class BbCell(d: Long, c: Long)
+
+/** Per-instrument Bollinger state: the still-open day's cell plus the ring
+  * of the last ≤20 closed daily cells (exact integer cents throughout —
+  * the band math converts once, at emission).
+  */
+final case class BbState(openD: Long, openC: Long, openUs: Long,
+    ring: List[BbCell])
+
+/** One emitted band verdict for a CLOSED day: trailing-window size, the
+  * day's flow, and breach ∈ {−1, 0, +1} (below/inside/above mean ± 2σ of
+  * the PRIOR ≤20 days).
+  */
+final case class BbOut(event_type: String, day: Long, n_win: Long,
+    flow: Double, breach: Long)
+
 /** SURVEY §2.4 — streaming analytics transforms.
   *
   * Each transform is a pure DataFrame→DataFrame function valid on BOTH a
@@ -708,6 +731,125 @@ object StreamOps {
             .when(col("t2").isNotNull, 2L)
             .when(col("t1").isNotNull, 1L)
             .otherwise(0L).as("level"))
+    }
+  }
+
+  /** The shared band verdict for one closed day: trailing cells strictly
+    * inside [d−20, d−1], n ≥ 5, mean ± 2σ. Exact integer-cent sums convert
+    * to double ONCE each (BigDecimal scale-2/scale-4 → nearest double —
+    * the same single rounding the batch twin's DECIMAL window sums take),
+    * then the identical IEEE chain both engines spell.
+    */
+  private def bbVerdict(t: String, d: Long, cents: Long,
+      ring: List[BbCell]): Option[BbOut] = {
+    val win = ring.filter(c => c.d >= d - 20 && c.d <= d - 1)
+    val n = win.size
+    if (n < 5) None
+    else {
+      // exact integer sums; ONE nearest-double conversion each, then the
+      // /100-/10000 IEEE divides — the precise spelling of the batch
+      // twin's cast(double) on its exact BIGINT/DECIMAL window sums
+      val sw = win.map(c => BigInt(c.c)).sum.toDouble / 100.0
+      val qw = win.map(c => BigInt(c.c) * BigInt(c.c)).sum.toDouble / 10000.0
+      val vd = cents.toDouble / 100.0
+      val mu = sw / n
+      val sd = math.sqrt((qw - sw * sw / n) / (n - 1))
+      val breach =
+        if (vd > mu + 2 * sd) 1L else if (vd < mu - 2 * sd) -1L else 0L
+      Some(BbOut(t, d, n.toLong, vd, breach))
+    }
+  }
+
+  /** #304 — live Bollinger band breach alerts per instrument: the CAUSAL
+    * streaming twin of `bollinger_breach` (#297). A day's verdict compares
+    * its flow against the mean ± 2σ band of the PRIOR ≤20 closed days
+    * (#297's window is retrospective/inclusive; an alerting stream cannot
+    * use the day being judged inside its own band), and a day is judged
+    * exactly ONCE — when its successor day's first event closes it (the
+    * final, still-open day never emits; the batch shape excludes each
+    * type's max day to match).
+    *
+    * State per instrument is ONE open cell + ≤20 closed cells of exact
+    * integer cents — O(instruments × 21) scalars, watermark-independent.
+    * Arrivals fold per batch slice grouped by day in day order (the CDC
+    * ordered-replay contract the ledger twins document; a slice-internal
+    * day is closed by the next slice day, a cross-batch day stays open in
+    * state). Band math converts the exact cent sums to double once at
+    * emission — bit-identical to the batch twin's DECIMAL window chain, so
+    * replays reproduce the batch flags exactly.
+    *
+    * Eviction (opt-in, [[horizonMsOf]]): an instrument silent past the
+    * horizon emits its open day's verdict (snapshot-on-evict) and drops;
+    * the next arrival restarts with an empty ring (visible: n_win resets).
+    */
+  def bollingerLive(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizon = horizonMsOf(events)
+    val (src, timeoutConf) = evictionArm(events, horizon)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val sel = src.select(col("event_type").as("t"),
+      (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("d"),
+      cents.as("c"), unix_micros(col("ts")).as("us"), col("ts")).as[BbEv]
+    if (events.isStreaming)
+      sel.groupByKey(_.t)
+        .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+          (t: String, it: Iterator[BbEv], state: GroupState[BbState]) => {
+            if (state.hasTimedOut) {
+              val st = state.get
+              state.remove()
+              bbVerdict(t, st.openD, st.openC, st.ring).iterator
+            } else {
+              val days = it.toSeq.groupBy(_.d).toSeq.sortBy(_._1)
+                .map { case (d, es) => (d, es.map(_.c).sum, es.map(_.us).max) }
+              val out = Seq.newBuilder[BbOut]
+              var st = state.getOption.getOrElse(
+                BbState(Long.MinValue, 0L, Long.MinValue, Nil))
+              days.foreach { case (d, c, us) =>
+                if (st.openD == Long.MinValue)
+                  st = BbState(d, c, us, st.ring)
+                else if (d == st.openD)
+                  st = BbState(d, st.openC + c, math.max(st.openUs, us), st.ring)
+                else if (d > st.openD) {
+                  out ++= bbVerdict(t, st.openD, st.openC, st.ring)
+                  val ring = (BbCell(st.openD, st.openC) :: st.ring)
+                    .filter(cell => cell.d >= d - 20)
+                  st = BbState(d, c, math.max(st.openUs, us), ring)
+                }
+                // d < openD: out-of-contract late day — dropped (the
+                // ordered-replay premise all sequence state machines share)
+              }
+              state.update(st)
+              horizon.foreach(h =>
+                state.setTimeoutTimestamp(st.openUs / 1000L + h))
+              out.result().iterator
+            }
+          }).toDF()
+    else {
+      // cells stay exact integer cents; c² folds in DECIMAL(38,0) (a
+      // sf10 daily cell squared is ~2.5e21 — past int64); each window sum
+      // converts to double ONCE, then the same /100-/10000 divides the
+      // state machine spells
+      val daily = sel.toDF().groupBy("t", "d")
+        .agg(sum("c").cast("long").as("vc"))
+        .withColumn("q", col("vc").cast("decimal(38,0)") * col("vc"))
+      val pw = Window.partitionBy("t").orderBy("d").rangeBetween(-20, -1)
+      daily
+        .withColumn("vd", col("vc").cast("double") / 100.0)
+        .withColumn("n_win", count(lit(1)).over(pw).cast("long"))
+        .withColumn("sw", sum("vc").over(pw).cast("double") / 100.0)
+        .withColumn("qw", sum("q").over(pw).cast("double") / 10000.0)
+        .withColumn("dmax", max("d").over(Window.partitionBy("t")))
+        .filter(col("n_win") >= 5 && col("d") < col("dmax"))
+        .withColumn("mu", col("sw") / col("n_win"))
+        .withColumn("sd",
+          sqrt((col("qw") - col("sw") * col("sw") / col("n_win"))
+            / (col("n_win") - 1)))
+        .select(col("t").as("event_type"), col("d").as("day"), col("n_win"),
+          col("vd").as("flow"),
+          when(col("vd") > col("mu") + lit(2) * col("sd"), 1L)
+            .when(col("vd") < col("mu") - lit(2) * col("sd"), -1L)
+            .otherwise(0L).as("breach"))
     }
   }
 

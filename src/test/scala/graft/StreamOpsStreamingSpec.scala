@@ -412,4 +412,41 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(single == got)
   }
+
+  test("live bollinger: ordered 3-batch replay lands on the batch twin exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // ordered replay = ts order (the day grain's ledger order); batch
+    // splits land mid-day so open cells must carry across batches, and
+    // WITHIN a batch arrivals shuffle — the state machine groups + sorts
+    // its slice by day, so a scrambled batch changes nothing
+    val ev = eventRows()
+    val rnd = new scala.util.Random(23)
+    val third = ev.length / 3
+    val batches = Seq(ev.slice(0, third), ev.slice(third, 2 * third),
+      ev.slice(2 * third, ev.length))
+    val in = MemoryStream[Ev]
+    val q = StreamOps.bollingerLive(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("bb").outputMode("append")
+      .start()
+    try {
+      batches.foreach { b =>
+        in.addData(rnd.shuffle(b.toSeq)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // append mode: each closed day's verdict emits exactly once
+    val got = spark.sql("select * from bb").collect().map(r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val emittedCount = spark.sql("select * from bb").count()
+    assert(emittedCount == got.size, "a closed day emitted more than once")
+    val batch = run("stream_bollinger").collect().map(r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == batch,
+      s"diff: ${(got.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff got.toSet).take(3)}")
+    // non-vacuity: the sf0.001 fixture has breaches on both sides somewhere
+    assert(batch.nonEmpty && batch.values.exists(_._3 != 0L))
+  }
 }
