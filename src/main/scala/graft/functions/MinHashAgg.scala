@@ -97,7 +97,7 @@ object MinHashAgg {
   /** Deterministic md5-seeded affine coefficients (shared with the DuckDB
     * oracle spelling in `graft.dedup.Dedup`).
     */
-  private def seed60(s: String): Long = {
+  private[graft] def seed60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(d.take(15), 16)

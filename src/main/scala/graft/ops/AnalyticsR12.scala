@@ -35,6 +35,22 @@ object AnalyticsR12 {
   private val epochDaySql =
     "datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
 
+  // ---- #299 bootstrap mixers ----------------------------------------------
+  // 64 md5-seeded affine replicate mixers over the Mersenne prime 2^31−1 —
+  // the MinHashAgg permutation discipline: ONE portable md5 per row
+  // (folded to 32 bits so a·h never overflows int64 on either engine),
+  // then replicate b's draw is (a_b·h + b_b) mod P mod 10^6. Engine-
+  // identical, seedless, and 64× cheaper than hashing (event_id, b) —
+  // md5 was the whole cost of the op (9.3 s of the sf0.1 sweep's worst
+  // query; the mixes are codegen integer arithmetic).
+  private val BootP = graft.functions.MinHashAgg.Prime
+  private val BootA: IndexedSeq[Long] = (0 until 64).map(b =>
+    graft.functions.MinHashAgg.seed60(s"boot:a:$b") % (BootP - 1) + 1)
+  private val BootB: IndexedSeq[Long] = (0 until 64).map(b =>
+    graft.functions.MinHashAgg.seed60(s"boot:b:$b") % BootP)
+
+  private def sqlLongList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
+
   val defs: Map[String, OpDef] = Map(
     // ---- #286 trailing-7-day rolling Sharpe per instrument ----------------
     // The risk read-out a market sink keeps live over #262's bars: daily
@@ -971,20 +987,31 @@ object AnalyticsR12 {
     // ---- #299 distributed Poisson bootstrap CI for the mean ---------------
     // The resample-free bootstrap that actually distributes (Chamandy et
     // al., Google 2012): replicate b gives each row a Poisson(1) weight
-    // drawn by inverse-CDF from the portable md5 hash of (event_id, b) —
-    // deterministic, seedless, identical on both engines. B = 64 replicate
-    // means fold in ONE exchange keyed (type, b): the ×64 expansion
-    // happens map-side and partial-aggregates BEFORE the shuffle, so
-    // shuffle volume is |types|·64 cells per partition, not 64 scans of
-    // the fact table. CI bounds are PICKED ranked replicate means (ranks
-    // 2/63 of 64 ≈ a 95% percentile interval) — selection, not
-    // interpolation; each mean is one double divide → round(·, 6).
+    // drawn by inverse-CDF from a deterministic per-(row, b) draw —
+    // seedless, identical on both engines. The draw is ONE portable md5
+    // of event_id folded to 32 bits, then replicate b's affine mix
+    // (a_b·h + b_b) mod (2^31−1) mod 10^6 (see [[BootA]]) — hashing
+    // (event_id, b) directly costs 64 md5s per row and was the full-sweep
+    // worst query (9.3 s at sf0.1); the mixes are codegen integer
+    // arithmetic (pairwise-independent draws across replicates — the
+    // standard Carter-Wegman guarantee, ample for bootstrap weights).
+    // B = 64 replicate means fold in ONE exchange keyed (type, b): the
+    // ×64 expansion happens map-side and partial-aggregates BEFORE the
+    // shuffle, so shuffle volume is |types|·64 cells per partition, not
+    // 64 scans of the fact table. CI bounds are PICKED ranked replicate
+    // means (ranks 2/63 of 64 ≈ a 95% percentile interval) — selection,
+    // not interpolation; each mean is one double divide → round(·, 6).
     "bootstrap_mean_ci" -> OpDef(
-      s"""WITH reps AS (
-         |  SELECT e.event_type, e."value", b.b,
-         |    ${parity.md5LongSql("CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")}
-         |      % 1000000 AS r
-         |  FROM events e JOIN (SELECT unnest(range(0, 64)) AS b) b ON TRUE),
+      s"""WITH src AS (
+         |  SELECT event_type, "value",
+         |    ${parity.md5LongSql("CAST(event_id AS VARCHAR)")}
+         |      % 4294967296 AS h
+         |  FROM events),
+         |reps AS (
+         |  SELECT s.event_type, s."value", b.b,
+         |    (${sqlLongList(BootA)}[b.b + 1] * s.h
+         |     + ${sqlLongList(BootB)}[b.b + 1]) % ${BootP} % 1000000 AS r
+         |  FROM src s JOIN (SELECT unnest(range(0, 64)) AS b) b ON TRUE),
          |wts AS (
          |  SELECT event_type, b,
          |    CASE WHEN r < 367879 THEN 0 WHEN r < 735759 THEN 1
@@ -1019,13 +1046,19 @@ object AnalyticsR12 {
          |ORDER BY p.event_type""".stripMargin
     ) { (s, dir) =>
       import graft.ops.parity.md5Long
+      // literal coefficient arrays are FOLDABLE (one Literal, not a
+      // per-row CreateArray): replicate b's mixer is two O(1) element_at
+      // reads on constants — no per-row struct/array allocation
+      val aArr = array(BootA.map(lit): _*)
+      val bArr = array(BootB.map(lit): _*)
       val reps = tbl(s, dir, "events")
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("b0", explode(sequence(lit(0), lit(63))))
-        .withColumn("b", col("b0").cast(LongType)).drop("b0")
-        .withColumn("r",
-          md5Long(concat(col("event_id").cast(StringType), lit(":"),
-            col("b").cast(StringType))) % 1000000)
+        .select(col("event_type"), col("value"),
+          (md5Long(col("event_id").cast(StringType)) % 4294967296L).as("h"))
+        .withColumn("b", explode(sequence(lit(0L), lit(63L))))
+        .select(col("event_type"), col("value"), col("b"),
+          ((element_at(aArr, (col("b") + 1).cast(IntegerType)) * col("h")
+            + element_at(bArr, (col("b") + 1).cast(IntegerType)))
+            % BootP % 1000000L).as("r"))
       val wts = reps.select(col("event_type"), col("b"),
         when(col("r") < 367879, 0).when(col("r") < 735759, 1)
           .when(col("r") < 919699, 2).when(col("r") < 981012, 3)

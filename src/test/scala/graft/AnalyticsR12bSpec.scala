@@ -249,11 +249,18 @@ class AnalyticsR12bSpec extends SparkSpecBase {
     val thresholds =
       Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
     def poisson(r: Long): Long = thresholds.count(_ <= r).toLong
+    // the one-md5 + affine-mix draw (BootA/BootB = seed60-derived)
+    val P = graft.functions.MinHashAgg.Prime
+    val bootA = (0 until 64).map(b =>
+      graft.functions.MinHashAgg.seed60(s"boot:a:$b") % (P - 1) + 1)
+    val bootB = (0 until 64).map(b =>
+      graft.functions.MinHashAgg.seed60(s"boot:b:$b") % P)
     val byType = events.groupBy(_._2)
     val exp = byType.flatMap { case (t, rs) =>
-      val means = (0L until 64L).flatMap { b =>
+      val means = (0 until 64).flatMap { b =>
         val wv = rs.map { e =>
-          val w = poisson(md5Long(s"${e._1}:$b") % 1000000L)
+          val h = md5Long(s"${e._1}") % 4294967296L
+          val w = poisson((bootA(b) * h + bootB(b)) % P % 1000000L)
           (w, cents(e._4) * w)
         }
         val sw = wv.map(_._1).sum
