@@ -86,6 +86,10 @@ object Bench {
       // them; outside the timed region, so it costs sweep time, not
       // query time.
       System.gc()
+      // progress breadcrumb (stderr, so the stdout JSON contract holds):
+      // a crashed sweep names its culprit instead of losing the whole map
+      System.err.println(f"[bench] $name ${times.min}%.2f s" +
+        (if (errors.contains(name)) " ERROR" else ""))
       name -> times.min
     }
     def qJson(rs: Seq[(String, Double)]) =
