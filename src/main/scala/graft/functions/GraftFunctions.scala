@@ -30,6 +30,10 @@ object GraftFunctions {
     // one-pass 16-permutation MinHash signature (aggregate)
     "minhash16" -> { args =>
       MinHashAgg(args(0), MinHashAgg.defaultA, MinHashAgg.defaultB, MinHashAgg.Prime) },
+    // one-pass 64-replicate Poisson-bootstrap cells: bootstrap_cells(h, v_cents)
+    "bootstrap_cells" -> { args =>
+      BootstrapCellsAgg(args(0), args(1), BootstrapCellsAgg.defaultA,
+        BootstrapCellsAgg.defaultB, MinHashAgg.Prime) },
     // space-saving heavy hitters: topk_approx(value, k, capacity) (aggregate)
     "topk_approx" -> { args =>
       TopKAgg(args(0),

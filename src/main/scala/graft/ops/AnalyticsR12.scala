@@ -44,10 +44,8 @@ object AnalyticsR12 {
   // md5 was the whole cost of the op (9.3 s of the sf0.1 sweep's worst
   // query; the mixes are codegen integer arithmetic).
   private val BootP = graft.functions.MinHashAgg.Prime
-  private val BootA: IndexedSeq[Long] = (0 until 64).map(b =>
-    graft.functions.MinHashAgg.seed60(s"boot:a:$b") % (BootP - 1) + 1)
-  private val BootB: IndexedSeq[Long] = (0 until 64).map(b =>
-    graft.functions.MinHashAgg.seed60(s"boot:b:$b") % BootP)
+  private val BootA: IndexedSeq[Long] = graft.functions.BootstrapCellsAgg.defaultA
+  private val BootB: IndexedSeq[Long] = graft.functions.BootstrapCellsAgg.defaultB
 
   private def sqlLongList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
@@ -1046,49 +1044,45 @@ object AnalyticsR12 {
          |ORDER BY p.event_type""".stripMargin
     ) { (s, dir) =>
       import graft.ops.parity.md5Long
-      // literal coefficient arrays are FOLDABLE (one Literal, not a
-      // per-row CreateArray): replicate b's mixer is two O(1) element_at
-      // reads on constants — no per-row struct/array allocation
-      val aArr = array(BootA.map(lit): _*)
-      val bArr = array(BootB.map(lit): _*)
-      val reps = tbl(s, dir, "events")
-        .select(col("event_type"), col("value"),
-          (md5Long(col("event_id").cast(StringType)) % 4294967296L).as("h"))
+      graft.functions.GraftFunctions.register(s)
+      // ONE pass at fact grain: the typed aggregate draws all 64 weights
+      // per row in a tight loop and folds (Σw, Σw·cents) per replicate —
+      // no ×64 row expansion (the exploded form was the sf10 sweep's
+      // worst query at 807 s: a 640M-row generate feeding a hash agg).
+      // The point estimate folds in the SAME scan.
+      val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)
+      val cells = tbl(s, dir, "events")
+        .select(col("event_type"),
+          (md5Long(col("event_id").cast(StringType)) % 4294967296L).as("h"),
+          cents.as("vc"), col("value"))
+        .groupBy("event_type")
+        .agg(call_function("bootstrap_cells", col("h"), col("vc")).as("arr"),
+          count(lit(1)).cast(LongType).as("n_rows"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+        .withColumn("mean0", col("sv").cast(DoubleType) / col("n_rows"))
+      // unpack the 2×64 cells on the |types|-row grain (≤ 320 rows total)
+      val rm = cells
         .withColumn("b", explode(sequence(lit(0L), lit(63L))))
-        .select(col("event_type"), col("value"), col("b"),
-          ((element_at(aArr, (col("b") + 1).cast(IntegerType)) * col("h")
-            + element_at(bArr, (col("b") + 1).cast(IntegerType)))
-            % BootP % 1000000L).as("r"))
-      val wts = reps.select(col("event_type"), col("b"),
-        when(col("r") < 367879, 0).when(col("r") < 735759, 1)
-          .when(col("r") < 919699, 2).when(col("r") < 981012, 3)
-          .when(col("r") < 996340, 4).when(col("r") < 999406, 5)
-          .when(col("r") < 999917, 6).otherwise(7).as("w"),
-        col("value").cast(DecimalType(18, 2)).as("v"))
-      val rm = wts.groupBy("event_type", "b")
-        .agg(sum(col("w") * col("v")).cast(DoubleType).as("swv"),
-          sum("w").cast(LongType).as("sw"))
+        .select(col("event_type"), col("n_rows"), col("mean0"), col("b"),
+          element_at(col("arr"), (col("b") + 1).cast(IntegerType)).as("sw"),
+          element_at(col("arr"), (col("b") + 65).cast(IntegerType))
+            .as("swv"))
         .filter(col("sw") > 0)
-        .select(col("event_type"), col("b"),
-          (col("swv") / col("sw")).as("mean_b"))
+        .withColumn("mean_b",
+          col("swv").cast(DoubleType) / 100.0 / col("sw"))
       val wRk = Window.partitionBy("event_type").orderBy("mean_b", "b")
       val wNb = Window.partitionBy("event_type")
-      val ci = rm
+      rm
         .withColumn("rk", row_number().over(wRk))
         .withColumn("nb", count(lit(1)).over(wNb).cast(LongType))
         .filter(col("nb") === 64)
         .groupBy("event_type")
-        .agg(max("nb").as("n_reps"),
+        .agg(max("n_rows").as("n_rows"), max("mean0").as("m0"),
           max(when(col("rk") === 2, col("mean_b"))).as("lo"),
           max(when(col("rk") === 63, col("mean_b"))).as("hi"))
-      val pt = tbl(s, dir, "events")
-        .groupBy("event_type")
-        .agg(count(lit(1)).cast(LongType).as("n_rows"),
-          (sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
-            / count(lit(1))).as("mean"))
-      pt.join(broadcast(ci), Seq("event_type"))
         .select(col("event_type"), col("n_rows"),
-          round(col("mean"), 6).as("mean"), round(col("lo"), 6).as("ci_lo"),
+          round(col("m0"), 6).as("mean"), round(col("lo"), 6).as("ci_lo"),
           round(col("hi"), 6).as("ci_hi"))
         .orderBy("event_type")
     },

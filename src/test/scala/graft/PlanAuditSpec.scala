@@ -276,6 +276,16 @@ class PlanAuditSpec extends SparkSpecBase {
 
   // r6 stats rows: one conditional-aggregate pass → 6 scalars → formula.
   // A second scan or a join would mean the moments stopped sharing the pass.
+  // one-pass Poisson bootstrap: the fact table is scanned ONCE into the
+  // typed cells aggregate (no ×64 row expansion before the agg — the
+  // exploded form was the sf10 sweep's 807 s worst query); the explode,
+  // rank windows and CI fold all ride the |types|-row cells grain.
+  test("bootstrap_mean_ci: single fact scan into the cells aggregate") {
+    val a = auditOf(run("bootstrap_mean_ci"))
+    assert(a.scans == 1 && a.shuffles <= 3, s"$a")
+    assert(a.broadcastJoins + a.sortMergeJoins == 0, s"$a")
+  }
+
   test("welch_ttest: one scan, one global-agg exchange, zero joins") {
     val a = auditOf(run("welch_ttest"))
     assert(a.scans == 1 && a.shuffles <= 1, s"$a")
