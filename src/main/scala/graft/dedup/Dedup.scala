@@ -491,7 +491,15 @@ object Dedup {
     // folds are order-dependent → round(·,4). Scale: candidates ride the
     // same band-bucket join as #31 (never all-pairs); signatures hash-join
     // back on doc_id (corpus-sized ⇒ not broadcast); the 16-term match
-    // count is a codegen comparison chain on two 16-long arrays.
+    // count is a codegen comparison chain on two 16-long arrays. The
+    // join-backs were measured, not assumed (r13 ProbeMinhashStages): this
+    // query ≡ dedup_minhash_lsh ±2% focused — carrying mh THROUGH the band
+    // join instead regressed 3.9→7.2 s (wide array rows through the
+    // bucket-cap window + pair dedup), so two narrow joins stay. Oracle
+    // guards sig with len(sh) >= 1 mirroring Spark's ≥3-words shingle
+    // filter (<3-word docs have NO signature — their all-NULL mh would
+    // otherwise collapse into one shared md5('') band bucket and emit
+    // n_uni=0 rows Spark never sees).
     "minhash_est_error" -> OpDef(
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -502,7 +510,8 @@ object Dedup {
          |    list_transform(generate_series(0, ${NumPerms - 1}), j ->
          |      list_min(list_transform(sh, h ->
          |        (${sqlLongList(permA)}[j+1] * h + ${sqlLongList(permB)}[j+1]) % $P))) AS mh
-         |  FROM t),
+         |  FROM t
+         |  WHERE len(sh) >= 1),
          |bands_e AS (
          |  SELECT doc_id, sh, mh, unnest(generate_series(0, ${NumBands - 1})) AS b FROM sig),
          |bands AS (

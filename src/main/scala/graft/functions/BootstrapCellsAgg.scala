@@ -50,9 +50,15 @@ final case class BootstrapCellsAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val hv = hChild.eval(input)
     val vv = vChild.eval(input)
-    if (hv != null && vv != null) {
+    if (hv != null) {
       val h = hv.asInstanceOf[Long]
-      val v = vv.asInstanceOf[Long]
+      // SQL-sum semantics per cell (r13 ADVICE fix): a NULL value still
+      // contributes its weight to Σw (the row was drawn into the
+      // replicate) while Σw·v skips it — exactly how the declarative
+      // SUM(w)/SUM(w*v) pair treats v IS NULL, so a null-bearing column
+      // can never diverge from the oracle.
+      val hasV = vv != null
+      val v = if (hasV) vv.asInstanceOf[Long] else 0L
       var b = 0
       while (b < nReps) {
         val r = (aArr(b) * h + bArr(b)) % prime % 1000000L
@@ -63,7 +69,7 @@ final case class BootstrapCellsAgg(
           else if (r < 996340L) 4L else if (r < 999406L) 5L
           else if (r < 999917L) 6L else 7L
         buf(b) += w
-        buf(nReps + b) += w * v
+        if (hasV) buf(nReps + b) += w * v
         b += 1
       }
     }

@@ -586,7 +586,8 @@ object AnalyticsR12 {
          |  SELECT t, v - lag(v) OVER w AS dv, d - lag(d) OVER w AS gap
          |  FROM daily WINDOW w AS (PARTITION BY t ORDER BY d)),
          |c AS (
-         |  SELECT t, CAST(dv * 100 AS HUGEINT) AS k FROM mv WHERE gap = 1),
+         |  SELECT t, CAST(dv * 100 AS HUGEINT) AS k FROM mv
+         |  WHERE gap = 1 AND abs(dv * 100) <= 100000000),
          |m AS (
          |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
          |    CAST(SUM(k) AS DOUBLE) AS s1,
@@ -618,7 +619,12 @@ object AnalyticsR12 {
       val c = daily
         .withColumn("dv", col("v") - lag("v", 1).over(w))
         .withColumn("gap", col("d") - lag("d", 1).over(w))
-        .filter(col("gap") === 1)
+        // |k| ≤ 1e8 cents is the premise that keeps the k⁴ power sum exact
+        // in both engines' wide-integer chains; the EXPLICIT shared bound
+        // (r13 ADVICE fix) makes an out-of-premise delta drop identically
+        // on both sides instead of Spark overflowing DECIMAL(38,0) to NULL
+        // while DuckDB's HUGEINT raises — one degradation mode, not two.
+        .filter(col("gap") === 1 && abs(col("dv") * 100) <= 100000000L)
         .select(col("t"),
           (col("dv") * 100).cast(DecimalType(20, 0)).as("k"))
       val m = c.groupBy("t")
@@ -998,7 +1004,11 @@ object AnalyticsR12 {
     // shuffle, so shuffle volume is |types|·64 cells per partition, not
     // 64 scans of the fact table. CI bounds are PICKED ranked replicate
     // means (ranks 2/63 of 64 ≈ a 95% percentile interval) — selection,
-    // not interpolation; each mean is one double divide → round(·, 6).
+    // not interpolation. Replicate means fold EXACT INTEGER CENTS on both
+    // engines and share one IEEE chain (double(Σw·cents)/100.0/Σw — r13:
+    // the oracle previously summed w·v in dollars-DECIMAL, bit-identical
+    // only while Σw·cents ≤ 2^53; now the spelling is engine-identical at
+    // any SF), then one round(·, 6).
     "bootstrap_mean_ci" -> OpDef(
       s"""WITH src AS (
          |  SELECT event_type, "value",
@@ -1016,11 +1026,12 @@ object AnalyticsR12 {
          |         WHEN r < 919699 THEN 2 WHEN r < 981012 THEN 3
          |         WHEN r < 996340 THEN 4 WHEN r < 999406 THEN 5
          |         WHEN r < 999917 THEN 6 ELSE 7 END AS w,
-         |    CAST("value" AS DECIMAL(18,2)) AS v
+         |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
          |  FROM reps),
          |rm AS (
          |  SELECT event_type, b,
-         |    CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS mean_b
+         |    CAST(SUM(w * vc) AS DOUBLE) / 100.0 / CAST(SUM(w) AS BIGINT)
+         |      AS mean_b
          |  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
          |rk AS (
          |  SELECT event_type, mean_b,

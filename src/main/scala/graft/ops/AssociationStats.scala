@@ -590,12 +590,13 @@ object AssociationStats {
     // ---- #242 market-basket brand lift -------------------------------------
     // Co-occurrence lift for every brand pair appearing in one order:
     // lift(a,b) = N·n_ab / (n_a·n_b) — the association-rule primitive.
-    // Scale shape: the ONLY pair generator is a self-join of the distinct
-    // (order, brand) grain on orderkey — pairs per order are bounded by
-    // the order's line count (≤ C(13,2) here, never corpus-quadratic),
-    // the association-rule analogue of the dedup bank's bucketed joins.
-    // Brand marginals and the order total come from the same grain and
-    // broadcast onto the ≤C(25,2) pair rows. Integers + one divide.
+    // Scale shape: pairs come from an IN-ROW explode of the per-order
+    // sorted brand array (collect_set rides the one orderkey exchange) —
+    // ≤ C(13,2) pairs per order, never corpus-quadratic, and no self-join:
+    // the r12 grain self-join shuffled the grain twice for the same pair
+    // stream. Brand marginals and the order total come from the same
+    // array grain and broadcast onto the ≤C(25,2) pair rows. Integers +
+    // one divide.
     "basket_lift" -> OpDef(
       """WITH g AS (
         |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
@@ -614,20 +615,28 @@ object AssociationStats {
         |ORDER BY 1, 2""".stripMargin
     ) { (s, dir) =>
       val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
-      // the grain feeds the pair join, both marginal lookups and the order
-      // count — cached so the fact join runs once (CacheRegistry
-      // discipline; production callers release via Graft.releaseCaches())
+      // Per-order sorted brand ARRAY instead of a grain self-join (r13,
+      // verdict item 5): collect_set collapses the fact join to one row
+      // per order on the SAME exchange the old distinct() needed, then the
+      // ≤C(13,2) in-row pairs explode with zero additional joins —
+      // brand_a < brand_b falls out of the ascending sort (i < j). The
+      // array grain feeds pair generation, both marginals and the order
+      // count, so the fact join runs once (CacheRegistry discipline;
+      // production callers release via Graft.releaseCaches()).
       val l = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"))
-      val g = graft.CacheRegistry.track(
+      val arr = graft.CacheRegistry.track(
         l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-          .distinct()
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val nOrd = g.agg(countDistinct("ok").as("n"))
-      val m = g.groupBy("b").agg(count(lit(1)).as("nb"))
-      val pr = g.as("a").join(g.as("c"),
-          col("a.ok") === col("c.ok") && col("a.b") < col("c.b"))
-        .groupBy(col("a.b").as("brand_a"), col("c.b").as("brand_b"))
+      val nOrd = arr.agg(count(lit(1)).as("n"))
+      val m = arr.select(explode(col("bs")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("nb"))
+      val pr = arr
+        .select(col("bs"), posexplode(col("bs")).as(Seq("i", "brand_a")))
+        .select(col("brand_a"),
+          explode(slice(col("bs"), col("i") + 2, size(col("bs")))).as("brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(count(lit(1)).as("n_ab"))
       pr.join(broadcast(m.select(col("b").as("brand_a"), col("nb").as("na"))),
           "brand_a")

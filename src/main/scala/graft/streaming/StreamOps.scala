@@ -84,6 +84,27 @@ object StreamOps {
 
   /** Opt-in inactivity eviction for the per-key state machines (r12).
     *
+    * STATE CONTRACT PER TWIN (r13, explicit): for [[balanceLive]] and
+    * [[drawdownLive]] unbounded NoTimeout state IS the contract, not an
+    * oversight — a ledger balance/peak is entity-grain state that stays
+    * meaningful forever, so evicting it silently CHANGES ANSWERS (n_tx and
+    * balance restart at zero on the key's next event); state is O(accounts)
+    * — bounded by the entity universe, not the event volume — which is the
+    * same asymptotic promise a keyed OLAP sink makes for its per-pk rows.
+    * Deployments whose account universe is itself unbounded (e.g. one-time
+    * addresses) opt in to the horizon below and accept restart semantics,
+    * which the snapshot-on-evict emission makes visible downstream.
+    * [[funnelLive]] carries the same default for stream≡batch parity with
+    * its oracle-checked twin, but a conversion funnel has a NATURAL horizon
+    * (no funnel credits a signup→purchase 90 days apart) — production
+    * callers should arm one; StreamEvictionSpec pins the restart-at-level-0
+    * behavior. [[dwellRows]] eviction is exactly LOSSLESS at any horizon ≥
+    * the 30-min dwell cap (a pair spanning the gap is over-cap by
+    * construction), so arming it costs nothing but the watermark's
+    * late-drop tolerance — the only reason it is not hard-defaulted is that
+    * the bit-for-bit shuffled-replay specs (and the CDC ordered-replay
+    * contract they pin) run without a watermark.
+    *
     * `spark.graft.stream.inactivityHorizon` (e.g. "45m", "12h", "30d", or
     * raw milliseconds) arms EventTimeTimeout on [[dwellRows]],
     * [[balanceLive]], [[drawdownLive]] and [[funnelLive]]: a key silent
