@@ -155,6 +155,119 @@ object Dedup {
     */
   def releaseCaches(): Unit = CacheRegistry.release()
 
+  /** Per-(label, chunk) vector payload for the block-cosine kernel.
+    * `e` is a PRIMITIVE float array on purpose: the encoder's
+    * Array[Float] fast path (UnsafeArrayData.toFloatArray) decodes a chunk
+    * without boxing 262k Floats per row.
+    */
+  private[graft] final case class VecChunkRow(vec_id: Long, e: Array[Float])
+
+  /** Conf key for the block-cosine chunk size (vectors per chunk). Shuffle
+    * volume is m × block bytes (m = ceil(block/chunk)); compute is the
+    * inherent C(block, 2) — bigger chunks trade parallelism for shuffle.
+    */
+  val CosChunkKey = "spark.graft.dedup.cosChunk"
+  val CosChunkDefault = 4096
+
+  /** EXACT within-block cosine-≥τ pairs over (label, vec_id, e float[]) —
+    * the SemDeDup pair generator, re-shaped for blocks that grow with the
+    * corpus (r13).
+    *
+    * The declarative form (self-join on `label`, codegen cosine per pair)
+    * is semantically right but measured catastrophic at scale: with ~10
+    * cluster labels the join hash-partitions on a 10-key domain, so at
+    * sf10 the whole C(50k,2)×10 ≈ 12.5e9-pair evaluation ran on 10 of 32
+    * cores AND materialized every pair as a join row carrying two 64-float
+    * arrays — 1010 s in the sf10 sweep, the bank's worst number by 5×.
+    * This kernel (the embed_contamination lesson, 210 → 3.2 s) fixes both:
+    *
+    *  - label blocks split into m = ceil(n/chunk) chunks (id-pmod, so
+    *    near-dup id runs spread); the C(m+1, 2) chunk-pairs per label
+    *    re-partition by (label, ca, cb) — parallelism follows chunk-pair
+    *    count, not label count;
+    *  - each chunk-pair task runs a PRIMITIVE double loop (norms hoisted
+    *    per vector — computed once per chunk, not per pair; dot ascending)
+    *    and emits only survivors, so nothing pair-grained ever hits row
+    *    machinery or a shuffle.
+    *
+    * Bit-parity: dot is the same ascending fold and ‖a‖·‖b‖ multiplies the
+    * same sqrt operands as [[graft.functions.CosineSimilarity]] / the
+    * DuckDB oracle, so emitted doubles are IDENTICAL — hash-green, not
+    * approximately equal. Each unordered pair is visited exactly once
+    * (chunk pairs ca < cb once + in-chunk position pairs i < j).
+    */
+  private[graft] def blockCosinePairs(v: DataFrame, tau: Double): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val chunk = capFromConf(s, CosChunkKey, CosChunkDefault)
+    val sizes = v.groupBy("label").agg(count(lit(1)).as("_n"))
+    val withChunk = v.join(broadcast(sizes), "label")
+      .withColumn("_m", ceil(col("_n") / lit(chunk.toDouble)).cast(IntegerType))
+      .withColumn("_c", pmod(col("vec_id"), col("_m")).cast(IntegerType))
+    val groups = withChunk.groupBy(col("label"), col("_c"))
+      .agg(collect_list(struct(col("vec_id"), col("e"))).as("vs"))
+    val ga = groups.select(col("label"), col("_c").as("ca"), col("vs").as("vsa"))
+    val gb = groups.select(col("label"), col("_c").as("cb"), col("vs").as("vsb"))
+    val chunkPairs = ga.join(gb, Seq("label"))
+      .filter(col("ca") <= col("cb"))
+      // group rows are MBs and labels are few: without this the kernel
+      // inherits the join's |labels|-key clustering (10 active tasks)
+      .repartition(col("label"), col("ca"), col("cb"))
+      .select(col("ca"), col("cb"), col("vsa"), col("vsb"))
+      .as[(Int, Int, Seq[VecChunkRow], Seq[VecChunkRow])]
+    chunkPairs.flatMap { case (ca, cb, vsa, vsb) =>
+      def parse(vs: Seq[VecChunkRow]): (Array[Long], Array[Array[Double]], Array[Double]) = {
+        val n = vs.size
+        val ids = new Array[Long](n)
+        val es = new Array[Array[Double]](n)
+        val nrm = new Array[Double](n)
+        var i = 0
+        vs.foreach { r =>
+          ids(i) = r.vec_id
+          val m = r.e.length
+          val e = new Array[Double](m)
+          var j = 0; var ss = 0.0
+          while (j < m) { val d = r.e(j).toDouble; e(j) = d; ss += d * d; j += 1 }
+          es(i) = e; nrm(i) = math.sqrt(ss); i += 1
+        }
+        (ids, es, nrm)
+      }
+      val (idA, eA, nA) = parse(vsa)
+      val (idB, eB, nB) = if (ca == cb) (idA, eA, nA) else parse(vsb)
+      // STREAMING pair scan: memory stays O(chunk) however many pairs
+      // survive τ (an eager survivor buffer OOM'd at sf10 — tight
+      // same-cluster embeddings can pass τ in bulk)
+      new Iterator[(Long, Long, Double)] {
+        private var i = 0
+        private var j = if (ca == cb) 1 else 0
+        private var nextRow: (Long, Long, Double) = null
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && i < idA.length) {
+            if (j >= idB.length) { i += 1; j = if (ca == cb) i + 1 else 0 }
+            else {
+              val x = eA(i); val y = eB(j)
+              var dot = 0.0; var k = 0
+              val n = x.length
+              while (k < n) { dot += x(k) * y(k); k += 1 }
+              val cos = dot / (nA(i) * nB(j))
+              if (cos >= tau) {
+                val a = idA(i); val b = idB(j)
+                nextRow = (math.min(a, b), math.max(a, b), cos)
+              }
+              j += 1
+            }
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): (Long, Long, Double) = {
+          val r = nextRow; advance(); r
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
+  }
+
   /** Exact-Jaccard verification of candidate pairs: re-join the FULL
     * shingle rows on both sides and count shared hashes (codegen equi-join
     * + agg). `cand` carries (doc_a, doc_b, n_a, n_b); `e` is (doc_id, h).
@@ -709,17 +822,13 @@ object Dedup {
         |FROM p WHERE cos >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin
     ) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val v = embs(s, dir).select(col("vec_id"), col("label"), col("embedding").as("e"))
-      val a = v.select(col("label"), col("vec_id").as("vec_a"), col("e").as("e_a"))
-      val b = v.select(col("label"), col("vec_id").as("vec_b"), col("e").as("e_b"))
-      // Native codegen'd expression (graft.functions.CosineSimilarity): one
-      // fused primitive loop per pair instead of interpreted HOF folds.
-      val cos = call_function("cosine_sim", col("e_a"), col("e_b"))
-      a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), cos.as("cos"))
-        .filter(col("cos") >= 0.35)
+      // chunked block kernel (r13): norms hoisted per vector, parallelism
+      // follows chunk-pair count instead of the ~10-key label domain, no
+      // pair-grained join rows — 1010 s → see SURVEY §7 r13 (sf10). Same
+      // IEEE chain as the old cosine_sim-per-pair join → hash-green.
+      val v = embs(s, dir)
+        .select(col("label"), col("vec_id"), col("embedding").as("e"))
+      blockCosinePairs(v, tau = 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
         .orderBy("vec_a", "vec_b")
     },
@@ -775,12 +884,10 @@ object Dedup {
       graft.functions.GraftFunctions.register(s)
       val v = embs(s, dir)
         .select(col("vec_id"), col("label"), col("embedding").as("e"))
-      val a = v.select(col("label"), col("vec_id").as("va"), col("e").as("e_a"))
-      val b = v.select(col("label"), col("vec_id").as("vb"), col("e").as("e_b"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("va") < col("vb") &&
-          call_function("cosine_sim", col("e_a"), col("e_b")) >= 0.35)
-        .select(col("va").as("a"), col("vb").as("b"))
+      // pair generation = the shared chunked block kernel (r13) — the #33
+      // shape, parallel in chunk-pairs and free of pair-grained join rows
+      val pairs = blockCosinePairs(v, tau = 0.35)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
       val dropped = connectedComponents(pairs)
         .filter(col("node") =!= col("component"))
         .select(col("node"))

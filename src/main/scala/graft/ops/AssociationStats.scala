@@ -316,6 +316,55 @@ object AssociationStats {
         .orderBy("prev_type", "next_type")
     },
 
+    // ---- #305 top-k 3-step behavior paths (r13) ----------------------------
+    // The sequence-mining read-out one level up from #169's Markov matrix:
+    // which CONCRETE 3-step journeys dominate (view>click>purchase vs
+    // view>view>view), with corpus share — the Sankey/path-analysis
+    // primitive every product-analytics store ships. Per user, consecutive
+    // event-type triples come from TWO leads over ONE user-keyed window
+    // exchange (µs event time, event_id tiebreak — the #169 ordering);
+    // triples collapse onto the ≤|types|³ path grain (125 cells here, a
+    // constant at any fact volume), the total broadcasts back, and top-k
+    // is a deterministic (count desc, path asc) TakeOrderedAndProject —
+    // no global sort of fact-grain rows. Integer counts + ONE divide →
+    // round(·, 6).
+    "path3_topk" -> OpDef(
+      """WITH e AS (
+        |  SELECT user_id, event_type AS t0, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT t0,
+        |    lead(t0, 1) OVER w AS t1,
+        |    lead(t0, 2) OVER w AS t2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (
+        |  SELECT t0 || '>' || t1 || '>' || t2 AS path,
+        |    CAST(COUNT(*) AS BIGINT) AS n_paths
+        |  FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_paths) AS BIGINT) AS tot FROM c)
+        |SELECT path, n_paths,
+        |  round(CAST(n_paths AS DOUBLE) / tot, 6) AS share
+        |FROM c CROSS JOIN tot
+        |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val seq3 = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("t0"),
+          expr("unix_micros(ts)").as("us"), col("event_id"))
+        .withColumn("t1", lead(col("t0"), 1).over(w))
+        .withColumn("t2", lead(col("t0"), 2).over(w))
+        .filter(col("t1").isNotNull && col("t2").isNotNull)
+      val c = seq3
+        .groupBy(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+        .agg(count(lit(1)).as("n_paths"))
+      val tot = c.agg(sum("n_paths").cast(LongType).as("tot"))
+      c.crossJoin(broadcast(tot))
+        .select(col("path"), col("n_paths").cast(LongType).as("n_paths"),
+          round(col("n_paths").cast(DoubleType) / col("tot"), 6).as("share"))
+        .orderBy(col("n_paths").desc, col("path"))
+        .limit(20)
+    },
+
     // ---- #170 pairwise covariance/correlation matrix -----------------------
     // All three feature pairs of (value-cents, k-prop, hour-of-day) from
     // ONE partial-agg exchange carrying 10 exact scalars (n + 3 sums + 3

@@ -57,6 +57,25 @@ class AssociationExtSpec extends SparkSpecBase {
     }
   }
 
+  test("path3_topk: top 3-step paths re-derived by brute force") {
+    val evs = graft.sources.Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = evs.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._4, r._2)).map(_._3).toSeq
+      ts.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }.toSeq
+    val counts = paths.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val total = counts.values.sum
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = run("path3_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(g => (g._1, g._2)).toSeq == expected, s"got=${got.toSeq}")
+    got.foreach { case (p, n, share) =>
+      assert(math.abs(share - n.toDouble / total) < 1e-6, s"$p share") }
+  }
+
   test("cusum_changepoint: argmax re-derived by brute force") {
     val days = spark.read.parquet(s"$sfDir/events.parquet")
       .selectExpr("event_type",
