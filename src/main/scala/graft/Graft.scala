@@ -125,6 +125,16 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def nearDupSimhash(maxHamming: Int = 2): DataFrame =
     dedup.Dedup.simhashPairs(spark, dir, maxHamming)
 
+  /** EXACT within-block cosine-≥τ pairs over any (label, vec_id,
+    * e: array<float>) frame — the SemDeDup pair generator on the chunked
+    * block kernel (r13: parallel in chunk-pairs, no pair-grained shuffle;
+    * chunk size via `spark.graft.dedup.cosChunk`). Block granularity is
+    * the caller's scale knob: SemDeDup-style pipelines train k-means with
+    * k ∝ corpus so blocks stay bounded.
+    */
+  def nearDupEmbedding(vectors: DataFrame, tau: Double = 0.35): DataFrame =
+    dedup.Dedup.blockCosinePairs(vectors, tau)
+
   /** Transitive near-dup clusters from an (a, b) pair frame — hybrid
     * union-find / distributed label propagation.
     */

@@ -333,10 +333,14 @@ object EngagementOps {
         |    / COUNT(*), 4) AS purchase_rate
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
+      // project the JSON field ONCE, then filter/bucket the extracted
+      // column — the filter-on-raw-props spelling parsed every row's
+      // props twice (r13; at sf10 the double parse is the scan's cost)
       tbl(s, dir, "events")
-        .filter(get_json_object(col("props"), "$.k").isNotNull)
-        .select(parity.floorDiv(kProp, 10).as("b"),
+        .select(get_json_object(col("props"), "$.k").as("ks"),
           col("event_type").as("t"))
+        .filter(col("ks").isNotNull)
+        .select(parity.floorDiv(col("ks").cast(LongType), 10).as("b"), col("t"))
         .groupBy("b")
         .agg(count(lit(1)).cast(LongType).as("n"),
           count(when(col("t") === "purchase", 1)).cast(LongType)
