@@ -143,6 +143,16 @@ object Bench {
         name -> math.min(inSweep, iso)
       }
     }
+    // The regression GATE reads the ISOLATED value for requeried queries
+    // (r14, advice item 2): publishing min(in_sweep, isolated) in the
+    // headline map while the anchor takes per-query maxima would let the
+    // ±2x gate loosen monotonically over rounds (measurements ratchet
+    // down, anchors ratchet up). The queries map still carries the min —
+    // the plan's demonstrated capability — but anchor_worst/total_ratio,
+    // the numbers the driver gates on, use the clean-room re-run.
+    val gateResults = results.map { case (name, v) =>
+      name -> requeried.get(name).map(_._2).getOrElse(v)
+    }
     def qJson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -158,7 +168,7 @@ object Bench {
     // 19x phantom-regression class). Embedded in the JSON line, not a
     // separate stdout line, so the driver's one-line contract holds.
     val anchorJson: String = {
-      val shared = results.filter { case (k, _) =>
+      val shared = gateResults.filter { case (k, _) =>
         anchorMap.get(k).exists(_ >= 0.3) }
       if (shared.isEmpty) "null" else {
         val (wq, wnow) = shared.maxBy { case (k, v) => v / anchorMap(k) }

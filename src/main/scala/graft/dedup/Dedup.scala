@@ -216,13 +216,17 @@ object Dedup {
       .select(col("ca"), col("cb"), col("vsa"), col("vsb"))
       .as[(Int, Int, Seq[VecChunkRow], Seq[VecChunkRow])]
     chunkPairs.flatMap { case (ca, cb, vsa, vsb) =>
+      // null-vector rows are SKIPPED (the pre-r13 cosine_sim path returned
+      // NULL for them, which the >= tau filter dropped — same outcome), so
+      // arbitrary caller frames via Graft.nearDupEmbedding can't NPE here
       def parse(vs: Seq[VecChunkRow]): (Array[Long], Array[Array[Double]], Array[Double]) = {
-        val n = vs.size
+        val kept = vs.filter(r => r != null && r.e != null)
+        val n = kept.size
         val ids = new Array[Long](n)
         val es = new Array[Array[Double]](n)
         val nrm = new Array[Double](n)
         var i = 0
-        vs.foreach { r =>
+        kept.foreach { r =>
           ids(i) = r.vec_id
           val m = r.e.length
           val e = new Array[Double](m)
@@ -247,13 +251,18 @@ object Dedup {
             if (j >= idB.length) { i += 1; j = if (ca == cb) i + 1 else 0 }
             else {
               val x = eA(i); val y = eB(j)
-              var dot = 0.0; var k = 0
-              val n = x.length
-              while (k < n) { dot += x(k) * y(k); k += 1 }
-              val cos = dot / (nA(i) * nB(j))
-              if (cos >= tau) {
-                val a = idA(i); val b = idB(j)
-                nextRow = (math.min(a, b), math.max(a, b), cos)
+              // length-mismatched pairs are dropped (the old per-pair
+              // cosine_sim returned NULL for them); a != b guards the
+              // (a,a) self-pair a duplicated vec_id row would emit
+              if (x.length == y.length && idA(i) != idB(j)) {
+                var dot = 0.0; var k = 0
+                val n = x.length
+                while (k < n) { dot += x(k) * y(k); k += 1 }
+                val cos = dot / (nA(i) * nB(j))
+                if (cos >= tau) {
+                  val a = idA(i); val b = idB(j)
+                  nextRow = (math.min(a, b), math.max(a, b), cos)
+                }
               }
               j += 1
             }

@@ -1007,8 +1007,12 @@ object AnalyticsR12 {
     // not interpolation. Replicate means fold EXACT INTEGER CENTS on both
     // engines and share one IEEE chain (double(Σw·cents)/100.0/Σw — r13:
     // the oracle previously summed w·v in dollars-DECIMAL, bit-identical
-    // only while Σw·cents ≤ 2^53; now the spelling is engine-identical at
-    // any SF), then one round(·, 6).
+    // only while Σw·cents ≤ 2^53; the cents spelling moves that premise
+    // to 2^63, it does not remove it — Spark's Long lane would wrap
+    // silently past 2^63 while DuckDB's SUM(BIGINT) promotes to HUGEINT.
+    // ~9e16 cents of Poisson-weighted mass per (type, replicate) is ~1e15
+    // dollars of events per type: ample at any tested SF, but a stated
+    // bound like jarque_bera's, not an identity), then one round(·, 6).
     "bootstrap_mean_ci" -> OpDef(
       s"""WITH src AS (
          |  SELECT event_type, "value",

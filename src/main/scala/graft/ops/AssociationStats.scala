@@ -340,7 +340,9 @@ object AssociationStats {
         |c AS (
         |  SELECT t0 || '>' || t1 || '>' || t2 AS path,
         |    CAST(COUNT(*) AS BIGINT) AS n_paths
-        |  FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1),
+        |  FROM s
+        |  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        |  GROUP BY 1),
         |tot AS (SELECT CAST(SUM(n_paths) AS BIGINT) AS tot FROM c)
         |SELECT path, n_paths,
         |  round(CAST(n_paths AS DOUBLE) / tot, 6) AS share
@@ -353,7 +355,10 @@ object AssociationStats {
           expr("unix_micros(ts)").as("us"), col("event_id"))
         .withColumn("t1", lead(col("t0"), 1).over(w))
         .withColumn("t2", lead(col("t0"), 2).over(w))
-        .filter(col("t1").isNotNull && col("t2").isNotNull)
+        // t0 guard (r14 advice): concat_ws SKIPS a NULL t0 ('t1>t2') while
+        // the oracle's || yields a NULL path — both engines must drop the
+        // same rows if event_type is ever NULL
+        .filter(col("t0").isNotNull && col("t1").isNotNull && col("t2").isNotNull)
       val c = seq3
         .groupBy(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
         .agg(count(lit(1)).as("n_paths"))

@@ -216,8 +216,11 @@ object StreamQueries {
     },
 
     // ---- #84 windowed approx quantiles (streaming-capable sketch) --------
-    // Rows-only like #58: sketch values are merge-order-dependent; the
-    // streaming spec pins the rank-error window vs the exact distribution.
+    // Rows-only like #58: sketch values are merge-order-dependent; BOTH
+    // regimes are rank-error pinned (StreamOpsStreamingSpec) — the
+    // streaming path against an in-memory feed, and the BATCH shape the
+    // driver runs against the exact order statistics of the same parquet
+    // rows (r14: the #58-style pin this row previously lacked).
     "stream_quantiles" -> OpDef.rowsOnly { (s, dir) =>
       StreamOps.windowedQuantiles(ev(s, dir)).orderBy("day", "event_type")
     },

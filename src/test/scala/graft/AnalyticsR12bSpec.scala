@@ -112,6 +112,33 @@ class AnalyticsR12bSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("jarque_bera drops out-of-premise deltas instead of overflowing") {
+    // The |k| <= 1e8-cent bound is the shared degradation mode (r13/r14
+    // advice): a daily jump past it must be FILTERED on both engines —
+    // never Spark-DECIMAL-overflow-to-NULL vs DuckDB-HUGEINT-error. The
+    // oracle carries the identical WHERE textually; this pins the Spark
+    // side on a synthetic over-bound day.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("jb_bound").toString
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // type "x": days 0-9 small varying values, day 10 a 2e6-dollar spike
+    // (delta 2e8 cents > bound, and day 11's return delta too), days 11-13
+    // back to small — 13 gap-1 deltas, 2 dropped, 11 in-premise (>= 8)
+    val rows = (0 to 9).map(d => (d.toLong, ts(d), 1L, "x", 100.0 + d * 3.7 + (d % 3) * 11.13, "{}")) ++
+      Seq((10L, ts(10), 1L, "x", 2000000.0, "{}")) ++
+      (11 to 13).map(d => (d.toLong, ts(d), 1L, "x", 90.0 + d * 5.21 + (d % 2) * 7.77, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("jarque_bera")(spark, tmp).collect()
+    assert(got.length == 1 && got(0).getString(0) == "x")
+    // 11 surviving deltas — the two over-bound ones dropped, not NULLed
+    assert(got(0).getLong(1) == 11L, s"n=${got(0).getLong(1)}")
+    Seq(2, 3, 4).foreach { i =>
+      assert(!got(0).isNullAt(i) && !got(0).getDouble(i).isNaN,
+        s"col $i poisoned by the over-bound delta")
+    }
+  }
+
   test("hurst_exponent: hourly rank blocks, complete-block variances") {
     val hourly: Map[String, Seq[BigDecimal]] =
       events.groupBy(_._2).map { case (t, rs) =>

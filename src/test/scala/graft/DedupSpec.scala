@@ -247,6 +247,30 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.forall(r => lbl(r.getLong(0)) == lbl(r.getLong(1))))
   }
 
+  test("nearDupEmbedding tolerates null vectors, dim mismatches, dup ids") {
+    // The kernel is reachable from arbitrary caller frames via the public
+    // facade (r14 advice): a null embedding must be skipped (the pre-r13
+    // per-pair cosine_sim returned NULL → dropped), a length-mismatched
+    // pair dropped, and a duplicated vec_id must not emit an (a,a)
+    // self-pair.
+    import spark.implicits._
+    val base = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val near = Seq(0.9f, 0.1f, 0.0f, 0.0f)
+    val rows = Seq(
+      ("blk", 1L, base), ("blk", 2L, near),
+      ("blk", 3L, null.asInstanceOf[Seq[Float]]), // null embedding
+      ("blk", 4L, Seq(1.0f, 0.0f)),               // wrong dimension
+      ("blk", 5L, base), ("blk", 5L, base)        // duplicated vec_id
+    ).toDF("label", "vec_id", "e")
+    val out = Graft(spark, sfDir).nearDupEmbedding(rows, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall { case (a, b) => a < b }, "self-pair or unordered pair")
+    assert(!out.exists { case (a, b) => a == 3L || b == 3L }, "null vec paired")
+    assert(!out.exists { case (a, b) => a == 4L || b == 4L }, "dim-mismatch paired")
+    // the real near-dups all survive
+    assert(out.toSet == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
   test("embed_contamination equals a direct max-cos recompute; flag = n_close>0") {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("vec_id", "embedding").collect()

@@ -79,6 +79,33 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream_quantiles BATCH shape sits in the rank-error window (#84 pin)") {
+    // The exact-regime pin for the one rows-only query without an oracle
+    // twin (r13 verdict item 4): the batch query the driver runs is held
+    // to the same rank-error contract the streaming spec pins — every
+    // (day, type) sketch value within ±(n/accuracy + 1) ranks of the exact
+    // order statistic of the SAME parquet rows.
+    val ev = eventRows()
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val exact = ev.groupBy(e => (fmt.format(e._4), e._3))
+      .view.mapValues(_.map(_._5).sorted).toMap
+    val got = run("stream_quantiles").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == exact.size, "one row per (day, type) group")
+    got.foreach { case (day, et, p50, p95) =>
+      val vals = exact((day, et))
+      val n = vals.length
+      val eps = n / 1000 + 1
+      Seq(0.5 -> p50, 0.95 -> p95).foreach { case (p, est) =>
+        val lo = vals(math.max(0, (p * (n - 1)).toInt - eps))
+        val hi = vals(math.min(n - 1, math.ceil(p * (n - 1)).toInt + eps))
+        assert(est >= lo && est <= hi,
+          s"$day/$et p$p: $est outside [$lo, $hi] (n=$n)")
+      }
+    }
+  }
+
   test("batch shape of stream_dedup matches distinct keys of the feed") {
     val ev = eventRows()
     val keys = ev.map(e => (e._2, e._3)).distinct
