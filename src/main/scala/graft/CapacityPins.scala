@@ -78,6 +78,16 @@ object CapacityPins {
     */
   val StreamTopKCap: Int = 1 << 16
 
+  /** `uniq_theta_ops`' KMV bottom-k size: exact while ≥ distinct users per
+    * event_type (the same cardinality as TopKCap's pin — 150k at sf10, so
+    * 2^18 keeps the oracle regime through every local SF). KmvAgg state
+    * grows lazily to O(min(distinct, k)) longs, so the cap costs nothing
+    * at small SF and bounds each sketch cell to 2 MB at 100 TB, where the
+    * (k−1)·H/θ estimator (±~1/√k relative error, spec-pinned) takes over
+    * on the SAME columns.
+    */
+  val KmvCap: Int = 1 << 18
+
   private val valueGrain: (SparkSession, String) => Long =
     (s, dir) => events(s, dir)
       .agg(countDistinct(col("value")
@@ -97,6 +107,7 @@ object CapacityPins {
         docsT(s, dir).select(col("lang"), explode(text.TextOps.words).as("tok")),
         Seq("lang"), col("tok"))),
     Pin("uniq_upto(wide)", 1000000, "distinct users per event_type", usersPerType),
+    Pin("uniq_theta_ops", KmvCap, "distinct users per event_type", usersPerType),
     // all six share one memoized measurement; each named so a violation
     // points at every query whose single-partition grain window it breaks
     Pin("global_rank", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),

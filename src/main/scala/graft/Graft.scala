@@ -130,7 +130,11 @@ final class Graft(val spark: SparkSession, val dir: String) {
     * block kernel (r13: parallel in chunk-pairs, no pair-grained shuffle;
     * chunk size via `spark.graft.dedup.cosChunk`). Block granularity is
     * the caller's scale knob: SemDeDup-style pipelines train k-means with
-    * k ∝ corpus so blocks stay bounded.
+    * k ∝ corpus so blocks stay bounded — MEASURED at sf10 (r14,
+    * BENCH_sf10_r14_semdedup_contract.json): with k=704 ≈ √n Lloyd cells
+    * the full online path (block join + kernel + connected components)
+    * runs in ~20 s vs 1301 s on the 10-coarse-label worst case, with the
+    * one-time index build shared with ann_ivf.
     */
   def nearDupEmbedding(vectors: DataFrame, tau: Double = 0.35): DataFrame =
     dedup.Dedup.blockCosinePairs(vectors, tau)

@@ -70,7 +70,16 @@ object GraftFunctions {
         n = args(1).eval(null).asInstanceOf[Number].intValue()) },
     "uniq_upto_merge" -> { args =>
       UniqUpToMergeAgg(args(0),
-        n = args(1).eval(null).asInstanceOf[Number].intValue()) }
+        n = args(1).eval(null).asInstanceOf[Number].intValue()) },
+    // KMV bottom-k distinct sketch (CH uniqTheta family):
+    // kmv_sketch(hash60, k) → ascending retained-hash array;
+    // kmv_merge(state_array, k) re-aggregates persisted read-outs
+    "kmv_sketch" -> { args =>
+      KmvAgg(args(0),
+        k = args(1).eval(null).asInstanceOf[Number].intValue()) },
+    "kmv_merge" -> { args =>
+      KmvMergeAgg(args(0),
+        k = args(1).eval(null).asInstanceOf[Number].intValue()) }
   )
 
   def register(spark: SparkSession): Unit = {
