@@ -95,6 +95,21 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
   }
+
+  /** KMV distinct estimate from a `kmv_sketch`/`kmv_merge` read-out:
+    * exact |S| while the sketch never saturated, (k−1)·H/θ beyond
+    * (θ = the k-th retained hash; try_element_at keeps the saturated
+    * branch null-safe under ANSI when the guard holds). Shared by
+    * `uniq_theta_ops`, `uniq_theta_reagg` and the streaming twin so all
+    * three regimes read the identical estimator spelling.
+    */
+  def kmvEstimate(sk: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    when(size(sk) < k, size(sk).cast(LongType))
+      .otherwise(round(lit((k - 1).toDouble) * lit(KmvAgg.HashSpace)
+        / try_element_at(sk, lit(k)).cast(DoubleType)).cast(LongType))
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -72,10 +72,16 @@ object AnalyticsR14 {
       graft.functions.GraftFunctions.register(s)
       val k = CapacityPins.KmvCap
       val h = parity.md5Long(col("user_id").cast(StringType))
-      val sk = tbl(s, dir, "events")
-        .select(col("event_type"), h.as("h"))
-        .groupBy("event_type")
-        .agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
+      // persist the |types|-row cell frame so BOTH sides of the pair join
+      // read it — without this the broadcast side recomputes the
+      // aggregation and the fact table scans twice (CacheRegistry
+      // discipline; production callers release via Graft.releaseCaches())
+      val sk = graft.CacheRegistry.track(
+        tbl(s, dir, "events")
+          .select(col("event_type"), h.as("h"))
+          .groupBy("event_type")
+          .agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // pair grain: ≤C(|types|,2) rows of O(k) arrays — metadata-sized, so
       // the broadcast cross join is the right plan (1-row-agg discipline
       // widened to the bounded |types| grain)
@@ -85,10 +91,7 @@ object AnalyticsR14 {
         .filter(col("type_a") < col("type_b"))
       val kL = lit(k)
       val hSpace = lit(graft.functions.KmvAgg.HashSpace)
-      def est(arr: Column): Column =
-        when(size(arr) < kL, size(arr).cast(LongType))
-          .otherwise(round(lit((k - 1).toDouble) * hSpace
-            / try_element_at(arr, kL).cast(DoubleType)).cast(LongType))
+      def est(arr: Column): Column = graft.functions.GraftFunctions.kmvEstimate(arr, k)
       val u = array_sort(array_union(col("ska"), col("skb")))
       val inter = array_intersect(col("ska"), col("skb"))
       val exact = (size(col("ska")) < kL) && (size(col("skb")) < kL)
@@ -105,6 +108,33 @@ object AnalyticsR14 {
         .withColumn("jaccard",
           round(col("n_intersect").cast(DoubleType) / col("n_union"), 6))
         .orderBy("type_a", "type_b")
+    },
+
+    // ---- #309 uniqTheta -State/-Merge re-aggregation -----------------------
+    // The #91 (uniqUpTo) / #86 (topK) / #284 (corr) discipline extended to
+    // the KMV sketch: per-(type, day) `kmv_sketch` cells roll up per type
+    // via `kmv_merge`. Bottom-k union is loss-free w.r.t. the retained
+    // set (every member of the merged bottom-k is in its cell's bottom-k),
+    // so merge-of-cells ≡ one-pass EXACTLY in both regimes — which is how
+    // a 100 TB sink keeps live distinct counts per flush without
+    // rescanning history. Exact regime at the gate SFs (KmvCap pin) makes
+    // the oracle a plain COUNT(DISTINCT); the estimator read-out is the
+    // same shared spelling as #306.
+    "uniq_theta_reagg" -> OpDef(
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_uniq
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val k = CapacityPins.KmvCap
+      val h = parity.md5Long(col("user_id").cast(StringType))
+      val cells = tbl(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(call_function("kmv_sketch", h.as("h"), lit(k)).as("sk"))
+      cells.groupBy("event_type")
+        .agg(call_function("kmv_merge", col("sk"), lit(k)).as("sk"))
+        .select(col("event_type"),
+          graft.functions.GraftFunctions.kmvEstimate(col("sk"), k).as("n_uniq"))
+        .orderBy("event_type")
     },
 
     // ---- #307 relational division: users covering the full DOW domain -----

@@ -225,6 +225,20 @@ object StreamQueries {
       StreamOps.windowedQuantiles(ev(s, dir)).orderBy("day", "event_type")
     },
 
+    // ---- #310 windowed KMV distinct sketches (streaming uniqTheta) --------
+    // Exact regime at the gate SFs (distinct users per (day, type) ≤ the
+    // per-type KmvCap pin) makes the oracle a plain COUNT(DISTINCT) of
+    // the same 60-bit hash domain; the streaming spec pins stream ≡ batch.
+    "stream_uniq_theta" -> OpDef(
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  CAST(COUNT(DISTINCT
+        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT)
+        |    AS BIGINT) AS n_uniq
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.windowedUniqTheta(ev(s, dir)).orderBy("day", "event_type")
+    },
+
     // ---- #106 hopping (sliding) windowed counts --------------------------
     // 1-day windows every 12 h: each event lands in exactly two windows.
     // The oracle derives the same two window starts from the 12 h epoch

@@ -348,6 +348,30 @@ object StreamOps {
         col("event_type"), col("q")(0).as("p50"), col("q")(1).as("p95"))
   }
 
+  /** #310 — windowed KMV distinct sketches per type (1-day windows): the
+    * live-path twin of `uniq_theta_ops`/`uniq_theta_reagg` (§2.2
+    * #306/#309). The KmvAgg bottom-k buffer is the streaming state per
+    * open (window, type) group — O(min(distinct, k)) longs, loss-free
+    * associative merges across micro-batches, watermark closes windows.
+    * Exact while k ≥ distinct users per (day, type) (≤ the per-type
+    * KmvCap pin), the shared (k−1)·H/θ estimator beyond — so the BATCH
+    * shape is oracle-checkable as a plain COUNT(DISTINCT) at the gate SFs
+    * while the identical plan keeps live mergeable distinct-set cells
+    * (that unions/intersects across windows, via kmv_merge) at 100 TB.
+    */
+  def windowedUniqTheta(events: DataFrame,
+      k: Int = graft.CapacityPins.KmvCap): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(call_function("kmv_sketch",
+        graft.ops.parity.md5Long(col("user_id").cast("string")), lit(k)).as("sk"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        graft.functions.GraftFunctions.kmvEstimate(col("sk"), k).as("n_uniq"))
+  }
+
   /** #106 — hopping (sliding) windowed counts: 1-day windows advancing every
     * 12 hours, so each event lands in exactly TWO overlapping windows.
     * Spark's window() expands the slide set inline (a bounded 2-row

@@ -240,7 +240,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // (b, bkey) exchange. ≤2 SMJs is the pinned composition shape; the
     // rest broadcast at test SF via AQE.
     val docGrainComposition = Set("curate_stream")
-    val finisherFallbacks = Map("uniq_hll" -> Set("hll_sketch_estimate"))
+    val finisherFallbacks = Map(
+      "uniq_hll" -> Set("hll_sketch_estimate"),
+      // #306's set algebra (array_sort/intersect + the θ-cut filter
+      // lambda) runs on the ≤C(|types|,2)-row PAIR GRAIN — interpreted
+      // exprs over ≤10 metadata rows, never the fact table (the fact fold
+      // is the codegen'd kmv_sketch agg)
+      "uniq_theta_ops" -> Set("array_sort", "lambdafunction",
+        "namedlambdavariable", "filter"))
     for (name <- SparkEntry.allDefs.keys.toSeq.sorted) {
       val a = auditOf(run(name))
       if (factFactShuffle(name))
@@ -848,5 +855,33 @@ class PlanAuditSpec extends SparkSpecBase {
     val e = auditOf(run("embed_contamination"))
     assert(e.scans == 1 && e.shuffles <= 2 &&
       e.broadcastJoins + e.sortMergeJoins == 0 && e.fallbackExprs.isEmpty, s"$e")
+  }
+
+  // r14 shapes. uniq_theta_ops: ONE fact scan folds into |types| sketch
+  // cells (agg exchange), the pair algebra is a broadcast cross join of
+  // the ≤|types|-row cell frame against itself — NEVER a second fact scan
+  // or a fact self-join (the audience_overlap contrast). trending_topk:
+  // the per-type anchor day must BROADCAST-join back (a fact-grain
+  // max-window would single-partition 60M rows/type at sf10); then one
+  // (type,user) agg exchange + the rank window on the collapsed grain.
+  // relational_division: one (type,user) agg pipeline, zero joins.
+  test("r14 ops: sketch cells broadcast, anchors broadcast, no fact self-join") {
+    // the persisted cell frame appears under an InMemoryTableScan on BOTH
+    // pair-join sides, so the audit's static scan count reads 2 even
+    // though the fact parquet is materialized once (cache hit on the
+    // second reference); the load-bearing pins are the single agg
+    // exchange and the absence of any fact-grain sort-merge pair join.
+    // The lambda fallback exprs (array_sort/filter) run on the ≤C(types,2)
+    // pair grain — ≤10 rows by design, never fact-grain.
+    val t = auditOf(run("uniq_theta_ops"))
+    assert(t.shuffles <= 2, s"uniq_theta_ops grew a fact-grain exchange: $t")
+    assert(t.sortMergeJoins == 0, s"$t")
+    val tr = auditOf(run("trending_topk"))
+    assert(tr.broadcastJoins >= 1 && tr.sortMergeJoins == 0,
+      s"trending_topk anchor join degraded: $tr")
+    val rd = auditOf(run("relational_division"))
+    assert(rd.scans == 1 && rd.broadcastJoins + rd.sortMergeJoins == 0, s"$rd")
+    val rg = auditOf(run("uniq_theta_reagg"))
+    assert(rg.scans == 1 && rg.broadcastJoins + rg.sortMergeJoins == 0, s"$rg")
   }
 }
