@@ -366,6 +366,56 @@ object Ann extends Serializable {
         .orderBy("dim")
     },
 
+    // ---- #311 embedding-normalization audit (r14) --------------------------
+    // The QA gate an embedding pipeline runs BEFORE trusting cosine math:
+    // cosine assumes unit-normalized vectors, and broken encoder batches
+    // emit zero or blown-up norms that poison every downstream distance.
+    // Per label: n, count/id-sum of vectors with |‖e‖²−1| > 1e-3, and the
+    // exact min/max ‖e‖² in micro-units (the informative read-out on a
+    // clean corpus — HOW normalized is it). A σ-based outlier screen is
+    // deliberately NOT used: on a unit-normalized corpus σ(‖e‖²) is float
+    // jitter (~1e-7 here), so z-scores would flag quantization noise; the
+    // absolute tolerance matches the screen's actual contract
+    // ("is this corpus safe for cosine"), and the flagging path is
+    // spec-pinned on synthetic broken vectors (AnalyticsR14Spec, the
+    // jarque_bera over-bound discipline). Parity shape: ‖e‖² is ONE
+    // codegen fold (norm_sq — the cosine_sim discipline, identical
+    // ascending double chain to the oracle's list_sum), floor-quantized
+    // to micro-units (embed_dim_stats discipline) so every aggregate is
+    // an exact integer fold. ONE scan, one agg exchange, zero joins.
+    "embed_norm_check" -> OpDef(
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    CAST(floor(list_sum(list_transform(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |      x -> x * x)) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(COUNT(CASE WHEN abs(q - 1000000) > 1000 THEN 1 END) AS BIGINT)
+        |    AS n_unnormalized,
+        |  CAST(COALESCE(SUM(CASE WHEN abs(q - 1000000) > 1000
+        |    THEN vec_id END), 0) AS BIGINT) AS unnorm_id_sum,
+        |  CAST(MIN(q) AS BIGINT) AS min_normsq_micro,
+        |  CAST(MAX(q) AS BIGINT) AS max_normsq_micro
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      GraftSession.tune(s)
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          floor(call_function("norm_sq", col("embedding")) * 1000000)
+            .as("q"))
+      val bad = abs(col("q") - 1000000L) > 1000L
+      v.groupBy("label")
+        .agg(count(lit(1)).cast(LongType).as("n_vectors"),
+          count(when(bad, 1)).cast(LongType).as("n_unnormalized"),
+          coalesce(sum(when(bad, col("vec_id"))), lit(0L))
+            .cast(LongType).as("unnorm_id_sum"),
+          min("q").cast(LongType).as("min_normsq_micro"),
+          max("q").cast(LongType).as("max_normsq_micro"))
+        .orderBy("label")
+    },
+
     // ---- #248 k-NN label evaluation ----------------------------------------
     // Leave-one-out 5-NN majority-vote classification of the first 50
     // vectors against their `label` column — the standard embedding-space

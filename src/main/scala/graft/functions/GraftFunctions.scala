@@ -25,6 +25,7 @@ object GraftFunctions {
     "vec_absmax" -> { args => VecAbsMax(args(0)) },
     "quantize_i8" -> { args => QuantizeI8(args(0)) },
     "l2_sq" -> { args => L2Sq(args(0), args(1)) },
+    "norm_sq" -> { args => NormSq(args(0)) },
     "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) },
     "pq_adc" -> { args => PqAdc(args(0), args(1), args(2)) },
     // one-pass 16-permutation MinHash signature (aggregate)

@@ -91,6 +91,57 @@ class AnalyticsR14Spec extends SparkSpecBase {
     assert(merged == onePass, "kmv_merge(cells) must equal the one-pass sketch")
   }
 
+  test("embed_norm_check: exact quantized re-derivation; clean corpus passes") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    // the identical ascending double fold as norm_sq / the oracle list_sum
+    def q(e: Seq[Float]): Long = {
+      var ss = 0.0
+      e.foreach { x => val d = x.toDouble; ss += d * d }
+      math.floor(ss * 1000000).toLong
+    }
+    val exp = vecs.groupBy(_._2).map { case (lbl, vs) =>
+      val qs = vs.map(v => (v._1, q(v._3)))
+      val bad = qs.filter(x => math.abs(x._2 - 1000000L) > 1000L)
+      lbl -> ((qs.length.toLong, bad.length.toLong, bad.map(_._1).sum,
+        qs.map(_._2).min, qs.map(_._2).max))
+    }
+    val got = run("embed_norm_check").collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (l, v) => assert(got(l) == v, s"label $l") }
+    // the fixture corpus IS unit-normalized — the audit must say so
+    assert(got.values.forall(_._2 == 0L), "clean corpus flagged unnormalized")
+  }
+
+  test("embed_norm_check flags synthetic broken vectors (the screen's teeth)") {
+    // the clean fixture can never exercise the flagging path, so pin it on
+    // a synthetic corpus with deliberately broken rows (the jarque_bera
+    // over-bound discipline): a zero vector, a blown-up vector, and a
+    // just-out-of-tolerance one among normalized rows
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("norm_check").toString
+    def unit(seed: Int): Seq[Float] = {
+      val raw = (1 to 8).map(i => ((seed * 31 + i * 7) % 13 + 1).toFloat)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val rows = Seq(
+      (1L, unit(1), 0), (2L, unit(2), 0),
+      (3L, Seq.fill(8)(0.0f), 0),               // zero vector → q = 0
+      (4L, unit(4).map(_ * 2.0f), 1),           // norm² ≈ 4 → flagged
+      (5L, unit(5), 1),
+      (6L, unit(6).map(_ * 1.001f), 1))         // norm² ≈ 1.002 → flagged
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = SparkEntry.queries("embed_norm_check")(spark, tmp).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0) == ((1L, 3L)), s"label 0: ${got(0)}") // vec 3 flagged
+    assert(got(1) == ((2L, 10L)), s"label 1: ${got(1)}") // vecs 4+6 flagged
+  }
+
   test("relational_division: covering users match a direct DOW re-derivation") {
     val nd = events.groupBy(e => (e._1, e._2))
       .view.mapValues(_.map(e => dayOf(e._3) % 7).toSet.size).toMap
