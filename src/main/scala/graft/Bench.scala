@@ -11,6 +11,28 @@ import org.apache.spark.sql.SparkSession
   * crashed query must never look fast.
   */
 object Bench {
+
+  /** Parse the standing anchor's per-query map — factored out of main so
+    * AnchorFormatSpec can pin that the committed BASELINE_ANCHOR.json
+    * actually parses (r14: a pretty-printed rewrite put spaces after the
+    * colons and the compact-format regex silently returned an EMPTY map,
+    * turning the whole ±2× gate off with anchor_worst:null as the only
+    * symptom). The regex now tolerates whitespace; the spec fails loudly
+    * if a future rewrite breaks parsing some other way.
+    */
+  def parseAnchor(path: String, sfDir: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (path == "none" || !f.isFile) Map.empty else try {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val sfOf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!sfOf.exists(s => new java.io.File(s).getName == new java.io.File(sfDir).getName)) Map.empty
+      else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(
+        txt.drop(txt.indexOf("\"queries\""))).map(m =>
+        m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,19 +84,8 @@ object Bench {
     // Standing-anchor map, parsed UP FRONT (r13) so the post-sweep
     // re-adjudication pass below can read it; only honored when the
     // anchor's SF dir basename matches the benched one.
-    val anchorMap: Map[String, Double] = {
-      val path = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BASELINE_ANCHOR.json")
-      val f = new java.io.File(path)
-      if (path == "none" || !f.isFile) Map.empty else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val sfOf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-        if (!sfOf.exists(s => new java.io.File(s).getName == new java.io.File(sfDir).getName)) Map.empty
-        else "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(
-          txt.drop(txt.indexOf("\"queries\""))).map(m =>
-          m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
-    }
+    val anchorMap: Map[String, Double] = parseAnchor(
+      sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BASELINE_ANCHOR.json"), sfDir)
     val sweepResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
