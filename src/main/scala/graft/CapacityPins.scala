@@ -107,7 +107,12 @@ object CapacityPins {
         docsT(s, dir).select(col("lang"), explode(text.TextOps.words).as("tok")),
         Seq("lang"), col("tok"))),
     Pin("uniq_upto(wide)", 1000000, "distinct users per event_type", usersPerType),
-    Pin("uniq_theta_ops", KmvCap, "distinct users per event_type", usersPerType),
+    // KMV exactness is STRICT (size(sk) < k in kmvEstimate): at measured
+    // == KmvCap the sketch saturates and the estimator silently takes
+    // over, so the pin registers capacity KmvCap - 1 to make
+    // `capacity >= measured` coincide with the `measured < KmvCap`
+    // exact-branch condition (r14 ADVICE).
+    Pin("uniq_theta_ops", KmvCap - 1, "distinct users per event_type", usersPerType),
     // all six share one memoized measurement; each named so a violation
     // points at every query whose single-partition grain window it breaks
     Pin("global_rank", ValueGrainCap, "distinct 2-dp values (grain window)", valueGrain),

@@ -129,12 +129,16 @@ final case class KmvMergeAgg(
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       var i = 0
       val n = arr.numElements()
-      // ascending input: once a value is rejected by a FULL buffer every
-      // later one would be too
+      // no ascending-order early exit: kmv_merge is a registered SQL
+      // function, so the input array is caller data, not necessarily a
+      // sorted kmv_sketch read-out — offer() already rejects a
+      // not-bottom-k value with one last() compare, so scanning every
+      // element is the same O(n) with correct semantics on ANY order
+      // (r14 ADVICE: the old exit silently dropped elements of unsorted
+      // input).
       while (i < n) {
-        val x = arr.getLong(i)
-        if (buf.set.size() >= k && x >= buf.set.last()) i = n
-        else { buf.offer(x, k); i += 1 }
+        buf.offer(arr.getLong(i), k)
+        i += 1
       }
     }
     buf

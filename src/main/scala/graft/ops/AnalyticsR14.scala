@@ -33,6 +33,35 @@ object AnalyticsR14 {
   private val epochDaySql =
     "datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
 
+  /** The pairwise KMV set-algebra read-out — (n_a, n_b, n_union,
+    * n_intersect) from two retained-hash arrays. Factored out of
+    * `uniq_theta_ops` so the saturated-regime error window (which the
+    * exact-regime oracle can never reach) is pinned on the SAME column
+    * spelling by AnalyticsR14Spec. Estimators are Beyer et al.:
+    * n̂∪ = (k−1)·H/θ over the k-size union synopsis, and
+    * n̂∩ = ρ̂·n̂∪ with ρ̂ = count_below_θ / k — both carry the (k−1)
+    * bias correction consistently (r14 ADVICE).
+    */
+  def kmvPairAlgebra(ska: Column, skb: Column, k: Int): Seq[Column] = {
+    val kL = lit(k)
+    val hSpace = lit(graft.functions.KmvAgg.HashSpace)
+    def est(arr: Column): Column = graft.functions.GraftFunctions.kmvEstimate(arr, k)
+    val u = array_sort(array_union(ska, skb))
+    val inter = array_intersect(ska, skb)
+    val exact = (size(ska) < kL) && (size(skb) < kL)
+    val thetaU = try_element_at(u, kL)
+    Seq(
+      est(ska).as("n_a"), est(skb).as("n_b"),
+      when(exact, size(u).cast(LongType))
+        .otherwise(round(lit((k - 1).toDouble) * hSpace
+          / thetaU.cast(DoubleType)).cast(LongType)).as("n_union"),
+      when(exact, size(inter).cast(LongType))
+        .otherwise(round(size(filter(inter, x => x < thetaU))
+          .cast(DoubleType) * lit((k - 1).toDouble / k)
+          * hSpace / thetaU.cast(DoubleType))
+          .cast(LongType)).as("n_intersect"))
+  }
+
   val defs: Map[String, OpDef] = Map(
     // ---- #306 KMV theta-sketch distinct-set algebra ------------------------
     // CH's uniqTheta + uniqThetaUnion/Intersect surface: per-type KMV
@@ -89,22 +118,8 @@ object AnalyticsR14 {
         .crossJoin(broadcast(
           sk.select(col("event_type").as("type_b"), col("sk").as("skb"))))
         .filter(col("type_a") < col("type_b"))
-      val kL = lit(k)
-      val hSpace = lit(graft.functions.KmvAgg.HashSpace)
-      def est(arr: Column): Column = graft.functions.GraftFunctions.kmvEstimate(arr, k)
-      val u = array_sort(array_union(col("ska"), col("skb")))
-      val inter = array_intersect(col("ska"), col("skb"))
-      val exact = (size(col("ska")) < kL) && (size(col("skb")) < kL)
-      val thetaU = try_element_at(u, kL)
-      pr.select(col("type_a"), col("type_b"),
-          est(col("ska")).as("n_a"), est(col("skb")).as("n_b"),
-          when(exact, size(u).cast(LongType))
-            .otherwise(round(lit((k - 1).toDouble) * hSpace
-              / thetaU.cast(DoubleType)).cast(LongType)).as("n_union"),
-          when(exact, size(inter).cast(LongType))
-            .otherwise(round(size(filter(inter, x => x < thetaU))
-              .cast(DoubleType) * hSpace / thetaU.cast(DoubleType))
-              .cast(LongType)).as("n_intersect"))
+      pr.select(col("type_a") +: col("type_b") +:
+          kmvPairAlgebra(col("ska"), col("skb"), k): _*)
         .withColumn("jaccard",
           round(col("n_intersect").cast(DoubleType) / col("n_union"), 6))
         .orderBy("type_a", "type_b")
@@ -118,10 +133,14 @@ object AnalyticsR14 {
     // so merge-of-cells ≡ one-pass EXACTLY in both regimes — which is how
     // a 100 TB sink keeps live distinct counts per flush without
     // rescanning history. Exact regime at the gate SFs (KmvCap pin) makes
-    // the oracle a plain COUNT(DISTINCT); the estimator read-out is the
-    // same shared spelling as #306.
+    // the oracle a COUNT(DISTINCT) — over the SAME 60-bit md5 hash domain
+    // the sketch folds (r14 ADVICE: counting raw ids on the oracle side
+    // would break parity on a single in-type hash collision; the sibling
+    // ops fold hashes on both engines, so this one does too).
     "uniq_theta_reagg" -> OpDef(
-      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_uniq
+      s"""SELECT event_type,
+        |  CAST(COUNT(DISTINCT ${parity.md5LongSql("CAST(user_id AS VARCHAR)")})
+        |    AS BIGINT) AS n_uniq
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)

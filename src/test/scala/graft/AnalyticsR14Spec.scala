@@ -89,6 +89,41 @@ class AnalyticsR14Spec extends SparkSpecBase {
       .agg(call_function("kmv_merge", col("sk"), lit(k)))
       .collect()(0).getSeq[Long](0)
     assert(merged == onePass, "kmv_merge(cells) must equal the one-pass sketch")
+    // kmv_merge is a registered SQL function, so callers may hand it ANY
+    // long array — not just ascending kmv_sketch read-outs. Pin that a
+    // DESCENDING input merges identically (r14 ADVICE: an ascending-only
+    // early exit silently dropped elements of unsorted input).
+    val mergedRev = cells.select(reverse(col("sk")).as("sk"))
+      .agg(call_function("kmv_merge", col("sk"), lit(k)))
+      .collect()(0).getSeq[Long](0)
+    assert(mergedRev == onePass, "kmv_merge must be order-insensitive")
+  }
+
+  test("KMV pair algebra: saturated-regime union/intersect error windows") {
+    // the oracle only ever sees the exact regime (CapacityPins.KmvCap ≥
+    // distinct at every gate SF) — pin the ESTIMATOR regime of the same
+    // kmvPairAlgebra column spelling the query runs: two overlapping
+    // 20k-element hash domains at k=256 (both sketches saturate)
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val k = 256
+    val a = (1L to 20000L).map(v => ("a", h60(v)))
+    val b = (10001L to 30000L).map(v => ("b", h60(v)))
+    val sk = (a ++ b).toDF("g", "h")
+      .groupBy("g").agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
+    val pr = sk.filter($"g" === "a").select($"sk".as("ska"))
+      .crossJoin(sk.filter($"g" === "b").select($"sk".as("skb")))
+    val r = pr.select(graft.ops.AnalyticsR14.kmvPairAlgebra($"ska", $"skb", k): _*)
+      .collect()(0)
+    val (nA, nB, nU, nI) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def relErr(est: Long, exact: Long) = math.abs(est - exact).toDouble / exact
+    // σ ≈ 1/√(k−2) ≈ 6.3% for the marginals/union; intersect compounds
+    // ρ̂'s binomial error (count_below_θ ≈ ρ·k ≈ 85 ⇒ ~11%) on top — 4σ-ish
+    // bounds keep the deterministic fixture stable
+    assert(relErr(nA, 20000L) < 0.25, s"n_a=$nA")
+    assert(relErr(nB, 20000L) < 0.25, s"n_b=$nB")
+    assert(relErr(nU, 30000L) < 0.25, s"n_union=$nU")
+    assert(relErr(nI, 10000L) < 0.45, s"n_intersect=$nI")
   }
 
   test("embed_norm_check: exact quantized re-derivation; clean corpus passes") {
