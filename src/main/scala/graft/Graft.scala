@@ -125,19 +125,21 @@ final class Graft(val spark: SparkSession, val dir: String) {
   def nearDupSimhash(maxHamming: Int = 2): DataFrame =
     dedup.Dedup.simhashPairs(spark, dir, maxHamming)
 
-  /** EXACT within-block cosine-≥τ pairs over any (label, vec_id,
-    * e: array<float>) frame — the SemDeDup pair generator on the chunked
-    * block kernel (r13: parallel in chunk-pairs, no pair-grained shuffle;
-    * chunk size via `spark.graft.dedup.cosChunk`). Block granularity is
-    * the caller's scale knob: SemDeDup-style pipelines train k-means with
-    * k ∝ corpus so blocks stay bounded — MEASURED at sf10 (r14,
-    * BENCH_sf10_r14_semdedup_contract.json): with k=704 ≈ √n Lloyd cells
-    * the full online path (block join + kernel + connected components)
-    * runs in ~20 s vs 1301 s on the 10-coarse-label worst case, with the
-    * one-time index build shared with ann_ivf.
+  /** Cosine-≥τ near-dup pairs over any (label, vec_id, e: array<float>)
+    * frame — the SemDeDup pair generator with the k ∝ √n cell contract as
+    * the DEFAULT (r15): label blocks at or below
+    * `spark.graft.dedup.maxBlock` (8192) run the exact within-label
+    * chunked kernel; an oversized block auto-switches to Lloyd-trained
+    * IVF cells WITHIN the label (k ≈ √n, the ann_ivf machinery), the
+    * approximation SemDeDup itself defines. MEASURED at sf10: label path
+    * 994-1301 s on the 10-coarse-label worst case vs ~20 s-class cell
+    * path (BENCH_sf10_r14_semdedup_contract.json,
+    * BENCH_sf10_r15_semdedup_default.json — the r15 record includes the
+    * inline training the primitive assignCells kernel makes affordable).
+    * Exact within-label behavior on any frame: raise maxBlock.
     */
   def nearDupEmbedding(vectors: DataFrame, tau: Double = 0.35): DataFrame =
-    dedup.Dedup.blockCosinePairs(vectors, tau)
+    dedup.Dedup.semdedupPairs(vectors, tau)
 
   /** Transitive near-dup clusters from an (a, b) pair frame — hybrid
     * union-find / distributed label propagation.

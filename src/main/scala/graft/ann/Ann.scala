@@ -709,28 +709,67 @@ object Ann extends Serializable {
       n: Int): Seq[Int] =
     cents.indices.map(i => (-cosineD(cents(i), e), i)).sorted.take(n).map(_._2)
 
-  /** Codegen cell assignment over broadcast centroids (shared by Lloyd
-    * training and the index build): a broadcast crossJoin against the
-    * `cells`-row centroid table, native cosine_sim scoring, and a max_by
-    * collapse (ties to the LOWER cell index via the negated-cell
-    * tie-break). Centroids round to float so the driver-side probe
-    * assignment (double math in [[nearestCells]]) scores identical values.
+  /** Primitive-loop cell assignment over broadcast centroids (shared by
+    * Lloyd training, the index build, and the semdedup auto-switch): a
+    * `mapPartitions` argmax — per vector, one fused dot/norm loop per
+    * centroid, best cell kept with ties to the LOWER cell index.
+    *
+    * This replaces the r9-r14 crossJoin + cosine_sim + max_by plan, which
+    * was semantically identical but materialized |vectors| × |cells| join
+    * rows each carrying a 64-float array through row machinery — at the
+    * sf10 probe (495k × 704) that path dominated the 1238 s index build.
+    * The argmax here never leaves registers: ~22 GFLOP/pass at sf10, a
+    * few seconds on 32 cores, which is what makes √n-cell blocking cheap
+    * enough to be the semdedup DEFAULT (r14 verdict item 1).
+    *
+    * IEEE parity with the old plan is exact: yv folds the FLOAT-rounded
+    * centroid (the old path scored float `cvec` columns), the accumulator
+    * chain is the same fused dot/nx/ny loop as
+    * [[graft.functions.CosineSimilarity]], the score is
+    * dot/(sqrt(nx)·sqrt(ny)), and `java.lang.Double.compare` reproduces
+    * Spark's ordering (NaN greatest, ties to lower cell via strict >) —
+    * so assignments are bit-identical and the ann_ivf oracle stays green.
+    * Null embeddings are skipped (the old path's NULL cos rows never won
+    * max_by either).
     */
-  private[ann] def assignCells(s: SparkSession, emb: DataFrame,
+  private[graft] def assignCells(s: SparkSession, emb: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
     import s.implicits._
-    graft.functions.GraftFunctions.register(s)
-    val centDf = cents.zipWithIndex
-      .map { case (v, i) => (i, v.map(_.toFloat).toSeq) }.toSeq
-      .toDF("cell", "cvec")
-    emb.crossJoin(broadcast(centDf))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        call_function("cosine_sim", col("embedding"), col("cvec")).as("cos"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cell"), col("embedding")),
-        struct(col("cos"), -col("cell"))).as("a"))
-      .select(col("vec_id"), col("a.cell").as("cell"),
-        col("a.embedding").as("embedding"))
+    val cf: Array[Array[Float]] = cents.map(_.map(_.toFloat))
+    val bc = s.sparkContext.broadcast(cf)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, e) =>
+          if (e == null) Iterator.empty
+          else {
+            var best = Double.NegativeInfinity
+            var bestC = 0
+            var c = 0
+            while (c < cs.length) {
+              val cv = cs(c)
+              // length mismatch → the old path's cosine_sim returned NULL,
+              // which never won max_by — skip the centroid the same way
+              if (cv.length == e.length) {
+                val n = cv.length
+                var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+                while (i < n) {
+                  val xv = e(i).toDouble
+                  val yv = cv(i).toDouble
+                  dot += xv * yv; nx += xv * xv; ny += yv * yv
+                  i += 1
+                }
+                val cos = dot / (math.sqrt(nx) * math.sqrt(ny))
+                if (java.lang.Double.compare(cos, best) > 0) { best = cos; bestC = c }
+              }
+              c += 1
+            }
+            Iterator.single((id, bestC, e))
+          }
+        }
+      }
+      .toDF("vec_id", "cell", "embedding")
   }
 
   /** Coarse-quantizer training: deterministic md5-seeded centroids refined

@@ -169,6 +169,21 @@ object Dedup {
   val CosChunkKey = "spark.graft.dedup.cosChunk"
   val CosChunkDefault = 4096
 
+  /** Block-size threshold above which [[semdedupPairs]] auto-switches an
+    * oversized label block to √n IVF-cell blocking. C(8192, 2) ≈ 33.5M
+    * in-block pairs is comfortably one task-family of kernel work; the
+    * 10-coarse-label sf10 corpus (~50k/block → 1.25e9 pairs/label,
+    * 994-1301 s measured) is exactly what this threshold exists to catch.
+    */
+  val MaxBlockKey = "spark.graft.dedup.maxBlock"
+  val MaxBlockDefault = 8192
+
+  /** Cell-count override for the auto-switch (0 = auto: k ≈ √n over the
+    * oversized rows, the SemDeDup paper's k ∝ corpus contract — measured
+    * 67x at sf10, BENCH_sf10_r14_semdedup_contract.json).
+    */
+  val SemCellsKey = "spark.graft.dedup.semCells"
+
   /** EXACT within-block cosine-≥τ pairs over (label, vec_id, e float[]) —
     * the SemDeDup pair generator, re-shaped for blocks that grow with the
     * corpus (r13).
@@ -275,6 +290,61 @@ object Dedup {
         }
       }
     }.toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** The DEFAULT SemDeDup pair generator (r14 verdict item 1): label
+    * blocks at or below [[MaxBlockKey]] run the exact within-label kernel
+    * unchanged; an OVERSIZED label block is re-blocked by Lloyd-trained
+    * IVF cells (k ≈ √n over the oversized rows — the SemDeDup paper's
+    * k ∝ corpus contract, shared machinery with ann_ivf) WITHIN the
+    * label, so the result is a strict refinement: every emitted pair is
+    * still a within-label pair, only cross-cell pairs inside oversized
+    * labels are skipped — which is precisely the approximation SemDeDup
+    * (Abbas et al. 2023) defines; tight clusters keep their pairs
+    * (cells are cosine-nearest blocks).
+    *
+    * Measured contract at sf10 (495k vectors, 10 coarse labels): the
+    * label path is 994-1301 s; this path is ~20 s online + a cell
+    * training that [[graft.ann.Ann.assignCells]]'s primitive argmax
+    * kernel makes inline-affordable (BENCH_sf10_r15_semdedup_default
+    * .json). Below the threshold the plan is IDENTICAL to
+    * [[blockCosinePairs]] — the driver's gate-SF corpora never switch.
+    */
+  def semdedupPairs(v: DataFrame, tau: Double): DataFrame = {
+    val s = v.sparkSession
+    val maxBlock = capFromConf(s, MaxBlockKey, MaxBlockDefault)
+    // per-label sizes: ≤|labels| rows of metadata — a driver-side collect
+    // by design (the same grain blockCosinePairs broadcasts)
+    val sizes = v.groupBy("label").agg(count(lit(1)).as("n")).collect()
+    val big = sizes.filter(_.getLong(1) > maxBlock).map(_.get(0))
+    if (big.isEmpty) blockCosinePairs(v, tau)
+    else {
+      val nBig = sizes.filter(_.getLong(1) > maxBlock).map(_.getLong(1)).sum
+      val k = {
+        val o = capFromConf(s, SemCellsKey, 0)
+        if (o > 0) o else math.max(2, math.round(math.sqrt(nBig.toDouble)).toInt)
+      }
+      val isBig = col("label").isin(big.toIndexedSeq: _*)
+      // the oversized rows feed seed sampling + lloydIters+1 assignment
+      // passes + the re-block join — persist once, released via
+      // Graft.releaseCaches() (CacheRegistry discipline)
+      val bigRows = trackCache(v.filter(isBig)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cents = graft.ann.Ann.trainIvfCentroids(s,
+        bigRows.select(col("vec_id"), col("e").as("embedding")), k)
+      val cells = graft.ann.Ann
+        .assignCells(s, bigRows.select(col("vec_id"), col("e").as("embedding")), cents)
+        .select(col("vec_id"), col("cell"))
+      // composite (label, cell) block key keeps the refinement within-label;
+      // small labels ride along as cell −1 so ONE kernel call covers both
+      val reBlocked = bigRows.join(cells, "vec_id")
+        .select(struct(col("label"), col("cell")).as("label"),
+          col("vec_id"), col("e"))
+      val small = v.filter(!isBig)
+        .select(struct(col("label"), lit(-1).as("cell")).as("label"),
+          col("vec_id"), col("e"))
+      blockCosinePairs(small.unionByName(reBlocked), tau)
+    }
   }
 
   /** Exact-Jaccard verification of candidate pairs: re-join the FULL

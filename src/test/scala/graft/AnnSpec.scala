@@ -132,8 +132,12 @@ class AnnSpec extends SparkSpecBase {
       // `buildJobs` jobs; the online path must be nowhere near it.
       val queryJobs = jobs.get()
       assert(queryJobs <= 5, s"query-path construction ran $queryJobs jobs")
-      assert(queryJobs < buildJobs / 2,
-        s"query path ($queryJobs jobs) is not clearly cheaper than the build ($buildJobs)")
+      // r15: the primitive assignCells kernel collapsed the build itself to
+      // a handful of jobs (the old crossJoin+max_by ran 2 jobs per pass),
+      // so the relative pin is strict-less, not half — the absolute ≤5
+      // metadata-job bound above is the real zero-training contract
+      assert(queryJobs < buildJobs,
+        s"query path ($queryJobs jobs) is not cheaper than the build ($buildJobs)")
       // the candidate side reads the persisted (vec_id, cell) index parquet
       val paths = df.queryExecution.optimizedPlan.collect {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>

@@ -271,6 +271,90 @@ class DedupSpec extends SparkSpecBase {
     assert(out.toSet == Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  /** Unit 8-dim vector in the plane of dims (d, d+1), angle theta. */
+  private def planeVec(d: Int, theta: Double): Seq[Float] = {
+    val v = Array.fill(8)(0.0f)
+    v(d) = math.cos(theta).toFloat
+    v(d + 1) = math.sin(theta).toFloat
+    v.toSeq
+  }
+
+  private def md5Rank(ids: Seq[Long]): Map[Long, Int] =
+    ids.sortBy { id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.zipWithIndex.toMap
+
+  test("semdedup auto-switch: cell path ≡ label path when cells coincide with labels") {
+    // r14 verdict item 1: the √n-cell contract is now the nearDupEmbedding
+    // DEFAULT. On a fixture whose trained cells coincide with its labels
+    // the switch must be invisible — bit-identical pairs (the kernel and
+    // its IEEE chain are shared; only the block key changed).
+    //
+    // Fixture: two well-separated tight clusters (within-cos ≥ 0.995,
+    // cross-cos = 0), labels = clusters. Lloyd seeds are the k smallest
+    // md5(vec_id) — membership is assigned by md5 RANK so seed 0 lands in
+    // cluster A and seed 1 in cluster B deterministically, making the
+    // 2-cell training label-pure after the first assignment.
+    import spark.implicits._
+    val ids = (1L to 120L)
+    val rank = md5Rank(ids)
+    val rows = ids.map { id =>
+      val r = rank(id)
+      val cluster = r % 2 // rank 0 → A, rank 1 → B, rest alternate
+      val theta = (r / 2 % 10) * 0.01
+      (if (cluster == 0) "A" else "B", id, planeVec(cluster * 3, theta))
+    }
+    val v = rows.toDF("label", "vec_id", "e")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val labelPath = pairs(graft.dedup.Dedup.blockCosinePairs(v, 0.9))
+    val conf = spark.conf
+    conf.set(graft.dedup.Dedup.MaxBlockKey, 50) // both 60-row labels oversized
+    conf.set(graft.dedup.Dedup.SemCellsKey, 2)
+    try {
+      val cellPath = pairs(graft.dedup.Dedup.semdedupPairs(v, 0.9))
+      assert(labelPath.nonEmpty, "vacuous fixture")
+      assert(cellPath == labelPath, "auto-switch changed the pair set")
+    } finally {
+      conf.unset(graft.dedup.Dedup.MaxBlockKey)
+      conf.unset(graft.dedup.Dedup.SemCellsKey)
+    }
+    // below the threshold the code path IS blockCosinePairs — also pin the
+    // facade default end-to-end on the untouched conf
+    val facade = pairs(Graft(spark, sfDir).nearDupEmbedding(v, tau = 0.9))
+    assert(facade == labelPath)
+  }
+
+  test("semdedup auto-switch: refinement stays within labels; small blocks exact") {
+    // Mixed fixture: one oversized tight cluster (its 2 trained cells SPLIT
+    // it — the deliberate SemDeDup approximation) + one small label. The
+    // contract: every emitted pair is still within-label, the small label's
+    // pairs are EXACT, and the cell path is a subset of the label path.
+    import spark.implicits._
+    val bigRows = (1L to 60L).map(id => ("big", id, planeVec(0, (id % 10) * 0.01)))
+    val smallRows = (100L to 129L).map(id => ("sm", id, planeVec(4, (id % 10) * 0.01)))
+    val v = (bigRows ++ smallRows).toDF("label", "vec_id", "e")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val labelPath = pairs(graft.dedup.Dedup.blockCosinePairs(v, 0.9))
+    val conf = spark.conf
+    conf.set(graft.dedup.Dedup.MaxBlockKey, 50)
+    conf.set(graft.dedup.Dedup.SemCellsKey, 2)
+    try {
+      val cellPath = pairs(graft.dedup.Dedup.semdedupPairs(v, 0.9))
+      val smallExpected = labelPath.filter(_._1 >= 100L)
+      assert(cellPath.filter(_._1 >= 100L) == smallExpected,
+        "small label's exact pairs were touched")
+      assert(cellPath.subsetOf(labelPath), "emitted a cross-label pair")
+      assert(cellPath.filter(_._1 < 100L).nonEmpty,
+        "oversized label lost ALL pairs — cells degenerated")
+    } finally {
+      conf.unset(graft.dedup.Dedup.MaxBlockKey)
+      conf.unset(graft.dedup.Dedup.SemCellsKey)
+    }
+  }
+
   test("embed_contamination equals a direct max-cos recompute; flag = n_close>0") {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("vec_id", "embedding").collect()
