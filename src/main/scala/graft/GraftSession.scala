@@ -36,6 +36,12 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // InferWindowGroupLimit's default threshold (1000) silently refuses the
+    // k-row-heap rewrite for larger bounded ranks — quantile_deterministic's
+    // rn <= 8192 presample trim was buffering+sorting whole groups (r15
+    // mechanical sweep catch). An 8192-row heap per group is a few MB:
+    // strictly better than a full per-group sort at any scale.
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "16384")
     spark
   }
 }

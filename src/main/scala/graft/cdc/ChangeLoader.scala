@@ -48,13 +48,21 @@ object ChangeLoader {
       .withColumn("_del_key", lastDel)
       .filter(col("op") =!= Op.Delete &&
         (col("_del_key").isNull || seqKey > col("_del_key")))
+    // rank window OUTERMOST (r15): computed in its own step ABOVE the
+    // fields window so the _rn = 1 filter sits directly on the rank's
+    // Window node and InferWindowGroupLimit keeps a 1-row heap per pk —
+    // mixed into one select, the last()-fields window planned on top and
+    // blocked the rewrite (caught by PlanAuditSpec's mechanical sweep)
     val merged = afterDel.select(
       Seq(col("pk"), col("block"),
-        col("_del_key").isNotNull.as("revived"),
-        row_number().over(Window.partitionBy("pk").orderBy(seqAsc.map(_.desc): _*)).as("_rn")) ++
+        col("_del_key").isNotNull.as("revived")) ++
+        (if (changes.columns.contains("ordinal")) Seq(col("ordinal")) else Nil) ++
         fieldCols.map(f => last(col(f), ignoreNulls = true).over(byBlock).as(f)): _*)
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("pk").orderBy(seqAsc.map(_.desc): _*)))
       .filter(col("_rn") === 1)
       .drop("_rn")
+      .drop("ordinal")
       .withColumnRenamed("block", "last_block")
       .withColumn("deleted", lit(false))
     // pks whose ONLY surviving state is a delete:

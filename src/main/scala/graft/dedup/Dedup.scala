@@ -1335,10 +1335,14 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id"))
       val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
       val w = Window.partitionBy("cluster_id")
+      // csize BELOW the rank window (r15): with the rank outermost, the
+      // rn = 1 filter sits directly on its Window node and
+      // InferWindowGroupLimit turns it into a 1-row heap per cluster —
+      // a non-rank Window stacked above the rank blocked the rewrite
       cl.join(d, "doc_id")
+        .withColumn("csize", count(lit(1)).over(w))
         .withColumn("rn", row_number().over(
           w.orderBy(col("n_chars").desc, col("doc_id"))))
-        .withColumn("csize", count(lit(1)).over(w))
         .filter(col("rn") === 1)
         .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
           col("csize").cast(LongType).as("cluster_size"),

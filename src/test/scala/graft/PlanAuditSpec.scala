@@ -831,11 +831,77 @@ class PlanAuditSpec extends SparkSpecBase {
   // gets a mechanical pin like every other scale premise.
   test("rank-limit pushdown: WindowGroupLimitExec present in every rank<=k op") {
     for (q <- Seq("topk_per_group", "group_array_sorted", "group_array_last",
-        "weighted_sample_es", "knn_label_eval", "ann_bruteforce")) {
+        "weighted_sample_es", "knn_label_eval", "ann_bruteforce",
+        "trending_topk", "tfidf_topterms", "dedup_cluster_rep",
+        "q2_min_price_supplier")) {
       val a = auditOf(run(q))
       assert(a.windowGroupLimits >= 1,
         s"$q: rank-limit pushdown stopped firing (no WindowGroupLimitExec): $a")
     }
+  }
+
+  // r15 (r14 verdict item 2): the hand-kept list above can rot as the bank
+  // grows — this sweep is MECHANICAL over every registered query: each
+  // optimized plan is scanned for a literal-bounded rank-like filter
+  // (row_number/rank/dense_rank compared to a literal directly above its
+  // Window), and each such window must carry the InferWindowGroupLimit
+  // rewrite beneath it. A new rank<=k op can now only enter the bank
+  // un-pinned by not planning a bounded rank filter at all.
+  test("mechanical sweep: every bounded rank filter in the bank rides WindowGroupLimit") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, GlobalLimit, LocalLimit, Window => LWindow, WindowGroupLimit}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val missing = scala.collection.mutable.SortedSet.empty[String]
+    val covered = scala.collection.mutable.SortedSet.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      // every rank-like window output in the plan, wherever it sits —
+      // a non-rank Window stacked between the filter and the rank window
+      // blocks the rewrite too (the dedup_cluster_rep miss this sweep
+      // caught at r15), so detection must not require Filter-over-Window
+      // adjacency
+      val rankWindows: Map[ExprId, LWindow] = plan.collect {
+        case w: LWindow =>
+          w.windowExpressions.collect {
+            case a @ Alias(WindowExpression(_: RowNumber | _: Rank | _: DenseRank, _), _) =>
+              a.toAttribute.exprId -> w
+          }
+      }.flatten.toMap
+      plan.foreach {
+        case LFilter(cond, _) =>
+          val boundedRanks = conjuncts(cond).flatMap {
+            case LessThanOrEqual(a: Attribute, Literal(_, _)) => rankWindows.get(a.exprId)
+            case LessThan(a: Attribute, Literal(_, _)) => rankWindows.get(a.exprId)
+            case EqualTo(a: Attribute, Literal(_, _)) => rankWindows.get(a.exprId)
+            case EqualTo(Literal(_, _), a: Attribute) => rankWindows.get(a.exprId)
+            case GreaterThanOrEqual(Literal(_, _), a: Attribute) => rankWindows.get(a.exprId)
+            case GreaterThan(Literal(_, _), a: Attribute) => rankWindows.get(a.exprId)
+            case _ => None
+          }
+          boundedRanks.foreach { w =>
+            // either rewrite pins the O(k) premise: InferWindowGroupLimit's
+            // per-group heap, or — for partition-less rank windows —
+            // LimitPushDownThroughWindow's global top-k Limit+Sort
+            val pinned = w.child match {
+              case _: WindowGroupLimit | _: GlobalLimit | _: LocalLimit => true
+              case _ => false
+            }
+            if (pinned) covered += name else missing += name
+          }
+        case _ =>
+      }
+    }
+    assert(missing.isEmpty,
+      s"bounded rank filters WITHOUT the WindowGroupLimit rewrite " +
+        s"(split mixed windows or restructure): ${missing.mkString(", ")}")
+    // the ops the r14 verdict named must be IN the mechanically-swept set
+    for (q <- Seq("trending_topk", "tfidf_topterms", "dedup_cluster_rep",
+        "q2_min_price_supplier", "topk_per_group"))
+      assert(covered(q),
+        s"$q expected in the covered set (${covered.size} covered)")
   }
 
   // r11 curation batch. gopher_rules is the bank's cheapest shape — a
