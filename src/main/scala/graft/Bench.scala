@@ -83,9 +83,16 @@ object Bench {
     }
     // Standing-anchor map, parsed UP FRONT (r13) so the post-sweep
     // re-adjudication pass below can read it; only honored when the
-    // anchor's SF dir basename matches the benched one.
+    // anchor's SF dir basename matches the benched one. r15: the 100×
+    // sweep is gated too — an sf10 sfDir defaults to the standing sf10
+    // anchor (r13 min-of-2 record + r14 adjudicated substitutions), so
+    // BENCH_sf10 records carry a non-null anchor_worst and the in-sweep
+    // >2× self-requery fires at that SF without manual adjudication.
+    val defaultAnchor =
+      if (new java.io.File(sfDir).getName == "sf10") "BASELINE_ANCHOR_SF10.json"
+      else "BASELINE_ANCHOR.json"
     val anchorMap: Map[String, Double] = parseAnchor(
-      sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BASELINE_ANCHOR.json"), sfDir)
+      sys.env.getOrElse("SPARK_GRAFT_ANCHOR", defaultAnchor), sfDir)
     val sweepResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -20,6 +20,17 @@ class AnchorFormatSpec extends AnyFunSuite {
     assert(m.values.forall(v => v > 0 && v < 1e4), "implausible anchor value")
   }
 
+  test("BASELINE_ANCHOR_SF10.json parses and covers the query bank") {
+    val m = Bench.parseAnchor("BASELINE_ANCHOR_SF10.json", "testdata-local/sf10")
+    assert(m.size >= 300, s"sf10 anchor parsed only ${m.size} entries")
+    val missing = SparkEntry.queries.keySet -- m.keySet
+    assert(missing.isEmpty,
+      s"queries with no sf10 anchor entry (gate blind spots): ${missing.toSeq.sorted}")
+    assert(m.values.forall(v => v > 0 && v < 1e4), "implausible anchor value")
+    // and it must NOT apply to the sf0.1 gate
+    assert(Bench.parseAnchor("BASELINE_ANCHOR_SF10.json", "/root/testdata/sf0.1").isEmpty)
+  }
+
   test("parseAnchor tolerates pretty-printed and compact spellings") {
     val tmp = java.nio.file.Files.createTempFile("anchor", ".json")
     val pretty =
