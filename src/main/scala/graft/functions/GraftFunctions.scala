@@ -80,7 +80,16 @@ object GraftFunctions {
         k = args(1).eval(null).asInstanceOf[Number].intValue()) },
     "kmv_merge" -> { args =>
       KmvMergeAgg(args(0),
-        k = args(1).eval(null).asInstanceOf[Number].intValue()) }
+        k = args(1).eval(null).asInstanceOf[Number].intValue()) },
+    // compressed-bitset exact distinct sets (CH groupBitmap family):
+    // bitmap_agg(long) → serialized Roaring-style bitmap; bitmap_merge
+    // re-aggregates cells; card/and/or/xor read-outs run pair-grain
+    "bitmap_agg" -> { args => BitmapAgg(args(0)) },
+    "bitmap_merge" -> { args => BitmapMergeAgg(args(0)) },
+    "bitmap_card" -> { args => BitmapCard(args(0)) },
+    "bitmap_and_card" -> { args => BitmapOpCard(args(0), args(1), "and") },
+    "bitmap_or_card" -> { args => BitmapOpCard(args(0), args(1), "or") },
+    "bitmap_xor_card" -> { args => BitmapOpCard(args(0), args(1), "xor") }
   )
 
   def register(spark: SparkSession): Unit = {
