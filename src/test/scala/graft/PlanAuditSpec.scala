@@ -840,6 +840,29 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  // r15 shapes. group_bitmap_ops: the uniq_theta_ops contract on the exact
+  // cells — ONE fact-grain agg exchange into |types| bitmap cells, pair
+  // algebra on a broadcast cross join of the cell frame, never a fact
+  // self-join; the bitmap_* read-outs are eval-only by design but run on
+  // the ≤C(types,2) pair grain. mean_ztest: one scan, one 1-row agg.
+  // funnel_strict_increase: user-keyed aggs/joins only — no fact-grain
+  // window, no fallback. embed_gram: the pair self-join is vec_id-keyed
+  // with bounded 64-row fan-out and its 2080-cell grain partial-aggregates
+  // map-side — no fallback in the fact-grain path.
+  test("r15 ops: bitmap cells broadcast, bounded exchanges, no fact fallback") {
+    val b = auditOf(run("group_bitmap_ops"))
+    assert(b.shuffles <= 2, s"group_bitmap_ops grew a fact-grain exchange: $b")
+    assert(b.sortMergeJoins == 0, s"$b")
+    assert(b.fallbackExprs.forall(_.startsWith("bitmap_")), s"$b")
+    val z = auditOf(run("mean_ztest"))
+    assert(z.scans == 1 && z.shuffles <= 1 &&
+      z.broadcastJoins + z.sortMergeJoins == 0 && z.fallbackExprs.isEmpty, s"$z")
+    val f = auditOf(run("funnel_strict_increase"))
+    assert(f.fallbackExprs.isEmpty, s"$f")
+    val g = auditOf(run("embed_gram"))
+    assert(g.fallbackExprs.isEmpty && g.sortMergeJoins == 0, s"$g")
+  }
+
   // r15 (r14 verdict item 2): the hand-kept list above can rot as the bank
   // grows — this sweep is MECHANICAL over every registered query: each
   // optimized plan is scanned for a literal-bounded rank-like filter
