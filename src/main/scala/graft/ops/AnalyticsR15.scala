@@ -76,6 +76,30 @@ object AnalyticsR15 {
         .orderBy("type_a", "type_b")
     },
 
+    // ---- #316 groupBitmap -State/-Merge re-aggregation ---------------------
+    // The uniq_theta_reagg (#309) discipline on the EXACT cells: per-(type,
+    // day) bitmap_agg cells roll up per type via bitmap_merge. Bitmap
+    // union is loss-free and the serialized form canonical, so
+    // merge-of-cells ≡ one-pass BYTE-identically (AnalyticsR15Spec) — the
+    // shape a 100 TB sink uses to keep live exact distinct counts per
+    // flush without rescanning history, when exactness is worth paying
+    // ≤2 bytes/distinct over the theta sketch's O(k) bound. Two agg
+    // exchanges on ≤types×days cell rows, zero joins, raw-domain oracle.
+    "bitmap_reagg" -> OpDef(
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_uniq
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val cells = tbl(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(call_function("bitmap_agg", col("user_id")).as("bm"))
+      cells.groupBy("event_type")
+        .agg(call_function("bitmap_merge", col("bm")).as("bm"))
+        .select(col("event_type"),
+          call_function("bitmap_card", col("bm")).as("n_uniq"))
+        .orderBy("event_type")
+    },
+
     // ---- #313 windowFunnel(strict_increase) --------------------------------
     // Completes the CH funnel-mode family (#47 windowed, #67 window+dedup,
     // funnel_strict_order's contiguous mode): signup → click → purchase

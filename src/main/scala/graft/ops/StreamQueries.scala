@@ -239,6 +239,19 @@ object StreamQueries {
       StreamOps.windowedUniqTheta(ev(s, dir)).orderBy("day", "event_type")
     },
 
+    // #317 — the EXACT bitmap twin of stream_uniq_theta: per-(1-day
+    // window, type) compressed-bitmap distinct cells (BitmapAgg state,
+    // ≤2 bytes/member, loss-free merge across micro-batches). No hash
+    // domain and no capacity regime — the oracle is raw COUNT(DISTINCT)
+    // at any SF; stream ≡ batch pinned by StreamOpsStreamingSpec.
+    "stream_bitmap_uniq" -> OpDef(
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_uniq
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.windowedBitmapUniq(ev(s, dir)).orderBy("day", "event_type")
+    },
+
     // ---- #106 hopping (sliding) windowed counts --------------------------
     // 1-day windows every 12 h: each event lands in exactly two windows.
     // The oracle derives the same two window starts from the 12 h epoch

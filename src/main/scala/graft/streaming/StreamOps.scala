@@ -372,6 +372,27 @@ object StreamOps {
         graft.functions.GraftFunctions.kmvEstimate(col("sk"), k).as("n_uniq"))
   }
 
+  /** #317 — windowed EXACT distinct users per (1-day window, type) on the
+    * compressed bitmap: the [[windowedUniqTheta]] twin with
+    * [[graft.functions.BitmapAgg]] as the state — ≤2 bytes per distinct
+    * member per open (window, type) cell, loss-free associative merges
+    * across micro-batches, canonical serialized form (so persisted cells
+    * re-aggregate byte-identically via bitmap_merge at any flush cadence).
+    * Exact at EVERY SF — no capacity regime, which is the trade against
+    * the theta-sketch twin's O(k) bound; the batch shape is the plain
+    * COUNT(DISTINCT) oracle row.
+    */
+  def windowedBitmapUniq(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(call_function("bitmap_agg", col("user_id")).as("bm"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        call_function("bitmap_card", col("bm")).as("n_uniq"))
+  }
+
   /** #106 — hopping (sliding) windowed counts: 1-day windows advancing every
     * 12 hours, so each event lands in exactly TWO overlapping windows.
     * Spark's window() expands the slide set inline (a bounded 2-row

@@ -247,7 +247,14 @@ class PlanAuditSpec extends SparkSpecBase {
       // exprs over ≤10 metadata rows, never the fact table (the fact fold
       // is the codegen'd kmv_sketch agg)
       "uniq_theta_ops" -> Set("array_sort", "lambdafunction",
-        "namedlambdavariable", "filter"))
+        "namedlambdavariable", "filter"),
+      // #312/#316/#317: the bitmap read-outs are eval-only BY DESIGN and
+      // run on the ≤|types| (or ≤types×days) CELL grain — the fact fold is
+      // the codegen'd bitmap_agg aggregate
+      "group_bitmap_ops" -> Set("bitmap_card", "bitmap_and_card",
+        "bitmap_or_card", "bitmap_xor_card"),
+      "bitmap_reagg" -> Set("bitmap_card"),
+      "stream_bitmap_uniq" -> Set("bitmap_card"))
     for (name <- SparkEntry.allDefs.keys.toSeq.sorted) {
       val a = auditOf(run(name))
       if (factFactShuffle(name))

@@ -105,6 +105,30 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed bitmap stream: closed windows equal batch exact distincts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = eventRows()
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.windowedBitmapUniq(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("bu").outputMode("append").start()
+    try {
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val got = spark.sql("select * from bu").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got.nonEmpty, "no window closed — watermark never advanced")
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      // bitmaps are exact at EVERY cardinality — no regime caveat at all
+      val exact = ev.groupBy(e => (fmt.format(e._4), e._3))
+        .view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+      got.foreach { case (k, n) => assert(n == exact(k), s"window $k") }
+    } finally q.stop()
+  }
+
   test("stream_quantiles BATCH shape sits in the rank-error window (#84 pin)") {
     // The exact-regime pin for the one rows-only query without an oracle
     // twin (r13 verdict item 4): the batch query the driver runs is held
