@@ -303,6 +303,95 @@ final case class BitmapMergeAgg(
   override def prettyName: String = "bitmap_merge"
 }
 
+/** `bitmap_and_agg(binary)` — N-way INTERSECTION of serialized bitmaps
+  * (the CH groupBitmapAnd aggregate): the dual of [[BitmapMergeAgg]].
+  * Intersection is associative/commutative, so partials merge exactly;
+  * the neutral element is "no cell seen yet" (None), kept distinct from
+  * the empty bitmap so a lone cell intersects to itself. The result is
+  * re-serialized through the same canonical two-form builder, so any
+  * update/merge order yields identical bytes.
+  */
+final case class BitmapAndAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapAndAgg.State] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): BitmapAndAgg.State =
+    new BitmapAndAgg.State(None)
+
+  override def update(buf: BitmapAndAgg.State, input: InternalRow): BitmapAndAgg.State = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bm = GraftBitmap.deserialize(v.asInstanceOf[Array[Byte]])
+      buf.bm = buf.bm match {
+        case None => Some(bm)
+        case Some(cur) => Some(BitmapAndAgg.intersect(cur, bm))
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: BitmapAndAgg.State, b2: BitmapAndAgg.State): BitmapAndAgg.State = {
+    b1.bm = (b1.bm, b2.bm) match {
+      case (Some(a), Some(b)) => Some(BitmapAndAgg.intersect(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    b1
+  }
+
+  override def eval(buf: BitmapAndAgg.State): Any =
+    buf.bm.getOrElse(new GraftBitmap.Bitmap).serialize
+
+  override def serialize(buf: BitmapAndAgg.State): Array[Byte] = {
+    val payload = buf.bm.map(_.serialize).getOrElse(Array.empty[Byte])
+    val out = new Array[Byte](1 + payload.length)
+    out(0) = if (buf.bm.isDefined) 1 else 0
+    System.arraycopy(payload, 0, out, 1, payload.length)
+    out
+  }
+
+  override def deserialize(b: Array[Byte]): BitmapAndAgg.State =
+    if (b.length == 0 || b(0) == 0) new BitmapAndAgg.State(None)
+    else new BitmapAndAgg.State(Some(GraftBitmap.deserialize(b.drop(1))))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapAndAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapAndAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "bitmap_and_agg"
+}
+
+object BitmapAndAgg {
+  final class State(var bm: Option[GraftBitmap.Bitmap])
+
+  /** Container-wise AND, rebuilt through the canonical add path so the
+    * result's container forms depend only on the member set.
+    */
+  def intersect(a: GraftBitmap.Bitmap, b: GraftBitmap.Bitmap): GraftBitmap.Bitmap = {
+    val out = new GraftBitmap.Bitmap
+    val it = a.containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val oc = b.containers.get(e.getKey)
+      if (oc != null) {
+        val hi = e.getKey << 16
+        e.getValue.foreachMember { low =>
+          if (oc.contains(low)) out.add(hi | low.toLong)
+        }
+      }
+    }
+    out
+  }
+}
+
 /** `bitmap_card(bin)` — cardinality of a serialized bitmap. Eval-only by
   * design: it runs on the ≤|groups| cell grain, never fact rows.
   */

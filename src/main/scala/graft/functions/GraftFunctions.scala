@@ -86,6 +86,11 @@ object GraftFunctions {
     // re-aggregates cells; card/and/or/xor read-outs run pair-grain
     "bitmap_agg" -> { args => BitmapAgg(args(0)) },
     "bitmap_merge" -> { args => BitmapMergeAgg(args(0)) },
+    // NOT "bitmap_and_agg": Spark 4.x ships a BUILT-IN of that name
+    // (fixed-4096-byte bitmap buffers) and register() yields to builtins —
+    // the collision silently swapped semantics (r15). FunctionRegistrySpec
+    // now pins every graft name to a graft class.
+    "bitmap_intersect_agg" -> { args => BitmapAndAgg(args(0)) },
     "bitmap_card" -> { args => BitmapCard(args(0)) },
     "bitmap_and_card" -> { args => BitmapOpCard(args(0), args(1), "and") },
     "bitmap_or_card" -> { args => BitmapOpCard(args(0), args(1), "or") },

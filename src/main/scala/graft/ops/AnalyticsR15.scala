@@ -100,6 +100,42 @@ object AnalyticsR15 {
         .orderBy("event_type")
     },
 
+    // ---- #318 groupBitmapAnd coverage -------------------------------------
+    // The n-ary read-out of the bitmap family (CH groupBitmapAnd/Or over
+    // persisted states): from the SAME per-type cells as #312, the users
+    // active in ANY type (n-way union via bitmap_merge) and in EVERY type
+    // (n-way intersection via the new bitmap_intersect_agg — the dual aggregate:
+    // associative, None-neutral so a lone cell intersects to itself, and
+    // re-serialized through the canonical builder so partials merge
+    // byte-identically). The exact-bitmap twin of relational_division's
+    // coverage semantics, answered from O(|types|) cells instead of a
+    // fact pass. Oracle: DISTINCT-set union + a HAVING-full-coverage CTE.
+    "bitmap_coverage" -> OpDef(
+      """WITH u AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS v FROM events),
+        |a AS (
+        |  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types,
+        |    CAST(COUNT(DISTINCT v) AS BIGINT) AS n_any
+        |  FROM u),
+        |c AS (
+        |  SELECT v FROM u GROUP BY v
+        |  HAVING COUNT(DISTINCT t) = (SELECT COUNT(DISTINCT t) FROM u))
+        |SELECT a.n_types, a.n_any,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_all
+        |FROM a""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(call_function("bitmap_agg", col("user_id")).as("bm"))
+        .agg(count(lit(1)).cast(LongType).as("n_types"),
+          call_function("bitmap_merge", col("bm")).as("u"),
+          call_function("bitmap_intersect_agg", col("bm")).as("i"))
+        .select(col("n_types"),
+          call_function("bitmap_card", col("u")).as("n_any"),
+          call_function("bitmap_card", col("i")).as("n_all"))
+    },
+
     // ---- #313 windowFunnel(strict_increase) --------------------------------
     // Completes the CH funnel-mode family (#47 windowed, #67 window+dedup,
     // funnel_strict_order's contiguous mode): signup → click → purchase

@@ -104,6 +104,27 @@ class AnalyticsR15Spec extends SparkSpecBase {
     assert(got == exp, s"got $got exp $exp")
   }
 
+  test("bitmap_coverage: n-way union/intersection equal direct set algebra") {
+    val sets = events.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expAny = sets.values.reduce(_ | _).size.toLong
+    val expAll = sets.values.reduce(_ & _).size.toLong
+    val r = run("bitmap_coverage").collect()(0)
+    assert(r.getLong(0) == sets.size.toLong)
+    assert(r.getLong(1) == expAny, "n_any")
+    assert(r.getLong(2) == expAll, "n_all")
+    // intersection-aggregate partial-merge identity: split cells across
+    // partitions, same bytes (the canonical-form contract on the dual agg)
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val cells = events.toSeq.toDF("event_type", "user_id", "ts", "value")
+      .groupBy("event_type")
+      .agg(call_function("bitmap_agg", col("user_id")).as("bm"))
+    def andBytes(parts: Int) = cells.repartition(parts)
+      .agg(call_function("bitmap_intersect_agg", col("bm")))
+      .collect()(0).getAs[Array[Byte]](0).toSeq
+    assert(andBytes(1) == andBytes(7), "intersection partials must merge exactly")
+  }
+
   test("funnel_strict_increase teeth: same-instant events do not advance") {
     // the fixture corpus puts EVERY user at level 3 (dense histories), so
     // the strict-increase constraint and levels 0-2 are never exercised by

@@ -254,6 +254,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "group_bitmap_ops" -> Set("bitmap_card", "bitmap_and_card",
         "bitmap_or_card", "bitmap_xor_card"),
       "bitmap_reagg" -> Set("bitmap_card"),
+      "bitmap_coverage" -> Set("bitmap_card"),
       "stream_bitmap_uniq" -> Set("bitmap_card"))
     for (name <- SparkEntry.allDefs.keys.toSeq.sorted) {
       val a = auditOf(run(name))
