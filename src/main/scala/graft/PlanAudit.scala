@@ -33,7 +33,15 @@ object PlanAudit {
       // topk-per-group family, pinned so a Spark upgrade or conf flip that
       // stops it firing fails a spec instead of silently reintroducing
       // fact-sized per-group sorts
-      windowGroupLimits: Int = 0
+      windowGroupLimits: Int = 0,
+      // the two quadratic join executors (r16): a BroadcastNestedLoopJoin
+      // is O(|left|·|right|) compute (acceptable ONLY when one side is
+      // bounded metadata — a sketch-cell frame, a ≤10-row dim); a
+      // CartesianProduct additionally shuffles the full product. The
+      // whole-bank sweep asserts both are zero outside an explicit,
+      // justified whitelist.
+      nestedLoopJoins: Int = 0,
+      cartesianJoins: Int = 0
   )
 
   def audit(plan: SparkPlan): Audit = {
@@ -62,7 +70,11 @@ object PlanAudit {
         })
         .distinct,
       windowGroupLimits = nodes.count(
-        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec])
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      nestedLoopJoins = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      cartesianJoins = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
     )
   }
 

@@ -12,7 +12,8 @@ object SparkEntry {
       ops.DistributionProfile.defs ++ ops.EngagementOps.defs ++
       ops.CorpusProfile.defs ++ ops.TpchShapes.defs ++
       ops.LedgerShapes.defs ++ ops.AnalyticsR12.defs ++
-      ops.AnalyticsR14.defs ++ ops.AnalyticsR15.defs ++ ops.CdcQueries.defs ++
+      ops.AnalyticsR14.defs ++ ops.AnalyticsR15.defs ++ ops.AnalyticsR16.defs ++
+      ops.CdcQueries.defs ++
       ops.StreamQueries.defs ++ text.TextOps.defs ++ dedup.Dedup.defs ++
       ann.Ann.defs ++ multimodal.MediaColumns.defs
 

@@ -151,6 +151,115 @@ object Ann extends Serializable {
     }
   }
 
+  /** Symmetric int8 quantization of one vector — the [[graft.functions
+    * .QuantizeI8]] (#99) contract in kernel form, byte-for-byte:
+    * qᵢ = clamp(⌊vᵢ·(127/max|v|)+0.5⌋, ±127); all-zero → zeros.
+    */
+  private[ann] def quantizeI8(v: Array[Float]): Array[Byte] = {
+    var mx = 0.0; var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble); if (a > mx) mx = a; i += 1
+    }
+    val out = new Array[Byte](v.length)
+    if (mx == 0.0) return out
+    val s = 127.0 / mx
+    i = 0
+    while (i < v.length) {
+      var q = math.floor(v(i).toDouble * s + 0.5).toLong
+      if (q > 127L) q = 127L
+      if (q < -127L) q = -127L
+      out(i) = q.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-local top-r per probe in the QUANTIZED domain: every row
+    * quantizes once ([[quantizeI8]]) and scores against the pre-quantized
+    * probes with a pure INT dot — scale factors cancel in the cosine
+    * (cos_q = Σqₚqᵥ / (‖qₚ‖·‖qᵥ‖)), so no float multiply touches the scan.
+    * This is the memory-bandwidth/SIMD play of an int8 deployment (64 B
+    * per stored 64-dim vector vs 256 B of float), shaped exactly
+    * like [[localTopK]]: k-bounded min-heaps, norms hoisted, ties to the
+    * lower neighbor id.
+    */
+  private def localTopKI8(qProbes: Array[(Long, Array[Byte])], r: Int)(
+      it: Iterator[EmbRow]): Iterator[Scored] = {
+    val ord = Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }
+    val heaps = qProbes.map(_ => mutable.PriorityQueue.empty[(Double, Long)](ord))
+    val pNorms = qProbes.map { case (_, qp) =>
+      var s = 0L; var i = 0
+      while (i < qp.length) { s += qp(i).toLong * qp(i); i += 1 }
+      math.sqrt(s.toDouble)
+    }
+    it.foreach { e =>
+      val ev: Array[Float] = e.embedding match {
+        case a: scala.collection.immutable.ArraySeq.ofFloat => a.unsafeArray
+        case s => s.toArray
+      }
+      val qe = quantizeI8(ev)
+      var en = 0L
+      var i = 0
+      while (i < qe.length) { en += qe(i).toLong * qe(i); i += 1 }
+      val enD = math.sqrt(en.toDouble)
+      var p = 0
+      while (p < qProbes.length) {
+        val (pid, qp) = qProbes(p)
+        if (e.vec_id != pid && qp.length == qe.length) {
+          var d = 0L
+          i = 0
+          while (i < qp.length) { d += qp(i).toLong * qe(i); i += 1 }
+          val c = d.toDouble / (pNorms(p) * enD)
+          val h = heaps(p)
+          if (h.size < r) h.enqueue((c, e.vec_id))
+          else {
+            val (wc, wid) = h.head
+            if (c > wc || (c == wc && e.vec_id < wid)) { h.dequeue(); h.enqueue((c, e.vec_id)) }
+          }
+        }
+        p += 1
+      }
+    }
+    qProbes.iterator.zip(heaps.iterator).flatMap { case ((pid, _), h) =>
+      h.iterator.map { case (c, id) => Scored(pid, id, c) }
+    }
+  }
+
+  /** #321 int8 end-to-end ANN (r15 verdict item 4): quantized-domain
+    * brute force (int dot over int8 codes — the bandwidth regime a 100 TB
+    * corpus stores: 64 B/vector instead of 256 B) selects a
+    * `rerankPool`-deep candidate pool per probe, which re-ranks EXACTLY
+    * through the shared codegen float path ([[rerank]]) — the same
+    * two-stage shape as PQ's ADC scoring. With `rerankPool` ≥ the corpus
+    * the pool is exhaustive and the pipeline DEGENERATES to brute force
+    * (`ann_int8_exact` hash-matches [[exactTopKSql]]); the default pool
+    * (4k) is the approximate regime pinned by the recall spec.
+    */
+  def int8TopK(s: SparkSession, dir: String, k: Int = K,
+      rerankPool: Int = 4 * K): DataFrame = {
+    import s.implicits._
+    val probeArr = probes(s, dir)
+    val qProbes = probeArr.map { case (pid, pv) => (pid, quantizeI8(pv)) }
+    val local = embDs(s, dir).mapPartitions(localTopKI8(qProbes, rerankPool))
+    // global pool merge: ≤ numPartitions·numProbes·rerankPool skinny rows.
+    // An exhaustive pool (Int.MaxValue — the ann_int8_exact regime) keeps
+    // every row, so the rank filter would be a semantic no-op: elide the
+    // window instead of asking WindowGroupLimit for a 2^31-entry heap
+    // (caught by PlanAuditSpec's mechanical rank≤k sweep).
+    val cand =
+      if (rerankPool == Int.MaxValue)
+        local.toDF().select(col("probe_id"), col("neighbor_id").as("vec_id"))
+      else {
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        local.toDF()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= rerankPool)
+          .select(col("probe_id"), col("neighbor_id").as("vec_id"))
+      }
+    rerank(s, dir, cand, probeArr, k)
+  }
+
   /** #270 semantic-contamination kernel (used by
     * [[graft.dedup.Dedup]] `embed_contamination`): max cosine + within-τ
     * count of every non-benchmark vector against the benchmark slice
@@ -268,6 +377,19 @@ object Ann extends Serializable {
     // row table — the corpus-scale join happens once at BUILD time, never
     // per query. See [[Pq.buildIvfPq]]/[[Pq.ivfPqQuery]].
     "ann_ivfpq" -> OpDef.rowsOnly { (s, dir) => Pq.ivfPqTopK(s, dir) },
+
+    // ---- #321 int8 quantized-domain ANN (rows-only + recall spec) --------
+    // embed_quantize (#99) tied into a query path: int-dot brute force
+    // over int8 codes → pool → exact float re-rank. See [[int8TopK]].
+    "ann_int8" -> OpDef.rowsOnly { (s, dir) => int8TopK(s, dir) },
+
+    // exhaustive pool ⇒ the quantized stage only ORDERS candidates and the
+    // exact re-rank sees the whole corpus — degenerates to brute force,
+    // giving the int8 path a hard driver-verifiable oracle (the
+    // ann_lsh_exact / ann_ivf_exact move).
+    "ann_int8_exact" -> OpDef(exactTopKSql) { (s, dir) =>
+      int8TopK(s, dir, rerankPool = Int.MaxValue)
+    },
 
     // ---- #99 int8 embedding quantization ---------------------------------
     // The storage/bandwidth side of the 100 TB ANN path: symmetric int8
@@ -729,8 +851,18 @@ object Ann extends Serializable {
     * dot/(sqrt(nx)·sqrt(ny)), and `java.lang.Double.compare` reproduces
     * Spark's ordering (NaN greatest, ties to lower cell via strict >) —
     * so assignments are bit-identical and the ann_ivf oracle stays green.
-    * Null embeddings are skipped (the old path's NULL cos rows never won
-    * max_by either).
+    *
+    * DROPPED-ROW CONTRACT (ADVICE r15): rows with a NULL embedding emit
+    * NOTHING — they get no cell row at all (the pre-r15 groupBy path
+    * emitted a cell-0 row for them, since every cosine was NULL and
+    * max_by defaulted). Duplicate vec_ids pass through one row each
+    * (no collapse). Consequences downstream are benign by construction:
+    * the IVF index simply has no posting for a null vector (it can never
+    * be a candidate — correct, it has no similarity to anything), and in
+    * [[graft.dedup.Dedup.semdedupPairs]] both branches agree, because
+    * [[graft.dedup.Dedup.blockCosinePairs]] skips null vectors inside the
+    * kernel — a null row emits no pairs whether it keeps a cell row
+    * (small-label branch) or loses it (re-blocked branch).
     */
   private[graft] def assignCells(s: SparkSession, emb: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
@@ -791,12 +923,24 @@ object Ann extends Serializable {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 1 to lloydIters) {
+      // centroid update via the micro-unit discipline (embed_dim_stats):
+      // q = floor(v·10⁶) exact integer sums, so the mean is independent of
+      // partial-aggregation ORDER — a double avg() differed in the last
+      // ulp run-to-run with the partitioning (and was irreproducible in
+      // SQL), which made trained cells a function of data layout; at 1000
+      // executors that is a nondeterministic index. One IEEE chain
+      // (sq/n/1e6) finishes it, identical in the DuckDB re-derivation
+      // (semdedup_default oracle). Long partials are safe: |q| ≤ ~10⁶ ×
+      // 10⁹ rows/cell ≈ 10¹⁵ at 100 TB scale — inside a long.
       val means = assignCells(s, emb, centroids)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v").cast("double") * 1000000).cast("long")).as("sq"))
         .collect()
       val next = centroids.map(_.clone()) // empty cells keep their centroid
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      means.foreach(r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(3).toDouble / r.getLong(2) / 1e6)
       centroids = next
     }
     centroids.map(_.map(_.toFloat.toDouble))

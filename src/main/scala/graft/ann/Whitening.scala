@@ -101,17 +101,50 @@ object Whitening {
     w
   }
 
-  /** End-to-end: run the #315 moment pass plus a per-dim mean pass at
-    * `dir`, collect both constant-size read-outs, return (cov, W).
+  /** The full offline whitening model: per-dim mean μ (micro-unit exact),
+    * covariance C of the micro-unit-quantized corpus, and W = C^(−1/2).
+    * Consumed by `embed_whiten` (#320), which broadcasts μ and W into the
+    * distributed matvec.
     */
-  def whiteningOf(s: SparkSession, dir: String): (Array[Array[Double]], Array[Array[Double]]) = {
-    val gramRows = graft.ops.AnalyticsR15.defs("embed_gram").fn(s, dir)
-      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3)))
+  final case class WhitenModel(mu: Array[Double], cov: Array[Array[Double]],
+      w: Array[Array[Double]])
+
+  /** End-to-end model build: the #315 moment kernel folded to UNROUNDED
+    * second moments (exact DECIMAL integer sums → one double divide per
+    * cell — `embed_gram`'s round(·,6) read-out is for rendering; feeding
+    * it back into W would smear ≤5e-7 per cell through W's ~1/λ_min
+    * amplification and show up in the whitened-identity read-out), plus
+    * the micro-unit mean pass. Both collects are constant-size (2080 +
+    * 64 rows) at any SF.
+    */
+  def modelOf(s: SparkSession, dir: String): WhitenModel = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val big = DecimalType(38, 0)
+    val cellRows = graft.ops.AnalyticsR15
+      .gramMomentCells(s, graft.sources.Tables(s, dir, "embeddings"))
+      .groupBy("i", "j")
+      .agg(sum("n").cast(LongType).as("n"),
+        sum(col("sqq").cast(big)).as("sqq"),
+        min("dim").as("dmin"), max("dim").as("dmax"))
+      .collect()
+    require(cellRows.nonEmpty, "empty embedding corpus")
+    require(cellRows.forall(r => r.getInt(4) == r.getInt(5)),
+      "ragged embedding dims across tasks")
+    val gramRows = cellRows.map { r =>
+      (r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getDecimal(3).doubleValue() / r.getLong(2) / 1e12)
+    }
     val dim = gramRows.map(_._2).max
     val ex = gramMatrix(gramRows.toIndexedSeq, dim)
     val mu = meanVector(s, dir, dim)
     val cov = Array.tabulate(dim, dim)((i, j) => ex(i)(j) - mu(i) * mu(j))
-    (cov, whiteningMatrix(cov))
+    WhitenModel(mu, cov, whiteningMatrix(cov))
+  }
+
+  /** (cov, W) of [[modelOf]] — the WhiteningSpec surface. */
+  def whiteningOf(s: SparkSession, dir: String): (Array[Array[Double]], Array[Array[Double]]) = {
+    val m = modelOf(s, dir)
+    (m.cov, m.w)
   }
 
   /** Per-dimension mean in the same micro-unit quantization as the Gram

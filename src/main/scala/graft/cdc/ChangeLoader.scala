@@ -53,16 +53,23 @@ object ChangeLoader {
     // Window node and InferWindowGroupLimit keeps a 1-row heap per pk —
     // mixed into one select, the last()-fields window planned on top and
     // blocked the rewrite (caught by PlanAuditSpec's mechanical sweep)
+    // the passthrough ordering column rides under a RESERVED alias so a
+    // caller whose fieldCols include a column literally named "ordinal"
+    // can't collide with it (ADVICE r15: the raw name made the select
+    // ambiguous and silently dropped the merged field)
+    val rnOrder: Seq[Column] =
+      if (changes.columns.contains("ordinal")) Seq(col("block").desc, col("_ord").desc)
+      else Seq(col("block").desc)
     val merged = afterDel.select(
       Seq(col("pk"), col("block"),
         col("_del_key").isNotNull.as("revived")) ++
-        (if (changes.columns.contains("ordinal")) Seq(col("ordinal")) else Nil) ++
+        (if (changes.columns.contains("ordinal")) Seq(col("ordinal").as("_ord")) else Nil) ++
         fieldCols.map(f => last(col(f), ignoreNulls = true).over(byBlock).as(f)): _*)
       .withColumn("_rn",
-        row_number().over(Window.partitionBy("pk").orderBy(seqAsc.map(_.desc): _*)))
+        row_number().over(Window.partitionBy("pk").orderBy(rnOrder: _*)))
       .filter(col("_rn") === 1)
       .drop("_rn")
-      .drop("ordinal")
+      .drop("_ord")
       .withColumnRenamed("block", "last_block")
       .withColumn("deleted", lit(false))
     // pks whose ONLY surviving state is a delete:

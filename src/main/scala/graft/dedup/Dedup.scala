@@ -988,6 +988,180 @@ object Dedup {
         .orderBy("label")
     },
 
+    // ---- #319 SemDeDup DEFAULT √n-cell path under the driver oracle ------
+    // r15 verdict item 1: `semdedup` above exercises the exact label path
+    // (driver-SF labels sit under MaxBlock); the PRODUCTION default — the
+    // √n IVF-cell re-block a 100 TB run takes — was pinned only by specs.
+    // This row forces EVERY label oversized (MaxBlock=40 < the smallest
+    // driver-SF label) so [[semdedupPairs]] runs its auto-switch branch
+    // end-to-end: md5-rank-seeded centroids, TWO micro-unit-exact Lloyd
+    // rounds, the [[graft.ann.Ann.assignCells]] primitive argmax, and the
+    // within-(label, cell) pair kernel. The oracle RE-DERIVES the entire
+    // chain in SQL — seeds by md5 rank, both Lloyd updates as exact
+    // floor(e·10⁶) integer means (order-independent by construction, which
+    // is WHY the trained cells are reproducible at all — a double avg()
+    // depended on partial-agg order), float-rounded centroids in every
+    // scoring pass, argmax with ties to the lower cell, then the same
+    // reachability read-out as `semdedup`. Hash-green means the DEFAULT
+    // code path — not a fixture twin — matches an independent engine.
+    "semdedup_default" -> OpDef(
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |ls AS (SELECT label, COUNT(*) AS n FROM v GROUP BY 1),
+        |bv AS (SELECT v.* FROM v JOIN ls USING (label) WHERE ls.n > 40),
+        |sv AS (SELECT v.* FROM v JOIN ls USING (label) WHERE ls.n <= 40),
+        |kk AS (
+        |  SELECT GREATEST(2, CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)))
+        |    AS INTEGER)) AS k
+        |  FROM bv),
+        |c0 AS (
+        |  SELECT rn - 1 AS cell, e AS c FROM (
+        |    SELECT e,
+        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+        |    FROM bv)
+        |  WHERE rn <= (SELECT k FROM kk)),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT b.vec_id, c.cell, row_number() OVER (
+        |      PARTITION BY b.vec_id ORDER BY
+        |        (list_sum(list_transform(generate_series(1, len(b.e)),
+        |            i -> b.e[i] * CAST(CAST(c.c[i] AS FLOAT) AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+        |            * sqrt(list_sum(list_transform(c.c, x ->
+        |                CAST(CAST(x AS FLOAT) AS DOUBLE)
+        |                * CAST(CAST(x AS FLOAT) AS DOUBLE)))))) DESC,
+        |        c.cell) AS rnk
+        |    FROM bv b CROSS JOIN c0 c)
+        |  WHERE rnk = 1),
+        |u1 AS (
+        |  SELECT a.cell, t.i AS pos, COUNT(*) AS n,
+        |    SUM(CAST(floor(b.e[t.i] * 1000000) AS BIGINT)) AS sq
+        |  FROM a1 a JOIN bv b USING (vec_id),
+        |    unnest(generate_series(1, len(b.e))) AS t(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT g.cell,
+        |    list(COALESCE(CAST(u.sq AS DOUBLE) / u.n / 1000000, g.val)
+        |      ORDER BY g.i) AS c
+        |  FROM (SELECT cell, t.i AS i, c[t.i] AS val
+        |        FROM c0, unnest(generate_series(1, len(c))) AS t(i)) g
+        |  LEFT JOIN u1 u ON u.cell = g.cell AND u.pos = g.i
+        |  GROUP BY 1),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT b.vec_id, c.cell, row_number() OVER (
+        |      PARTITION BY b.vec_id ORDER BY
+        |        (list_sum(list_transform(generate_series(1, len(b.e)),
+        |            i -> b.e[i] * CAST(CAST(c.c[i] AS FLOAT) AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+        |            * sqrt(list_sum(list_transform(c.c, x ->
+        |                CAST(CAST(x AS FLOAT) AS DOUBLE)
+        |                * CAST(CAST(x AS FLOAT) AS DOUBLE)))))) DESC,
+        |        c.cell) AS rnk
+        |    FROM bv b CROSS JOIN c1 c)
+        |  WHERE rnk = 1),
+        |u2 AS (
+        |  SELECT a.cell, t.i AS pos, COUNT(*) AS n,
+        |    SUM(CAST(floor(b.e[t.i] * 1000000) AS BIGINT)) AS sq
+        |  FROM a2 a JOIN bv b USING (vec_id),
+        |    unnest(generate_series(1, len(b.e))) AS t(i)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT g.cell,
+        |    list(COALESCE(CAST(u.sq AS DOUBLE) / u.n / 1000000, g.val)
+        |      ORDER BY g.i) AS c
+        |  FROM (SELECT cell, t.i AS i, c[t.i] AS val
+        |        FROM c1, unnest(generate_series(1, len(c))) AS t(i)) g
+        |  LEFT JOIN u2 u ON u.cell = g.cell AND u.pos = g.i
+        |  GROUP BY 1),
+        |af AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT b.vec_id, c.cell, row_number() OVER (
+        |      PARTITION BY b.vec_id ORDER BY
+        |        (list_sum(list_transform(generate_series(1, len(b.e)),
+        |            i -> b.e[i] * CAST(CAST(c.c[i] AS FLOAT) AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+        |            * sqrt(list_sum(list_transform(c.c, x ->
+        |                CAST(CAST(x AS FLOAT) AS DOUBLE)
+        |                * CAST(CAST(x AS FLOAT) AS DOUBLE)))))) DESC,
+        |        c.cell) AS rnk
+        |    FROM bv b CROSS JOIN c2 c)
+        |  WHERE rnk = 1),
+        |blk AS (
+        |  SELECT b.vec_id, b.label, b.e, af.cell FROM bv b JOIN af USING (vec_id)
+        |  UNION ALL
+        |  SELECT vec_id, label, e, -1 AS cell FROM sv),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM blk a JOIN blk b
+        |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+        |        i -> a.e[i] * b.e[i]))
+        |      / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.35),
+        |edges AS (
+        |  SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p),
+        |reach AS (
+        |  SELECT a AS node, a AS lbl FROM edges
+        |  UNION
+        |  SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.b),
+        |comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY 1),
+        |dropped AS (SELECT node FROM comp WHERE node <> root),
+        |lb AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |    CAST(SUM(vec_id) AS BIGINT) AS id_sum
+        |  FROM v GROUP BY 1),
+        |dl AS (
+        |  SELECT v.label, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+        |    CAST(SUM(d.node) AS BIGINT) AS drop_sum
+        |  FROM dropped d JOIN v ON v.vec_id = d.node GROUP BY 1)
+        |SELECT lb.label, lb.n_vectors,
+        |  lb.n_vectors - COALESCE(dl.n_dropped, 0) AS n_kept,
+        |  COALESCE(dl.n_dropped, 0) AS n_dropped,
+        |  round(CAST(COALESCE(dl.n_dropped, 0) AS DOUBLE) / lb.n_vectors, 4)
+        |    AS drop_rate,
+        |  lb.id_sum - COALESCE(dl.drop_sum, 0) AS kept_id_sum
+        |FROM lb LEFT JOIN dl ON lb.label = dl.label
+        |ORDER BY lb.label""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = embs(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      // force the auto-switch: 40 < the smallest label at every test SF.
+      // semdedupPairs reads the conf (and trains cells) EAGERLY at build
+      // time, so restoring it afterwards cannot race the returned plan.
+      val prev = s.conf.getOption(MaxBlockKey)
+      s.conf.set(MaxBlockKey, 40)
+      val pairs =
+        try semdedupPairs(v, tau = 0.35)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        finally prev match {
+          case Some(p) => s.conf.set(MaxBlockKey, p)
+          case None => s.conf.unset(MaxBlockKey)
+        }
+      val dropped = connectedComponents(pairs)
+        .filter(col("node") =!= col("component"))
+        .select(col("node"))
+      val lb = v.groupBy("label")
+        .agg(count(lit(1)).cast(LongType).as("n_vectors"),
+          sum("vec_id").cast(LongType).as("id_sum"))
+      val dl = v.join(dropped, v("vec_id") === col("node"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast(LongType).as("n_dropped"),
+          sum("vec_id").cast(LongType).as("drop_sum"))
+      lb.join(dl, Seq("label"), "left_outer")
+        .select(col("label"), col("n_vectors"),
+          (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          round(coalesce(col("n_dropped"), lit(0L)).cast(DoubleType)
+            / col("n_vectors"), 4).as("drop_rate"),
+          (col("id_sum") - coalesce(col("drop_sum"), lit(0L)))
+            .as("kept_id_sum"))
+        .orderBy("label")
+    },
+
     // ---- #55 dedup clustering: near-dup pairs → components → canonical ---
     // The step a real training pipeline runs AFTER pair generation: group
     // transitive near-dups into clusters and keep one canonical doc (the

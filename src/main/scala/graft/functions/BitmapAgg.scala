@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
 
 import java.nio.ByteBuffer
 
-/** Roaring-style compressed bitset over non-negative longs — the EXACT
+/** Roaring-style compressed bitset over the FULL long domain — the EXACT
   * twin of the KMV theta-sketch family (CH `groupBitmap` /
   * `groupBitmapAnd/Or/Xor`; reference surface: the bitmap aggregate
   * functions a synced store exposes; design: Chambi et al., "Better
   * bitmap performance with Roaring bitmaps", 2016).
   *
-  * Values split into a 48-bit container key (v >>> 16) and a 16-bit low
+  * Values map through a sign-bit flip (u = v XOR Long.MinValue — the
+  * standard signed→unsigned order embedding) so negative ids land in
+  * ordinary containers instead of aborting the query (ADVICE r15: the
+  * theta-sketch twin accepts the full domain; this must too). The mapped
+  * value splits into a 48-bit container key (u >>> 16) and a 16-bit low
   * part. Each container is one of two forms, chosen by cardinality:
   *
   *  - ARRAY (≤ 4096 members): sorted chars — 2 bytes/member, the sparse
@@ -130,11 +134,16 @@ object GraftBitmap {
   final class Bitmap {
     val containers = new java.util.TreeMap[Long, Container]()
 
-    def add(v: Long): Unit = {
-      require(v >= 0, s"bitmap_agg requires non-negative values, got $v")
-      var c = containers.get(v >>> 16)
-      if (c == null) { c = new Container; containers.put(v >>> 16, c) }
-      c.add((v & 0xFFFFL).toInt)
+    def add(v: Long): Unit = addMapped(v ^ Long.MinValue)
+
+    /** Insert an ALREADY sign-flip-mapped value — the internal entry point
+      * for algebra that reconstructs members from (container key, low)
+      * pairs, which live in the mapped domain.
+      */
+    private[functions] def addMapped(u: Long): Unit = {
+      var c = containers.get(u >>> 16)
+      if (c == null) { c = new Container; containers.put(u >>> 16, c) }
+      c.add((u & 0xFFFFL).toInt)
     }
 
     def cardinality: Long = {
@@ -220,9 +229,10 @@ object GraftBitmap {
   }
 }
 
-/** `bitmap_agg(long)` — fold non-negative longs into one serialized
-  * compressed bitmap per group (the CH `groupBitmapState` shape). Exact
-  * at EVERY scale — the contrast row to `kmv_sketch`'s capacity regime.
+/** `bitmap_agg(long)` — fold longs (full signed domain) into one
+  * serialized compressed bitmap per group (the CH `groupBitmapState`
+  * shape). Exact at EVERY scale — the contrast row to `kmv_sketch`'s
+  * capacity regime.
   */
 final case class BitmapAgg(
     child: Expression,
@@ -270,9 +280,10 @@ final case class BitmapMergeAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[GraftBitmap.Bitmap] {
+  extends TypedImperativeAggregate[GraftBitmap.Bitmap] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
@@ -315,9 +326,10 @@ final case class BitmapAndAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BitmapAndAgg.State] {
+  extends TypedImperativeAggregate[BitmapAndAgg.State] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
@@ -382,9 +394,11 @@ object BitmapAndAgg {
       val e = it.next()
       val oc = b.containers.get(e.getKey)
       if (oc != null) {
+        // (key, low) pairs live in the sign-flip-mapped domain — rebuild
+        // through addMapped, NOT add (which would double-map)
         val hi = e.getKey << 16
         e.getValue.foreachMember { low =>
-          if (oc.contains(low)) out.add(hi | low.toLong)
+          if (oc.contains(low)) out.addMapped(hi | low.toLong)
         }
       }
     }
@@ -396,7 +410,8 @@ object BitmapAndAgg {
   * design: it runs on the ≤|groups| cell grain, never fact rows.
   */
 final case class BitmapCard(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override protected def nullSafeEval(b: Any): Any =
@@ -411,7 +426,9 @@ final case class BitmapCard(child: Expression)
   * one container-wise and-walk). Pair-grain eval-only, like [[BitmapCard]].
   */
 final case class BitmapOpCard(left: Expression, right: Expression, op: String)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  require(Set("and", "or", "xor")(op), s"bitmap op must be and|or|xor, got $op")
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any = {

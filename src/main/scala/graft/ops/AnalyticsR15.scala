@@ -24,6 +24,56 @@ object AnalyticsR15 {
     Tables(s, dir, n)
   }
 
+  /** The #315 partition-local Gram moment kernel over an (… embedding
+    * float[] …) frame: each task folds its vectors into ONE local
+    * 2080-cell long array of exact micro-unit products (q = ⌊e·10⁶⌋,
+    * Σqᵢqⱼ — a task overflows a long only past 9.2M vectors, `require`d)
+    * and emits (i, j, n, sqq, dim) — i/j 1-based, dim stamped per task so
+    * callers can fail fast on cross-task raggedness. Shared by
+    * `embed_gram` and [[graft.ann.Whitening]]'s exact-moment collector.
+    */
+  private[graft] def gramMomentCells(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        var dim = -1
+        var acc: Array[Long] = null
+        var q: Array[Long] = null
+        var n = 0L
+        it.foreach { e =>
+          if (e != null) {
+            if (dim < 0) {
+              dim = e.length
+              acc = new Array[Long](dim * (dim + 1) / 2)
+              q = new Array[Long](dim)
+            }
+            require(e.length == dim, "ragged embedding dims")
+            require(n < 9200000L, "task too large for long Gram partials")
+            var i = 0
+            while (i < dim) { q(i) = math.floor(e(i).toDouble * 1000000).toLong; i += 1 }
+            var c = 0
+            i = 0
+            while (i < dim) {
+              val qi = q(i)
+              var j = i
+              while (j < dim) { acc(c) += qi * q(j); c += 1; j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+        }
+        if (dim < 0) Iterator.empty
+        else {
+          var c = -1
+          (for (i <- 0 until dim; j <- i until dim) yield {
+            c += 1
+            (i + 1L, j + 1L, n, acc(c), dim)
+          }).iterator
+        }
+      }
+      .toDF("i", "j", "n", "sqq", "dim")
+  }
+
   val defs: Map[String, OpDef] = Map(
     // ---- #312 groupBitmap set algebra --------------------------------------
     // The EXACT twin of uniq_theta_ops (#306): per-type compressed bitmaps
@@ -291,51 +341,22 @@ object AnalyticsR15 {
       // lives. The declarative pair self-join computed the same integers
       // through a 64×-fan-out join row per vector-dim (41M rows at sf0.1,
       // 2.2 s; this kernel: 0.4 s) — same exact folds, hash-identical.
-      import s.implicits._
       val big = DecimalType(38, 0)
-      val cells = tbl(s, dir, "embeddings")
-        .select(col("embedding")).as[Array[Float]]
-        .mapPartitions { it =>
-          var dim = -1
-          var acc: Array[Long] = null
-          var q: Array[Long] = null
-          var n = 0L
-          it.foreach { e =>
-            if (e != null) {
-              if (dim < 0) {
-                dim = e.length
-                acc = new Array[Long](dim * (dim + 1) / 2)
-                q = new Array[Long](dim)
-              }
-              require(e.length == dim, "ragged embedding dims")
-              require(n < 9200000L, "task too large for long Gram partials")
-              var i = 0
-              while (i < dim) { q(i) = math.floor(e(i).toDouble * 1000000).toLong; i += 1 }
-              var c = 0
-              i = 0
-              while (i < dim) {
-                val qi = q(i)
-                var j = i
-                while (j < dim) { acc(c) += qi * q(j); c += 1; j += 1 }
-                i += 1
-              }
-              n += 1
-            }
-          }
-          if (dim < 0) Iterator.empty
-          else {
-            var c = -1
-            (for (i <- 0 until dim; j <- i until dim) yield {
-              c += 1
-              (i + 1L, j + 1L, n, acc(c))
-            }).iterator
-          }
-        }
-        .toDF("i", "j", "n", "sqq")
+      val cells = gramMomentCells(s, tbl(s, dir, "embeddings"))
+      // the in-task `require` only sees one task's vectors — a corpus whose
+      // raggedness splits ACROSS tasks would pass it and silently skew the
+      // per-cell n (ADVICE r15). Each task therefore stamps its dim on the
+      // emitted cells and the final fold fails fast unless every task saw
+      // the same one (the (1,1) cell collects ALL tasks, so a mismatch is
+      // guaranteed to trip).
       cells.groupBy("i", "j")
-        .agg(sum("n").as("n"), sum(col("sqq").cast(big)).as("sqq"))
+        .agg(sum("n").as("n"), sum(col("sqq").cast(big)).as("sqq"),
+          min("dim").as("_dmin"), max("dim").as("_dmax"))
         .select(col("i"), col("j"), col("n"),
-          (round(col("sqq").cast(DoubleType) / col("n") / 1e12, 6) + 0.0)
+          when(col("_dmin") === col("_dmax"),
+            round(col("sqq").cast(DoubleType) / col("n") / 1e12, 6) + 0.0)
+            .otherwise(raise_error(lit("ragged embedding dims across tasks"))
+              .cast(DoubleType))
             .as("gram"))
         .orderBy("i", "j")
     }

@@ -62,6 +62,34 @@ class AnalyticsR15Spec extends SparkSpecBase {
     assert(n == vals.map(_._2).distinct.size.toLong)
   }
 
+  test("bitmap full long domain: negatives fold, count, and intersect exactly (r16)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // the sign-flip mapping (v XOR Long.MinValue) must make negative ids
+    // first-class: mixed-sign sets, extreme values, set algebra — the
+    // theta-sketch twin accepts the full domain, so the exact twin must too
+    val a = Seq(-5L, -4L, -3L, Long.MinValue, 0L, 3L, Long.MaxValue)
+    val b = Seq(-4L, -3L, 0L, 7L, Long.MinValue)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val cells = df.groupBy("g")
+      .agg(call_function("bitmap_agg", col("v")).as("bm"))
+    val r = cells.agg(
+      call_function("bitmap_card", call_function("bitmap_merge", col("bm"))),
+      call_function("bitmap_card", call_function("bitmap_intersect_agg", col("bm"))))
+      .collect()(0)
+    assert(r.getLong(0) == (a.toSet ++ b.toSet).size.toLong, "union card")
+    assert(r.getLong(1) == a.toSet.intersect(b.toSet).size.toLong, "intersect card")
+    val pair = cells.filter(col("g") === "a").select(col("bm").as("bma"))
+      .crossJoin(cells.filter(col("g") === "b").select(col("bm").as("bmb")))
+      .select(call_function("bitmap_and_card", col("bma"), col("bmb")),
+        call_function("bitmap_or_card", col("bma"), col("bmb")),
+        call_function("bitmap_xor_card", col("bma"), col("bmb")))
+      .collect()(0)
+    assert(pair.getLong(0) == a.toSet.intersect(b.toSet).size.toLong)
+    assert(pair.getLong(1) == (a.toSet ++ b.toSet).size.toLong)
+    assert(pair.getLong(2) == ((a.toSet -- b.toSet) ++ (b.toSet -- a.toSet)).size.toLong)
+  }
+
   test("bitmap state bound: <=2 bytes/member + container overhead, both forms") {
     import graft.functions.GraftBitmap
     // sparse regime: 1000 members scattered one per 65536-range

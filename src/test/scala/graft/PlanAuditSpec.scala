@@ -230,8 +230,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // vec_id join of embeddings against the dropped-node set likewise:
     // the near-dup mass is O(corpus) (19,990/20,000 at the 10× probe's
     // density), so broadcasting it would OOM exactly when dedup matters.
+    // semdedup_default (r16) carries the SAME dropped-node join as semdedup:
+    // the near-dup mass is O(corpus), so the vec_id join of embeddings
+    // against it is correctly a co-partitioned SMJ, cell path or not.
     val factFactShuffle = Set("q7_volume_shipping", "q8_market_share",
-      "q20_surplus_suppliers", "semdedup")
+      "q20_surplus_suppliers", "semdedup", "semdedup_default")
     // curate_stream composes FOUR doc-grain screens over one corpus: the
     // quality/exact/band-screen joins are all both-sides-scaling (per-doc
     // signal frames and the O(buckets×cap) band index are each O(corpus)
@@ -256,6 +259,30 @@ class PlanAuditSpec extends SparkSpecBase {
       "bitmap_reagg" -> Set("bitmap_card"),
       "bitmap_coverage" -> Set("bitmap_card"),
       "stream_bitmap_uniq" -> Set("bitmap_card"))
+    // r16 (verdict item 8): suite-wide quadratic-join gate. A
+    // BroadcastNestedLoopJoin is O(|left|·|right|) compute — acceptable
+    // ONLY against a side that stays BOUNDED at 100 TB. Every whitelist
+    // entry below is one of exactly two such classes, each verified at
+    // the source (ProbeJoinAudit is the discovery pass):
+    //  - scalar/metadata broadcast: a 1-row global-total or threshold
+    //    frame (bm25 avgdl·N, dsir/unigram corpus totals, lorenz/langid/
+    //    tok_coverage/tfidf/basket_lift/psi_drift totals, dau_mau's
+    //    30-row month-offset frame, surprisal terciles, TPC-H Q11/Q22
+    //    scalar subqueries, path3's k-row cap frame, mv_incremental's 4
+    //    batch-scalar feeds (max-block splits in the incremental sim),
+    //    rfm_segments' 16 quantile-boundary scalars) — O(n)·O(1);
+    //  - bounded cell-pair algebra: sketch/bitmap cells crossJoin at the
+    //    ≤|types| grain (group_bitmap_ops, uniq_theta_ops) or a ≤256-row
+    //    PQ codebook (ann_pq) — O(cells²) metadata, never fact rows.
+    // CartesianProduct (shuffles the full product) is NEVER allowed.
+    val bnljBounded = Map(
+      "ann_pq" -> 1, "basket_lift" -> 1, "bm25_topdocs" -> 1,
+      "dau_mau_stickiness" -> 1, "dsir_logratio" -> 1,
+      "group_bitmap_ops" -> 1, "langid_kappa" -> 1, "lorenz_points" -> 2,
+      "mv_incremental" -> 4, "path3_topk" -> 1, "psi_drift" -> 1,
+      "q11_important_parts" -> 1, "q22_idle_customers" -> 1,
+      "rfm_segments" -> 16, "surprisal_filter" -> 2, "tfidf_topterms" -> 1,
+      "tok_coverage" -> 1, "unigram_surprisal" -> 1, "uniq_theta_ops" -> 1)
     for (name <- SparkEntry.allDefs.keys.toSeq.sorted) {
       val a = auditOf(run(name))
       if (factFactShuffle(name))
@@ -267,6 +294,10 @@ class PlanAuditSpec extends SparkSpecBase {
       val allowed = finisherFallbacks.getOrElse(name, Set.empty[String])
       assert(a.fallbackExprs.toSet.subsetOf(allowed),
         s"$name has interpreted exprs: ${a.fallbackExprs}")
+      assert(a.cartesianJoins == 0, s"$name grew a CartesianProduct: $a")
+      assert(a.nestedLoopJoins <= bnljBounded.getOrElse(name, 0),
+        s"$name has ${a.nestedLoopJoins} BroadcastNestedLoopJoins " +
+          s"(whitelist allows ${bnljBounded.getOrElse(name, 0)}): $a")
     }
   }
 
