@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -171,6 +171,39 @@ object GraftBitmap {
         val e = it.next()
         val oc = o.containers.get(e.getKey)
         if (oc != null) s += e.getValue.andCard(oc)
+      }
+      s
+    }
+
+    /** |members ∩ [lo, hi)| over the UNMAPPED (signed) value domain. The
+      * sign-flip embedding preserves signed order under UNSIGNED
+      * comparison, so the walk is one TreeMap.subMap over the container
+      * keys spanned by the mapped bounds: interior containers contribute
+      * their cardinality, the ≤2 boundary containers filter members with
+      * compareUnsigned. O(containers in range) — never a full scan.
+      */
+    def rangeCard(lo: Long, hi: Long): Long = {
+      if (hi <= lo) return 0L
+      val mlo = lo ^ Long.MinValue
+      val mhi = hi ^ Long.MinValue // exclusive; >u mlo because hi > lo
+      val loKey = mlo >>> 16
+      val hiKey = (mhi - 1) >>> 16 // key of the last INCLUDED value
+      var s = 0L
+      val it = containers.subMap(loKey, true, hiKey, true).entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        if (k > loKey && k < hiKey) s += e.getValue.card
+        else {
+          // boundary container: reconstructed members are MAPPED values
+          // (top bit possibly set) — compare unsigned, never signed
+          val base = k << 16
+          e.getValue.foreachMember { low =>
+            val u = base | low.toLong
+            if (java.lang.Long.compareUnsigned(u, mlo) >= 0 &&
+              java.lang.Long.compareUnsigned(u, mhi) < 0) s += 1
+          }
+        }
       }
       s
     }
@@ -419,6 +452,27 @@ final case class BitmapCard(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): BitmapCard =
     copy(child = newChild)
   override def prettyName: String = "bitmap_card"
+}
+
+/** `bitmap_range_card(bin, lo, hi)` — |members ∩ [lo, hi)| of a serialized
+  * bitmap (the CH bitmapSubsetRange → cardinality read-out): the windowed
+  * audience count answered FROM THE CELL, never a fact re-scan. Eval-only
+  * on the ≤|groups| cell grain, like [[BitmapCard]]; the walk is bounded
+  * by the containers the range spans ([[GraftBitmap.Bitmap.rangeCard]]).
+  */
+final case class BitmapRangeCard(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, lo: Any, hi: Any): Any =
+    GraftBitmap.deserialize(b.asInstanceOf[Array[Byte]])
+      .rangeCard(lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BitmapRangeCard =
+    copy(newFirst, newSecond, newThird)
+  override def prettyName: String = "bitmap_range_card"
 }
 
 /** `bitmap_and_card` / `bitmap_or_card` / `bitmap_xor_card` — exact set

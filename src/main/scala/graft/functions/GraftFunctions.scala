@@ -92,6 +92,7 @@ object GraftFunctions {
     // now pins every graft name to a graft class.
     "bitmap_intersect_agg" -> { args => BitmapAndAgg(args(0)) },
     "bitmap_card" -> { args => BitmapCard(args(0)) },
+    "bitmap_range_card" -> { args => BitmapRangeCard(args(0), args(1), args(2)) },
     "bitmap_and_card" -> { args => BitmapOpCard(args(0), args(1), "and") },
     "bitmap_or_card" -> { args => BitmapOpCard(args(0), args(1), "or") },
     "bitmap_xor_card" -> { args => BitmapOpCard(args(0), args(1), "xor") }

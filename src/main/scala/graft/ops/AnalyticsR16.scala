@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
 import graft.{GraftSession, OpDef}
 import graft.sources.Tables
 
-/** SURVEY §2 #320/#322-#324 — r16 additions: the whitening consumer
+/** SURVEY §2 #320/#322-#326 — r16 additions: the whitening consumer
   * (`embed_whiten`, closing the r15 verdict's "nothing consumes W" item)
-  * and three ClickHouse combinator stragglers with real analytic pull —
-  * `groupArrayIntersect`, `sumMapFiltered`, `deltaSumTimestamp`.
+  * and the ClickHouse combinator stragglers with real analytic pull —
+  * `groupArrayIntersect`, `sumMapFiltered`, `deltaSumTimestamp`, and the
+  * `bitmapSubsetRange` cardinality read-out. (minMap/maxMap and
+  * groupUniqArray were candidates but already ship as #103/#104 —
+  * `minmax_map` / `group_uniq_array` in Relational.)
   *
   * Parity discipline as ever (SURVEY §5): exact integers / DECIMAL where
   * semantics allow (`sum_map_filtered` / `delta_sum_timestamp` fold
@@ -248,6 +251,37 @@ object AnalyticsR16 {
           + coalesce(sum(when(col("bd") > 0, col("bd"))), lit(0)))
           .cast(DoubleType).as("delta_sum"))
         .orderBy("user_id")
+    },
+
+    // ---- #326 bitmapSubsetRange cardinality ---------------------------------
+    // The windowed read-out of the bitmap family (CH bitmapSubsetRange →
+    // bitmapCardinality): per type, how many distinct users fall in an id
+    // window — answered FROM the #312 serialized cells via the new
+    // `bitmap_range_card`, which walks only the containers the range
+    // spans (TreeMap.subMap + ≤2 boundary filters), never the fact table
+    // and never a full bitmap scan. The [-50, 100) window deliberately
+    // spans the signed/unsigned boundary of the r16 sign-flip mapping —
+    // the oracle (plain COUNT DISTINCT FILTER) would catch an ordering
+    // slip there.
+    "bitmap_range_card" -> OpDef(
+      """WITH u AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS v FROM events)
+        |SELECT t AS event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) FILTER (WHERE v >= -50 AND v < 100) AS BIGINT) AS n_low,
+        |  CAST(COUNT(*) FILTER (WHERE v >= 100 AND v < 200) AS BIGINT) AS n_high
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(call_function("bitmap_agg", col("user_id")).as("bm"))
+        .select(col("event_type"),
+          call_function("bitmap_card", col("bm")).as("n_total"),
+          call_function("bitmap_range_card", col("bm"),
+            lit(-50L), lit(100L)).as("n_low"),
+          call_function("bitmap_range_card", col("bm"),
+            lit(100L), lit(200L)).as("n_high"))
+        .orderBy("event_type")
     }
   )
 }

@@ -417,6 +417,31 @@ object StreamQueries {
       StreamOps.balanceLive(ev(s, dir)).orderBy("user_id")
     },
 
+    // ---- #327 live per-user deltaSum (batch shape) ------------------------
+    // The streaming twin of delta_sum_timestamp (#324): CH's
+    // deltaSumTimestamp carries timestamps precisely so states merge in
+    // time order — live, that is the ordered-replay contract plus an
+    // in-batch (ts, event_id) sort. Three integer-cent scalars per user
+    // (count, last value, positive-delta acc); the cross-batch boundary
+    // delta falls out of keeping `last`. Stream ≡ batch exact equality
+    // (same cent fold both sides — StreamOpsStreamingSpec replay).
+    "stream_delta_sum" -> OpDef(
+      """WITH d AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(value AS DECIMAL(18,2)) - lag(CAST(value AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_tx,
+        |  CAST(COALESCE(SUM(CASE WHEN dv > 0 THEN dv END), 0) AS DOUBLE)
+        |    AS delta_sum,
+        |  CAST(MAX(CASE WHEN rl = 1 THEN v END) AS DOUBLE) AS last_value
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      StreamOps.deltaSumLive(ev(s, dir)).orderBy("user_id")
+    },
+
     // ---- #281 live per-account max drawdown (batch shape) ----------------
     // The stateful streaming twin of #272 — the risk monitor next to
     // #278's balance view. Peak and max-fall are prefix-incremental, so

@@ -27,6 +27,15 @@ final case class BalEv(user_id: Long, event_id: Long, amt_c: Long, us: Long,
   */
 final case class BalState(n: Long, bal: Long, lo: Long, hi: Long)
 
+/** Per-user deltaSum state: event count, last seen value, and the
+  * accumulated positive-delta sum — integer cents throughout (#327).
+  */
+final case class DeltaSumState(n: Long, last: Long, acc: Long)
+
+/** One emitted deltaSum snapshot. */
+final case class DeltaSumOut(user_id: Long, n_tx: Long, delta_sum: Double,
+    last_value: Double)
+
 /** One emitted balance snapshot (the #264 read-out shape). */
 final case class BalOut(user_id: Long, n_tx: Long, final_balance: Double,
     min_balance: Double, max_balance: Double)
@@ -668,6 +677,65 @@ object StreamOps {
           (max_by(col("bal"), col("event_id")) / 100.0).as("final_balance"),
           (min("bal") / 100.0).as("min_balance"),
           (max("bal") / 100.0).as("max_balance"))
+    }
+  }
+
+  /** #327 — live per-user deltaSum: the streaming twin of
+    * `delta_sum_timestamp` (#324), i.e. the live face of CH's
+    * deltaSumTimestamp — whose whole REASON to carry timestamps is that
+    * states merge in time order. Here the time order is the ordered-replay
+    * contract (the CDC cursor guarantee) plus an in-batch (ts, event_id)
+    * sort of each slice; state per user is THREE integer-cent scalars
+    * (count, last value, accumulated positive deltas) — the positive
+    * boundary delta between batches is exactly `max(0, first − last)`,
+    * which the fold computes for free by keeping `last`. Exact cents end
+    * to end, so stream ≡ batch is exact equality, not float proximity.
+    */
+  def deltaSumLive(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val horizon = horizonMsOf(events)
+    val (src, timeoutConf) = evictionArm(events, horizon)
+    val sel = src.select(col("user_id"), col("event_id"), cents.as("amt_c"),
+      unix_micros(col("ts")).as("us"), col("ts")).as[BalEv]
+    if (events.isStreaming)
+      sel.groupByKey(_.user_id)
+        .mapGroupsWithState(timeoutConf)(
+          (uid: Long, it: Iterator[BalEv], state: GroupState[DeltaSumState]) => {
+            if (state.hasTimedOut) {
+              val st = state.get
+              state.remove()
+              DeltaSumOut(uid, st.n, st.acc / 100.0, st.last / 100.0)
+            } else {
+              var st = state.getOption.getOrElse(DeltaSumState(0L, 0L, 0L))
+              var maxUs = Long.MinValue
+              // the delta fold is TIME-ordered: sort the batch slice by
+              // (ts, event_id) — in-batch arrival order is a shuffle
+              // artifact (the dwellRows discipline)
+              it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+                val d = e.amt_c - st.last
+                st = DeltaSumState(st.n + 1, e.amt_c,
+                  if (st.n > 0L && d > 0L) st.acc + d else st.acc)
+                maxUs = math.max(maxUs, e.us)
+              }
+              state.update(st)
+              horizon.foreach(h => state.setTimeoutTimestamp(maxUs / 1000L + h))
+              DeltaSumOut(uid, st.n, st.acc / 100.0, st.last / 100.0)
+            }
+          }).toDF()
+    else {
+      // batch twin: the same integer-cent fold via the lag window, so
+      // stream ≡ batch is exact equality
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      sel.toDF()
+        .withColumn("dv", col("amt_c") - lag("amt_c", 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_tx"),
+          (coalesce(sum(when(col("dv") > 0, col("dv"))), lit(0L)) / 100.0)
+            .as("delta_sum"),
+          (max_by(col("amt_c"), struct(col("us"), col("event_id"))) / 100.0)
+            .as("last_value"))
     }
   }
 

@@ -258,6 +258,9 @@ class PlanAuditSpec extends SparkSpecBase {
         "bitmap_or_card", "bitmap_xor_card"),
       "bitmap_reagg" -> Set("bitmap_card"),
       "bitmap_coverage" -> Set("bitmap_card"),
+      // #328: the range walk is eval-only BY DESIGN on the ≤|types| cell
+      // grain, same as every bitmap read-out
+      "bitmap_range_card" -> Set("bitmap_card", "bitmap_range_card"),
       "stream_bitmap_uniq" -> Set("bitmap_card"))
     // r16 (verdict item 8): suite-wide quadratic-join gate. A
     // BroadcastNestedLoopJoin is O(|left|·|right|) compute — acceptable

@@ -428,6 +428,44 @@ class StreamOpsStreamingSpec extends SparkSpecBase {
       s"diff: ${(got.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff got.toSet).take(3)}")
   }
 
+  test("live deltaSum: ordered 2-batch replay lands on the batch twin exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the delta fold is TIME-ordered (the deltaSumTimestamp contract):
+    // split by (ts, event_id) so per-user deltas never arrive out of
+    // order across batches; within a batch arrivals shuffle (the state
+    // machine sorts its slice) — the cross-batch BOUNDARY delta is the
+    // part a plain deltaSum state could not reconstruct
+    val ev = eventRows().sortBy(e => (e._4.getTime, e._1))
+    val rnd = new scala.util.Random(23)
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamOps.deltaSumLive(
+        in.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("dsum").outputMode("update")
+      .start()
+    try {
+      in.addData(rnd.shuffle(h1.toSeq)); q.processAllAvailable()
+      in.addData(rnd.shuffle(h2.toSeq)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select * from dsum").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap // last snapshot per user wins
+    val batch = run("stream_delta_sum").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got == batch,
+      s"diff: ${(got.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff got.toSet).take(3)}")
+    // non-vacuous: some user must accumulate a positive delta
+    assert(batch.values.exists(_._2 > 0.0), "fixture produced no deltas")
+    // and the batch twin's delta_sum column must agree with the
+    // standalone delta_sum (#70) oracle row for every user — the merge
+    // law IS the op
+    val plain = run("delta_sum").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batch.map { case (u, t) => u -> t._2 } == plain)
+  }
+
   test("live funnel: ordered 2-batch replay lands on the batch twin exactly") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
