@@ -1015,4 +1015,31 @@ class PlanAuditSpec extends SparkSpecBase {
     val rg = auditOf(run("uniq_theta_reagg"))
     assert(rg.scans == 1 && rg.broadcastJoins + rg.sortMergeJoins == 0, s"$rg")
   }
+
+  test("r16 ops: whiten read-out is one scan + cell agg; cent folds share exchanges") {
+    // embed_whiten's RETURNED plan is the whitened moment read-out (the
+    // model build collects eagerly at fn time): one corpus scan into the
+    // partition-local matvec kernel, one ≤2080-row cell agg exchange +
+    // the output sort, zero joins — the broadcast matrix never shows up
+    // as a join because it rides the task closure
+    val w = auditOf(run("embed_whiten"))
+    assert(w.scans == 1 && w.shuffles <= 2, s"embed_whiten grew an exchange: $w")
+    assert(w.broadcastJoins + w.sortMergeJoins + w.nestedLoopJoins == 0, s"$w")
+    // delta_sum_timestamp: the within-day window and the day-cell collapse
+    // ride (user, day)-compatible exchanges; the cross-day merge + final
+    // agg + output sort stay on the user grain — bounded exchanges, no
+    // joins anywhere (the merge law is pure windowing)
+    val d = auditOf(run("delta_sum_timestamp"))
+    assert(d.scans == 1 && d.shuffles <= 4, s"delta_sum_timestamp exchanges: $d")
+    assert(d.broadcastJoins + d.sortMergeJoins + d.nestedLoopJoins == 0, s"$d")
+    // bitmap_range_card: single fact fold into |types| cells, range
+    // read-outs eval-only on the cell grain
+    val b = auditOf(run("bitmap_range_card"))
+    assert(b.scans == 1 && b.broadcastJoins + b.sortMergeJoins == 0, s"$b")
+    // group_array_intersect: the distinct + two folds + the left join all
+    // ride user_id-compatible hash partitionings — no quadratic joins,
+    // no fact-grain window
+    val g = auditOf(run("group_array_intersect"))
+    assert(g.nestedLoopJoins + g.cartesianJoins == 0, s"$g")
+  }
 }
