@@ -123,7 +123,12 @@ object SinkMain {
   /** Build the pipeline from a parsed config — pure facade wiring. The
     * start-cursor resolution runs here under the configured mismatch mode
     * (the reference resolves it at sinker startup: `error` throws before
-    * any work, `warn` adopts the foreign cursor, `ignore` starts fresh).
+    * any work, `warn` and `ignore` both adopt the cursor at the highest
+    * block and use it as the starting point — run.go's flag doc). r17
+    * (ADVICE item 1): the resolved cursor now actually TRIMS the feed
+    * (block > cursor.blockNum, before the undo-buffer trim) — previously
+    * it was resolved and discarded, so every run reprocessed the full
+    * feed regardless of the committed cursor.
     */
   def wire(spark: SparkSession, cfg: SinkConfig): Wiring = {
     val raw = graft.sources.Changes(spark, cfg.sourceDir)
@@ -132,20 +137,22 @@ object SinkMain {
       case Some((a, b)) => raw.filter(col("block") >= a && col("block") < b)
       case None => raw
     }
-    val head = ranged.agg(max("block")).collect()(0)
+    val store0 = new CursorStore(s"${cfg.target}/cursor", spark)
+    val resumed = store0.readWithMismatch(cfg.moduleHash, cfg.mismatchMode)
+      .map(c => ranged.filter(col("block") > c.blockNum))
+      .getOrElse(ranged)
+    val head = resumed.agg(max("block")).collect()(0)
     val confirmed =
-      if (cfg.undoBufferSize <= 0 || head.isNullAt(0)) ranged
-      else ranged.filter(col("block") <= head.getLong(0) - cfg.undoBufferSize)
+      if (cfg.undoBufferSize <= 0 || head.isNullAt(0)) resumed
+      else resumed.filter(col("block") <= head.getLong(0) - cfg.undoBufferSize)
     // field columns come from the feed schema — the schema-introspection
     // role the reference fills from the live DB (db/operations.go:220-277)
     val fields = confirmed.columns
       .filterNot(Set("pk", "block", "op", "ordinal")).toSeq
     val policy = FlushPolicy(flushInterval = cfg.flushInterval)
-    val store = new CursorStore(s"${cfg.target}/cursor", spark)
-    store.readWithMismatch(cfg.moduleHash, cfg.mismatchMode)
     val sink = new ChangeStreamSink(cfg.target, cfg.moduleHash, fields,
       policy = Some(policy))
-    Wiring(confirmed, fields, policy, store, sink)
+    Wiring(confirmed, fields, policy, store0, sink)
   }
 
   /** One catch-up pass: flush the confirmed feed through the policy's

@@ -234,6 +234,15 @@ object Ann extends Serializable {
     * the pool is exhaustive and the pipeline DEGENERATES to brute force
     * (`ann_int8_exact` hash-matches [[exactTopKSql]]); the default pool
     * (4k) is the approximate regime pinned by the recall spec.
+    *
+    * r17 (ADVICE item 4): the exhaustive regime (`rerankPool =
+    * Int.MaxValue`) is FIXTURE/ORACLE-ONLY — it makes localTopKI8's
+    * per-probe pools unbounded (every partition retains all of its rows
+    * per probe in heap memory), so calling it on a production corpus OOMs
+    * rather than degrading. Production callers bound the pool (any finite
+    * value keeps the per-partition heaps at O(probes · pool)); the
+    * exhaustive spelling exists solely so the driver oracle can pin the
+    * degeneration to brute force at test SF.
     */
   def int8TopK(s: SparkSession, dir: String, k: Int = K,
       rerankPool: Int = 4 * K): DataFrame = {

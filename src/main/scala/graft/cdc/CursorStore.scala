@@ -111,21 +111,33 @@ final class CursorStore(path: String, spark: SparkSession) {
         .agg(max("batchId")).as[Option[Long]].collect().head.getOrElse(-1L)
     }.getOrElse(-1L)
 
-  /** Reference `cursorAtHighestBlock`: on a module-hash mismatch, `ignore`
-    * starts fresh, `warn` adopts the cursor at the highest block across all
-    * hashes, `error` throws.
+  /** Reference `cursorAtHighestBlock` (db/cursor.go:48-104): on a
+    * module-hash mismatch BOTH `warn` and `ignore` adopt the cursor at the
+    * highest block across all hashes and use it as the starting point
+    * (warn additionally logs; run.go's flag doc: "If 'warn' is used, it
+    * does the same as 'ignore' but it will log a warning"); `error`
+    * throws. r17 (ADVICE item 1): `ignore` previously started FRESH,
+    * inverting the reference semantics. The candidate is the highest-block
+    * cursor among each module's RESOLVED cursor (the reference scans
+    * `GetAllCursors`), not the highest-block raw log row — an overwritten
+    * old row must not win.
     */
   def readWithMismatch(moduleHash: String, mode: String): Option[Cursor] =
     read(moduleHash).orElse {
-      val other = log().flatMap { df =>
-        df.orderBy(col("blockNum").desc, col("batchId").desc).limit(1)
-          .as[(String, String, Long, String, Long)].collect().headOption
-          .map { case (m, c, b, id, _) => Cursor(m, c, b, id) }
-      }
+      // deterministic tie-break on moduleHash (the reference iterates a Go
+      // map — unspecified; determinism is strictly safer)
+      val other = allCursors().values.toSeq
+        .sortBy(c => (-c.blockNum, c.moduleHash)).headOption
       (other, mode) match {
-        case (None, _)                    => None
-        case (_, MismatchMode.Ignore)     => None
-        case (Some(c), MismatchMode.Warn) => Some(c)
+        case (None, _) => None
+        case (Some(c), MismatchMode.Warn) =>
+          System.err.println(
+            s"warn: cursor module hash mismatch, continuing using cursor " +
+              s"at highest block ${c.blockNum} (module ${c.moduleHash}, " +
+              s"expected $moduleHash); silence with " +
+              "--on-module-hash-mistmatch=ignore")
+          Some(c)
+        case (Some(c), MismatchMode.Ignore) => Some(c)
         case (Some(c), _) => throw new IllegalStateException(
           s"cursor exists for module ${c.moduleHash}, expected $moduleHash " +
             "(on-module-hash-mismatch=error)")

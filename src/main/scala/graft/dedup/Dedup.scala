@@ -351,13 +351,36 @@ object Dedup {
     * shingle rows on both sides and count shared hashes (codegen equi-join
     * + agg). `cand` carries (doc_a, doc_b, n_a, n_b); `e` is (doc_id, h).
     */
-  private def verifyJaccard(cand: DataFrame, e: DataFrame, tau: Double): DataFrame = {
-    val ver = withIntersect(cand, e)
+  private def verifyJaccard(cand: DataFrame, e: DataFrame, tau: Double): DataFrame =
+    jaccardFromIntersect(withIntersect(cand, e), tau)
+
+  /** Final Jaccard filter/read-out over pair rows already carrying
+    * (n_a, n_b, n_int) — shared by the e-based and per-doc-grain verifies.
+    */
+  private def jaccardFromIntersect(ver0: DataFrame, tau: Double): DataFrame = {
+    val ver = ver0
       .withColumn("n_uni", col("n_a") + col("n_b") - col("n_int"))
     ver.filter(col("n_int").cast(DoubleType) / col("n_uni") >= tau)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_int").cast(DoubleType) / col("n_uni"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** ONE combined per-doc collapse of the shingle rows: set size `n`, the
+    * 16-perm MinHash signature `mh`, and the ascending duplicate-free
+    * shingle array `sh` — everything the LSH candidate pass AND the exact
+    * verify need, produced by a single aggregation over the corpus-sized
+    * (doc_id, h) rows (r17: the candidate and verify passes each ran their
+    * own full agg over `e` — two passes over the heaviest table for per-doc
+    * data one pass computes; guide §2.3 "aggregate before you shuffle",
+    * §1.2 remove redundant passes).
+    */
+  private def perDocMinhash(s: SparkSession, e: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    e.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      call_function("minhash16", col("h")).as("mh"),
+      sort_array(collect_list(col("h"))).as("sh"))
   }
 
   /** Per-doc ascending-sorted shingle-set arrays (doc_id, sh) — the compact
@@ -378,9 +401,15 @@ object Dedup {
     * exchange vs ~13 GB of compact array payloads here, and the counting
     * itself moves from a shuffle+agg to registers.
     */
-  private def withIntersect(cand: DataFrame, e: DataFrame): DataFrame = {
+  private def withIntersect(cand: DataFrame, e: DataFrame): DataFrame =
+    withIntersectSets(cand, shingleSets(e))
+
+  /** [[withIntersect]] over an already-computed per-doc (doc_id, sh) frame
+    * — lets callers that aggregate the shingle rows once ([[perDocMinhash]])
+    * reuse that pass instead of re-aggregating `e`.
+    */
+  private def withIntersectSets(cand: DataFrame, sets: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(cand.sparkSession)
-    val sets = shingleSets(e)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
@@ -397,14 +426,14 @@ object Dedup {
     * loss — then every pair is verified at exact Jaccard ≥ τ.
     */
   def ngramJaccardPairs(docsDf: DataFrame, tau: Double = 0.5): DataFrame = {
-    // persist justification: the shingle rows feed candidate generation AND
-    // the exact verify inside the ONE action the caller runs; the result
-    // stays lazy (callers push filters / choose the action), so the cache
-    // entry lives until the session drops it — MEMORY_AND_DISK is
-    // LRU-evictable and the correctness/bench harnesses clearCache between
-    // queries. Eagerly-freeing here would force the query at build time.
-    val e = trackCache(shingleRowsOf(docsDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // r17: NO persist. The shingle rows' root is the distinct() EXCHANGE
+    // and nothing can prune below a 4-column distinct, so every consumer
+    // branch (prefix windows + both verify join sides) carries the
+    // IDENTICAL exchange subtree — ReuseExchange computes it once and
+    // shares it physically within the caller's one action; a persist here
+    // only added cache-build + columnar-read overhead (the rfm_segments
+    // r17 lesson: persisting an exchange-rooted subtree 1.56 → 3.67 s).
+    val e = shingleRowsOf(docsDf)
     // floor(τ·1000)/1000 ≤ τ: a rational threshold at-or-below the real τ
     // only LENGTHENS prefixes (still complete); verify filters at exact τ.
     verifyJaccard(prefixCandidates(e, math.floor(tau * 1000).toInt, 1000, tau,
@@ -419,12 +448,20 @@ object Dedup {
       bucketCap: Int = 0): DataFrame = {
     val s = docsDf.sparkSession
     val cap = if (bucketCap > 0) bucketCap else lshBucketCap(s)
-    // persist justification: same double-use-in-one-action shape as
-    // [[ngramJaccardPairs]] (signatures + exact verify); kept lazy for the
-    // same reason.
-    val e = trackCache(shingleRowsOf(docsDf).select("doc_id", "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    verifyJaccard(minhashCandidates(s, e, cap), e, tau)
+    // r17: the cache moves from the shingle-row grain to the PER-DOC grain —
+    // one combined agg ([[perDocMinhash]]) feeds candidate generation (n,
+    // mh) and the exact verify (sh), so the corpus-sized shingle rows are
+    // aggregated once instead of twice and never persisted at row grain.
+    // persist justification: pd feeds three consumers (bands + both verify
+    // join sides) inside the caller's one action; kept lazy as before.
+    val pd = trackCache(
+      perDocMinhash(s, shingleRowsOf(docsDf).select("doc_id", "h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    jaccardFromIntersect(
+      withIntersectSets(
+        minhashCandidatesFromSig(pd.select("doc_id", "n", "mh"), cap),
+        pd.select("doc_id", "sh")),
+      tau)
   }
 
   val defs: Map[String, OpDef] = Map(
@@ -616,8 +653,10 @@ object Dedup {
          |FROM p WHERE CAST(n_int AS DOUBLE) / least(n_a, n_b) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, dir) =>
-      val e = trackCache(shingleRowsOf(docs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // r17: no persist — distinct()-rooted subtree, ReuseExchange shares
+      // it across the prefix windows and both verify join sides (see
+      // ngramJaccardPairs).
+      val e = shingleRowsOf(docs(s, dir))
       // sizeRatioTau = 0 disables the Jaccard size-ratio prefilter
       // (necessary for Jaccard, WRONG for containment); the prefix length
       // uses τ = 7/10 exactly — integer math, no float ceil.
@@ -737,16 +776,25 @@ object Dedup {
          |FROM sc GROUP BY bucket ORDER BY bucket""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val e = trackCache(shingleRowsOf(docs(s, dir)).select("doc_id", "h")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val sig = e.groupBy("doc_id")
-        .agg(call_function("minhash16", col("h")).as("mh"))
-      val cand = minhashCandidates(s, e)
-      val pairs = withIntersect(cand, e)
-        .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
-          Seq("doc_a"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
-          Seq("doc_b"))
+      // r17: ONE per-doc collapse (n, mh, sh) feeds bands, the exact verify
+      // AND the signature read-back — the previous shape aggregated the
+      // shingle rows three times (cand's sig, withIntersect's sets, the
+      // mh read-back sig) and joined pairs back four times; now one agg +
+      // TWO joins (sh and mh ride the same join row per side). The r13
+      // probe's lesson stands: mh still does NOT travel through the band
+      // join — bands stay narrow (doc_id, n, b, bkey).
+      val pd = trackCache(
+        perDocMinhash(s, shingleRowsOf(docs(s, dir)).select("doc_id", "h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cand = minhashCandidatesFromSig(pd.select("doc_id", "n", "mh"))
+      val pairs = cand
+        .join(pd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("mh").as("mh_a")), Seq("doc_a"))
+        .join(pd.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("mh").as("mh_b")), Seq("doc_b"))
+        .withColumn("n_int",
+          call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+        .drop("sh_a", "sh_b")
       val k = (0 until NumPerms).map(j =>
           when(element_at(col("mh_a"), j + 1) ===
             element_at(col("mh_b"), j + 1), 1).otherwise(0))
@@ -802,8 +850,9 @@ object Dedup {
          |FROM s2 JOIN n USING (lang) ORDER BY lang""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val e = trackCache(shingleRowsOf(docs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // r17: no persist — distinct()-rooted subtree, ReuseExchange shares
+      // it across the one-pass and cell aggregations (see ngramJaccardPairs)
+      val e = shingleRowsOf(docs(s, dir))
       val onepass = e.groupBy("lang")
         .agg(call_function("minhash16", col("h")).as("sig"),
           countDistinct("h").cast(LongType).as("n_shingles"))
@@ -1694,6 +1743,16 @@ object Dedup {
     val sig = e.groupBy("doc_id").agg(
       count(lit(1)).as("n"),
       call_function("minhash16", col("h")).as("mh"))
+    minhashCandidatesFromSig(sig, bucketCap)
+  }
+
+  /** [[minhashCandidates]] over an already-computed per-doc signature frame
+    * (doc_id, n, mh) — the band explode, hot-bucket cap and bucket self-join
+    * unchanged; callers holding a [[perDocMinhash]] frame skip the second
+    * aggregation over the shingle rows.
+    */
+  private[graft] def minhashCandidatesFromSig(sig: DataFrame,
+      bucketCap: Int = LshBucketCap): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("b"),
         md5(concat_ws(",",

@@ -209,13 +209,14 @@ object GraftBitmap {
     }
 
     def serialize: Array[Byte] = {
-      var size = 4
+      var size = 8
       val it0 = containers.values().iterator()
       while (it0.hasNext) {
         val c = it0.next()
         size += 8 + 1 + 4 + (if (c.bits != null) 8192 else 2 * c.n)
       }
       val bb = ByteBuffer.allocate(size)
+      bb.putInt(GraftBitmap.FormatVersion)
       bb.putInt(containers.size())
       val it = containers.entrySet().iterator()
       while (it.hasNext) {
@@ -236,9 +237,26 @@ object GraftBitmap {
     }
   }
 
+  /** Serialization format tag (r17, ADVICE item 3): the r16 sign-flip
+    * remap (v XOR Long.MinValue) silently changed what serialized bytes
+    * MEAN — bitmaps persisted by pre-r16 code (streaming state-store
+    * checkpoints, stored cell tables) would deserialize into the mapped
+    * domain and yield wrong members. The header makes any stale or
+    * foreign state fail LOUDLY here instead of decoding to different
+    * members. High bits are a magic marker so a legacy header (a small
+    * container count) can never collide with it.
+    */
+  val FormatVersion: Int = 0x42A70000 | 2 // "BitmapAgg" magic | format v2
+
   def deserialize(bytes: Array[Byte]): Bitmap = {
     val bb = ByteBuffer.wrap(bytes)
     val bm = new Bitmap
+    val ver = bb.getInt
+    require(ver == FormatVersion,
+      s"bitmap state format mismatch: got 0x${ver.toHexString}, expected " +
+        s"0x${FormatVersion.toHexString} — persisted bitmap state from " +
+        "before the r16 sign-flip remap (or a foreign format) must be " +
+        "regenerated, not decoded")
     val nc = bb.getInt
     var k = 0
     while (k < nc) {

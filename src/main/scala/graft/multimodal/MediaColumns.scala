@@ -206,6 +206,26 @@ object MediaCodec {
 
 object MediaColumns {
 
+  /** The narrow (doc_id, text) projection the codec passes consume, fanned
+    * out to the session's parallelism when the SCAN itself is
+    * under-parallel. The codec work (ImageIO encode + decode) is heavy
+    * per-row compute; a small single-file parquet table yields ONE scan
+    * task, serializing the whole codec pass on one core (guide §2.5 input
+    * skew — measured 5/6 of each mm_* query's time at sf0.1/local[32]).
+    * The repartition moves only the two narrow columns, and at real scale
+    * the scan already has ≥ defaultParallelism splits so the branch is a
+    * no-op — no payload shuffle is ever added on the 100 TB path.
+    */
+  private def fannedDocs(s: SparkSession, dir: String): Dataset[(Long, String)] = {
+    import s.implicits._
+    GraftSession.tune(s)
+    val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val p = s.sparkContext.defaultParallelism
+    val fanned =
+      if (base.rdd.getNumPartitions < p) base.repartition(p) else base
+    fanned.as[(Long, String)]
+  }
+
   /** The stored-blob column: real container bytes, encoded once in the
     * typed mapPartitions pass. In a production pipeline this is the
     * already-stored blob (encode cost paid at ingest, amortized); every op
@@ -213,9 +233,7 @@ object MediaColumns {
     */
   private def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
-    GraftSession.tune(s)
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    fannedDocs(s, dir)
       .mapPartitions(_.map { case (id, t) => MediaCodec.encode(id, t) })
   }
 
@@ -387,8 +405,7 @@ object MediaColumns {
       import s.implicits._
       GraftSession.tune(s)
       val cap = graft.dedup.Dedup.lshBucketCap(s)
-      val sig = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val sig = fannedDocs(s, dir)
         .mapPartitions(_.map { case (id, t) =>
           (id, MediaCodec.phash60(MediaCodec.encode(id, t)))
         })

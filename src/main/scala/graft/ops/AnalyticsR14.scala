@@ -101,16 +101,15 @@ object AnalyticsR14 {
       graft.functions.GraftFunctions.register(s)
       val k = CapacityPins.KmvCap
       val h = parity.md5Long(col("user_id").cast(StringType))
-      // persist the |types|-row cell frame so BOTH sides of the pair join
-      // read it — without this the broadcast side recomputes the
-      // aggregation and the fact table scans twice (CacheRegistry
-      // discipline; production callers release via Graft.releaseCaches())
-      val sk = graft.CacheRegistry.track(
-        tbl(s, dir, "events")
-          .select(col("event_type"), h.as("h"))
-          .groupBy("event_type")
-          .agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // r17: no persist — both pair-join sides carry the identical
+      // agg-exchange subtree, which ReuseExchange computes once within the
+      // one action (the broadcast side reuses the same shuffle output; the
+      // fact table does NOT scan twice — verified in the r17 plan dumps);
+      // the persist only added cache overhead (the rfm_segments lesson).
+      val sk = tbl(s, dir, "events")
+        .select(col("event_type"), h.as("h"))
+        .groupBy("event_type")
+        .agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
       // pair grain: ≤C(|types|,2) rows of O(k) arrays — metadata-sized, so
       // the broadcast cross join is the right plan (1-row-agg discipline
       // widened to the bounded |types| grain)

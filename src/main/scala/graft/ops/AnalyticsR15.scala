@@ -106,13 +106,11 @@ object AnalyticsR15 {
         |FROM pairs ORDER BY type_a, type_b""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      // persist the |types|-row cell frame so both pair-join sides read it
-      // (the uniq_theta_ops CacheRegistry discipline)
-      val sk = graft.CacheRegistry.track(
-        tbl(s, dir, "events")
-          .groupBy("event_type")
-          .agg(call_function("bitmap_agg", col("user_id")).as("bm"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // r17: no persist — identical agg-exchange subtree on both pair-join
+      // sides, ReuseExchange shares it (the uniq_theta_ops r17 lesson)
+      val sk = tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(call_function("bitmap_agg", col("user_id")).as("bm"))
       val pr = sk.select(col("event_type").as("type_a"), col("bm").as("bma"))
         .crossJoin(broadcast(
           sk.select(col("event_type").as("type_b"), col("bm").as("bmb"))))

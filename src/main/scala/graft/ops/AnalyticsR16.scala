@@ -48,8 +48,9 @@ object AnalyticsR16 {
     // [[graft.ann.Whitening.modelOf]], NOT embed_gram's rounded render,
     // whose ≤5e-7 cell smear W's ~1/λ amplification would surface here.)
     "embed_whiten" -> OpDef(
-      """WITH d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+      """WITH d AS (SELECT len(embedding) AS dim FROM embeddings
+        |           WHERE embedding IS NOT NULL LIMIT 1),
+        |nn AS (SELECT CAST(COUNT(embedding) AS BIGINT) AS n FROM embeddings)
         |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j, nn.n,
         |  CAST(CASE WHEN a.i = b.j THEN 1 ELSE 0 END AS DOUBLE) AS wcov
         |FROM d, nn,

@@ -549,10 +549,16 @@ object AssociationStats {
         |    AS spearman_rho
         |FROM u ORDER BY pair""".stripMargin
     ) { (s, dir) =>
-      val f = tbl(s, dir, "events")
+      // r17: f feeds FOUR consumers inside the one action (three rank maps
+      // + the rank-attach join) — without the persist the events scan and
+      // the per-row JSON k-prop extraction (the query's dominant per-row
+      // cost) re-ran four times (guide §1.2: don't recompute what you
+      // already paid for). CacheRegistry discipline as everywhere else.
+      val f = graft.CacheRegistry.track(tbl(s, dir, "events")
         .filter(get_json_object(col("props"), "$.k").isNotNull)
         .select(centsL.as("v"), kProp.as("k"),
           hour(col("ts")).cast(LongType).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // double-rank map on a bounded grain: ir = 2·offset + cnt + 1
       def rankMap(colName: String, out: String): DataFrame = {
         val excl = Window.orderBy(colName)
@@ -678,6 +684,13 @@ object AssociationStats {
       // count, so the fact join runs once (CacheRegistry discipline;
       // production callers release via Graft.releaseCaches()).
       val l = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"))
+      // persist kept after the r17 reuse audit: unlike the distinct-rooted
+      // caches r17 dropped, column pruning rewrites this agg differently
+      // per consumer (nOrd/m need no `bs`), so the subtrees DIVERGE and
+      // runtime exchange reuse cannot dedupe them — the executed plan
+      // without the persist ran the lineitem⋈part collapse twice
+      // (ProbeReuse: final_scans=4). Measured flat at sf0.1 either way;
+      // one fact pass is the right 100 TB shape.
       val arr = graft.CacheRegistry.track(
         l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
           .groupBy(col("l_orderkey").as("ok"))

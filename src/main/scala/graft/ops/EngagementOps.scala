@@ -84,12 +84,13 @@ object EngagementOps {
         |FROM p JOIN c ca ON ca.t = p.ta JOIN c cb ON cb.t = p.tb
         |ORDER BY 1, 2""".stripMargin
     ) { (s, dir) =>
-      // the grain feeds BOTH join sides and both count lookups — cached so
-      // the fact table is scanned ONCE, not 4× (CacheRegistry discipline:
-      // production callers release via Graft.releaseCaches())
-      val g = graft.CacheRegistry.track(tbl(s, dir, "events")
+      // r17: no persist — the grain's root is the distinct() EXCHANGE and
+      // nothing prunes below a 2-column distinct, so all four consumers
+      // (both join sides + both count lookups) carry the identical subtree
+      // and ReuseExchange computes it once within the one action; the
+      // persist only added cache overhead (the rfm_segments r17 lesson).
+      val g = tbl(s, dir, "events")
         .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val c = g.groupBy("t").agg(count(lit(1)).as("n"))
       val p = g.as("a").join(g.as("b"),
           col("a.u") === col("b.u") && col("a.t") < col("b.t"))
@@ -490,6 +491,11 @@ object EngagementOps {
     ) { (s, dir) =>
       val ordersT = tbl(s, dir, "orders")
       val mx = ordersT.agg(max(col("o_orderdate").cast(DateType)).as("dmax"))
+      // cm feeds five consumers (nr, three cuts, the final coding pass),
+      // but its root is the custkey agg EXCHANGE — ReuseExchange already
+      // computes that subtree once and shares it physically, so a persist
+      // here only adds cache-build + columnar read overhead (measured r17:
+      // 1.56 s → 3.67 s with MEMORY_AND_DISK persist — reverted).
       val cm = ordersT.groupBy("o_custkey")
         .agg(count(lit(1)).cast(LongType).as("freq"),
           sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)

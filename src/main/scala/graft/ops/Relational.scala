@@ -2609,12 +2609,13 @@ object Relational {
         .distinct()
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      // registered with CacheRegistry: disk-spilled blocks are not
-      // LRU-evicted, so a production caller releases via
-      // Graft.releaseCaches() after its action (harnesses clearCache)
-      val ew = graft.CacheRegistry.track(e.join(deg, "src")
+      // r17: no persist — ew's root is the e⋈deg join fed by exchanges and
+      // the whole query is ONE action, so all three iterations carry the
+      // IDENTICAL ew subtree and ReuseExchange computes it once; the
+      // MEMORY_AND_DISK persist only added cache-build + columnar-read
+      // overhead (the rfm_segments r17 lesson; measured 3.38 → 2.81 s).
+      val ew = e.join(deg, "src")
         .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("invd"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       def iterate(prev: DataFrame): DataFrame =
         ew.join(prev, ew("src") === prev("node"))
           .groupBy(ew("dst").as("node"))

@@ -844,10 +844,18 @@ object TpchShapes {
           .cast(DoubleType) /
           sum(col("l_quantity").cast(DecimalType(18, 2)))
             .cast(DoubleType)).as("unit_cost"))
+      // r17: the rn=1 window became a min(struct) agg — struct comparison
+      // is lexicographic, so min((unit_cost, suppkey)) IS the window's
+      // (unit_cost, l_suppkey) orderBy winner (ties to the lower suppkey;
+      // doubles here are never NaN). The agg replaces Sort +
+      // WindowGroupLimit + Window with a map-side partial min riding the
+      // same exchange — fewer operators, and the partial agg collapses
+      // rows before the shuffle at any scale (guide §2.3).
       val m = ps
-        .withColumn("rn", row_number().over(Window.partitionBy("l_partkey")
-          .orderBy(col("unit_cost"), col("l_suppkey"))))
-        .filter(col("rn") === 1)
+        .groupBy("l_partkey")
+        .agg(min(struct(col("unit_cost"), col("l_suppkey"))).as("w"))
+        .select(col("l_partkey"), col("w.l_suppkey").as("l_suppkey"),
+          col("w.unit_cost").as("unit_cost"))
       val p = tbl(s, dir, "part")
         .filter(col("p_size") <= 10)
         .select(col("p_partkey"), col("p_brand"))

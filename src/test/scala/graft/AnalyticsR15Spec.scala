@@ -96,20 +96,36 @@ class AnalyticsR15Spec extends SparkSpecBase {
     val sparse = new GraftBitmap.Bitmap
     (1L to 1000L).foreach(v => sparse.add(v * 65536L))
     val sb = sparse.serialize.length
-    assert(sb <= 4 + 1000 * (8 + 1 + 4 + 2), s"sparse bitmap $sb bytes")
+    // +4 everywhere (r17): the serialized form now leads with the
+    // FormatVersion header so stale pre-r16-remap state fails loudly
+    assert(sb <= 8 + 1000 * (8 + 1 + 4 + 2), s"sparse bitmap $sb bytes")
     // dense regime: a full 65536-range costs exactly one 8 KB container,
     // NOT 128 KB of sorted values
     val dense = new GraftBitmap.Bitmap
     (0L until 65536L).foreach(dense.add)
     val db = dense.serialize.length
-    assert(db == 4 + 8 + 1 + 4 + 8192, s"dense bitmap $db bytes")
+    assert(db == 8 + 8 + 1 + 4 + 8192, s"dense bitmap $db bytes")
     assert(dense.cardinality == 65536L && sparse.cardinality == 1000L)
     // the array->bitmap upgrade boundary is exact: 4096 stays array form
     val atCap = new GraftBitmap.Bitmap
     (0L until 4096L).foreach(atCap.add)
-    assert(atCap.serialize.length == 4 + 8 + 1 + 4 + 2 * 4096)
+    assert(atCap.serialize.length == 8 + 8 + 1 + 4 + 2 * 4096)
     atCap.add(4096L)
-    assert(atCap.serialize.length == 4 + 8 + 1 + 4 + 8192, "4097th member upgrades")
+    assert(atCap.serialize.length == 8 + 8 + 1 + 4 + 8192, "4097th member upgrades")
+  }
+
+  test("bitmap state version header: stale/foreign bytes fail loudly") {
+    import graft.functions.GraftBitmap
+    // r17 (ADVICE item 3): the r16 sign-flip remap changed what serialized
+    // bytes MEAN; the FormatVersion header makes pre-remap (or foreign)
+    // state throw here instead of silently decoding to different members.
+    val bm = new GraftBitmap.Bitmap
+    (1L to 10L).foreach(bm.add)
+    val bytes = bm.serialize
+    assert(java.nio.ByteBuffer.wrap(bytes).getInt == GraftBitmap.FormatVersion)
+    assert(GraftBitmap.deserialize(bytes).cardinality == 10L)
+    // a pre-r17 payload led with the container count (a small int)
+    intercept[IllegalArgumentException](GraftBitmap.deserialize(bytes.drop(4)))
   }
 
   test("funnel_strict_increase: levels match a greedy strict-ts re-derivation") {

@@ -57,10 +57,23 @@ class PlanAuditSpec extends SparkSpecBase {
   // candidate join + distinct; the shingle-set aggregation feeding the
   // verify joins; the output sort. The verify kernel
   // (sorted_intersect_count) must stay codegen — zero fallback exprs.
+  // r17: the shingle-row persist was dropped (distinct-rooted subtree —
+  // AQE's RUNTIME exchange reuse shares it across the prefix windows and
+  // both verify join sides; measured 2.78 → 2.12 s at sf0.1). The STATIC
+  // tree now plans the shared subtree once per consumer branch, so the
+  // static exchange count reads 12; at runtime the duplicated exchanges
+  // collapse (ReusedExchange in the executed plan — see the executed-plan
+  // leg below). 13 would mean a consumer branch grew a genuinely new
+  // exchange.
   test("ngram prefix filter: bounded exchanges, codegen verify kernel") {
     val a = auditOf(run("dedup_ngram_jaccard"))
-    assert(a.shuffles <= 8, s"prefix/verify pipeline grew an exchange: $a")
+    assert(a.shuffles <= 12, s"prefix/verify pipeline grew an exchange: $a")
     assert(a.fallbackExprs.isEmpty, s"interpreted verify kernel: $a")
+    // runtime contract: the duplicated static subtrees MUST dedupe
+    val df = run("dedup_ngram_jaccard")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "shared shingle subtree no longer exchange-reused at runtime")
   }
 
   // r3 shape: one label-propagation round = the self-label union folded into
@@ -235,6 +248,15 @@ class PlanAuditSpec extends SparkSpecBase {
     // against it is correctly a co-partitioned SMJ, cell path or not.
     val factFactShuffle = Set("q7_volume_shipping", "q8_market_share",
       "q20_surplus_suppliers", "semdedup", "semdedup_default")
+    // pagerank3 (r17): the edge-table persist was dropped — the static
+    // plan now shows the rank⋈edge join of each of the 3 iterations as a
+    // SortMergeJoin (≤2 per iteration: ew's own e⋈deg join + the rank
+    // join). That is the CORRECT 100 TB strategy (ranks is |nodes|-sized —
+    // broadcastable only at test SF, where AQE converts these to broadcast
+    // at runtime and reuses the shared ew exchanges; measured 3.38 →
+    // 2.81 s at sf0.1). The pre-r17 zero-SMJ static shape was an artifact
+    // of the cache's statistics, not a scale property.
+    val iterativeRankJoins = Map("pagerank3" -> 6)
     // curate_stream composes FOUR doc-grain screens over one corpus: the
     // quality/exact/band-screen joins are all both-sides-scaling (per-doc
     // signal frames and the O(buckets×cap) band index are each O(corpus)
@@ -292,6 +314,9 @@ class PlanAuditSpec extends SparkSpecBase {
         assert(a.sortMergeJoins <= 1, s"$name: expected ≤1 fact-fact SMJ: $a")
       else if (docGrainComposition(name))
         assert(a.sortMergeJoins <= 2, s"$name: expected ≤2 doc-grain SMJs: $a")
+      else if (iterativeRankJoins.contains(name))
+        assert(a.sortMergeJoins <= iterativeRankJoins(name),
+          s"$name: iterative rank joins grew: $a")
       else if (!fullOuterApplies(name))
         assert(a.sortMergeJoins == 0, s"$name grew a sort-merge join: $a")
       val allowed = finisherFallbacks.getOrElse(name, Set.empty[String])
@@ -701,15 +726,20 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
-    // the (type,user) grain is persisted: all four consumers (both join
-    // sides, both count lookups) must read the cache — the audit's static
-    // scan count sees the scan subtree duplicated inside each
-    // InMemoryTableScan, so assert the cache nodes directly instead.
+    // r17: the (type,user) grain persist was dropped — nothing prunes
+    // below the 2-column distinct, so the pair join's two sides carry the
+    // identical exchange subtree and AQE's runtime exchange reuse shares
+    // it (measured 1.17 → 0.56 s at sf0.1; the persist only added cache
+    // overhead). Pin the new contract: the executed plan reuses the grain
+    // exchange instead of reading a cache.
     val df = run("audience_overlap")
-    df.count()
+    // collect(), not count(): count() builds its own QueryExecution, so
+    // THIS df's adaptive plan would stay unexecuted (isFinalPlan=false, no
+    // reuse markers to inspect)
+    df.collect()
     val a = PlanAudit.audit(df.queryExecution.executedPlan)
     assert(df.queryExecution.executedPlan.toString
-      .contains("InMemoryTableScan"), "grain not served from cache")
+      .contains("ReusedExchange"), "grain exchange no longer reused")
     assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
     graft.CacheRegistry.release()
   }
@@ -874,12 +904,18 @@ class PlanAuditSpec extends SparkSpecBase {
   test("rank-limit pushdown: WindowGroupLimitExec present in every rank<=k op") {
     for (q <- Seq("topk_per_group", "group_array_sorted", "group_array_last",
         "weighted_sample_es", "knn_label_eval", "ann_bruteforce",
-        "trending_topk", "tfidf_topterms", "dedup_cluster_rep",
-        "q2_min_price_supplier")) {
+        "trending_topk", "tfidf_topterms", "dedup_cluster_rep")) {
       val a = auditOf(run(q))
       assert(a.windowGroupLimits >= 1,
         s"$q: rank-limit pushdown stopped firing (no WindowGroupLimitExec): $a")
     }
+    // r17: q2_min_price_supplier left this family — its rn=1 window became
+    // a min(struct(unit_cost, suppkey)) aggregate (lexicographic struct min
+    // ≡ the window's orderBy winner), which partial-aggregates map-side
+    // instead of heaping per group. Pin the NEW shape: no window at all.
+    val q2 = auditOf(run("q2_min_price_supplier"))
+    assert(q2.windowGroupLimits == 0,
+      s"q2_min_price_supplier grew a rank window back: $q2")
   }
 
   // r15 shapes. group_bitmap_ops: the uniq_theta_ops contract on the exact
@@ -892,8 +928,12 @@ class PlanAuditSpec extends SparkSpecBase {
   // with bounded 64-row fan-out and its 2080-cell grain partial-aggregates
   // map-side — no fallback in the fact-grain path.
   test("r15 ops: bitmap cells broadcast, bounded exchanges, no fact fallback") {
+    // r17: the cell-frame persist was dropped — the static tree plans the
+    // agg exchange once per pair-join side (3 incl. the sort); AQE's
+    // runtime exchange reuse dedupes them (identical subtrees), so the
+    // fact still aggregates once.
     val b = auditOf(run("group_bitmap_ops"))
-    assert(b.shuffles <= 2, s"group_bitmap_ops grew a fact-grain exchange: $b")
+    assert(b.shuffles <= 3, s"group_bitmap_ops grew a fact-grain exchange: $b")
     assert(b.sortMergeJoins == 0, s"$b")
     assert(b.fallbackExprs.forall(_.startsWith("bitmap_")), s"$b")
     val z = auditOf(run("mean_ztest"))
@@ -963,8 +1003,10 @@ class PlanAuditSpec extends SparkSpecBase {
       s"bounded rank filters WITHOUT the WindowGroupLimit rewrite " +
         s"(split mixed windows or restructure): ${missing.mkString(", ")}")
     // the ops the r14 verdict named must be IN the mechanically-swept set
+    // (r17: q2_min_price_supplier left the family — its rn=1 window became
+    // a min(struct) aggregate, so it no longer HAS a bounded rank filter)
     for (q <- Seq("trending_topk", "tfidf_topterms", "dedup_cluster_rep",
-        "q2_min_price_supplier", "topk_per_group"))
+        "topk_per_group"))
       assert(covered(q),
         s"$q expected in the covered set (${covered.size} covered)")
   }
@@ -997,15 +1039,15 @@ class PlanAuditSpec extends SparkSpecBase {
   // (type,user) agg exchange + the rank window on the collapsed grain.
   // relational_division: one (type,user) agg pipeline, zero joins.
   test("r14 ops: sketch cells broadcast, anchors broadcast, no fact self-join") {
-    // the persisted cell frame appears under an InMemoryTableScan on BOTH
-    // pair-join sides, so the audit's static scan count reads 2 even
-    // though the fact parquet is materialized once (cache hit on the
-    // second reference); the load-bearing pins are the single agg
-    // exchange and the absence of any fact-grain sort-merge pair join.
-    // The lambda fallback exprs (array_sort/filter) run on the ≤C(types,2)
-    // pair grain — ≤10 rows by design, never fact-grain.
+    // r17: the cell-frame persist was dropped — the static tree plans the
+    // identical agg-exchange subtree once per pair-join side (3 shuffles
+    // incl. the sort); AQE's runtime exchange reuse dedupes them, so the
+    // fact still aggregates once. The load-bearing pins stay the bounded
+    // exchange count and the absence of any fact-grain sort-merge pair
+    // join. The lambda fallback exprs (array_sort/filter) run on the
+    // ≤C(types,2) pair grain — ≤10 rows by design, never fact-grain.
     val t = auditOf(run("uniq_theta_ops"))
-    assert(t.shuffles <= 2, s"uniq_theta_ops grew a fact-grain exchange: $t")
+    assert(t.shuffles <= 3, s"uniq_theta_ops grew a fact-grain exchange: $t")
     assert(t.sortMergeJoins == 0, s"$t")
     val tr = auditOf(run("trending_topk"))
     assert(tr.broadcastJoins >= 1 && tr.sortMergeJoins == 0,

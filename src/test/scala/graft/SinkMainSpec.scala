@@ -59,14 +59,26 @@ class SinkMainSpec extends SparkSpecBase {
     assert(w.sink.latestSnapshot(spark).get.count() > 0)
   }
 
-  test("wire: mismatch mode dispatches into CursorStore semantics") {
+  test("wire: mismatch modes dispatch and the resolved cursor trims the feed") {
     val dir = Files.createTempDirectory("sinkmain_mm").toString
     val cfg = SinkConfig(dir, sfDir, "hash_one", "mod", undoBufferSize = 0)
     SinkMain.run(spark, cfg)
+    // r17 (ADVICE item 1): the resolved start cursor is now USED — a
+    // re-run of the same module resumes from the committed cursor instead
+    // of reprocessing the full feed
+    assert(SinkMain.wire(spark, cfg).source.isEmpty,
+      "resume from the committed cursor must trim the already-flushed feed")
     // a second module hash against the same target: error mode throws at
-    // wire time (reference sinker startup), ignore proceeds fresh
+    // wire time (reference sinker startup); warn and ignore BOTH adopt the
+    // cursor at the highest block and use it as the starting point
+    // (run.go's flag doc — the pre-r17 ignore started fresh, inverted)
     val other = cfg.copy(moduleHash = "hash_two")
     intercept[IllegalStateException] { SinkMain.wire(spark, other) }
-    SinkMain.wire(spark, other.copy(mismatchMode = MismatchMode.Ignore))
+    assert(SinkMain.wire(spark,
+      other.copy(mismatchMode = MismatchMode.Ignore)).source.isEmpty,
+      "ignore must adopt the foreign cursor as the starting point")
+    assert(SinkMain.wire(spark,
+      other.copy(mismatchMode = MismatchMode.Warn)).source.isEmpty,
+      "warn must adopt the foreign cursor as the starting point")
   }
 }

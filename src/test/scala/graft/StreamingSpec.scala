@@ -312,9 +312,19 @@ class StreamingSpec extends SparkSpecBase {
     val store = new CursorStore(dir, spark)
     store.commit(graft.cdc.Cursor("hash_x", "c1", 10, "b10"), 0)
     assert(store.readWithMismatch("hash_x", "error").get.blockNum == 10)
-    assert(store.readWithMismatch("hash_y", "ignore").isEmpty)
+    // r17 (ADVICE item 1): BOTH warn and ignore adopt the cursor at the
+    // highest block — run.go's flag doc: "If 'ignore' is set, we pick the
+    // cursor at the highest block number and use it as the starting
+    // point"; warn = ignore + a logged warning. The pre-r17 ignore
+    // (start fresh) inverted that.
+    assert(store.readWithMismatch("hash_y", "ignore").get.moduleHash == "hash_x")
     assert(store.readWithMismatch("hash_y", "warn").get.moduleHash == "hash_x")
     intercept[IllegalStateException](store.readWithMismatch("hash_y", "error"))
+    // the adopted candidate is each module's RESOLVED cursor at the highest
+    // block, not the highest-block raw log row: overwrite hash_x down to
+    // block 5 — the resolved cursor (batch 1) must win over the stale row
+    store.commit(graft.cdc.Cursor("hash_x", "c2", 5, "b5"), 1)
+    assert(store.readWithMismatch("hash_y", "ignore").get.blockNum == 5)
   }
 
   test("two active sinks sharing a module hash start without name collision") {
