@@ -653,10 +653,16 @@ object Dedup {
          |FROM p WHERE CAST(n_int AS DOUBLE) / least(n_a, n_b) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin
     ) { (s, dir) =>
-      // r17: no persist — distinct()-rooted subtree, ReuseExchange shares
-      // it across the prefix windows and both verify join sides (see
-      // ngramJaccardPairs).
-      val e = shingleRowsOf(docs(s, dir))
+      // persist KEPT after the r17 two-scale audit: unlike the Jaccard
+      // twin (bothPrefixes=true, whose branches stay symmetric and reuse —
+      // persist dropped there), containment joins FULL postings against
+      // prefix postings, so the a/b window branches diverge and runtime
+      // exchange reuse cannot cover them all. Dropping the persist won at
+      // sf0.1 (3.13 → 2.34 s) but lost 1.32× at sf10 (88.8 → 117.2 s, A/B
+      // at the r16 commit on the same data) — the corpus-sized shingle
+      // pass re-ran. One shingle pass is the 100 TB shape.
+      val e = trackCache(shingleRowsOf(docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // sizeRatioTau = 0 disables the Jaccard size-ratio prefilter
       // (necessary for Jaccard, WRONG for containment); the prefix length
       // uses τ = 7/10 exactly — integer math, no float ceil.

@@ -101,15 +101,19 @@ object AnalyticsR14 {
       graft.functions.GraftFunctions.register(s)
       val k = CapacityPins.KmvCap
       val h = parity.md5Long(col("user_id").cast(StringType))
-      // r17: no persist — both pair-join sides carry the identical
-      // agg-exchange subtree, which ReuseExchange computes once within the
-      // one action (the broadcast side reuses the same shuffle output; the
-      // fact table does NOT scan twice — verified in the r17 plan dumps);
-      // the persist only added cache overhead (the rfm_segments lesson).
-      val sk = tbl(s, dir, "events")
-        .select(col("event_type"), h.as("h"))
-        .groupBy("event_type")
-        .agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
+      // persist KEPT after the r17 two-scale audit: dropping it was flat
+      // at sf0.1 but 1.9× SLOWER at sf10 (2.46 → 4.77 s, A/B at the r16
+      // commit on the same data) — the broadcast pair-join side's subtree
+      // is pruned/planned differently enough that runtime exchange reuse
+      // does not cover it and the fact aggregation re-ran. One fact pass
+      // is the 100 TB shape (CacheRegistry discipline; production callers
+      // release via Graft.releaseCaches()).
+      val sk = graft.CacheRegistry.track(
+        tbl(s, dir, "events")
+          .select(col("event_type"), h.as("h"))
+          .groupBy("event_type")
+          .agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // pair grain: ≤C(|types|,2) rows of O(k) arrays — metadata-sized, so
       // the broadcast cross join is the right plan (1-row-agg discipline
       // widened to the bounded |types| grain)

@@ -106,11 +106,15 @@ object AnalyticsR15 {
         |FROM pairs ORDER BY type_a, type_b""".stripMargin
     ) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      // r17: no persist — identical agg-exchange subtree on both pair-join
-      // sides, ReuseExchange shares it (the uniq_theta_ops r17 lesson)
-      val sk = tbl(s, dir, "events")
-        .groupBy("event_type")
-        .agg(call_function("bitmap_agg", col("user_id")).as("bm"))
+      // persist KEPT after the r17 two-scale audit (the uniq_theta_ops
+      // result: dropping it was flat at sf0.1 but 1.5× slower at sf10 —
+      // the broadcast side re-aggregated the fact table); one fact pass
+      // is the 100 TB shape.
+      val sk = graft.CacheRegistry.track(
+        tbl(s, dir, "events")
+          .groupBy("event_type")
+          .agg(call_function("bitmap_agg", col("user_id")).as("bm"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val pr = sk.select(col("event_type").as("type_a"), col("bm").as("bma"))
         .crossJoin(broadcast(
           sk.select(col("event_type").as("type_b"), col("bm").as("bmb"))))

@@ -84,13 +84,17 @@ object EngagementOps {
         |FROM p JOIN c ca ON ca.t = p.ta JOIN c cb ON cb.t = p.tb
         |ORDER BY 1, 2""".stripMargin
     ) { (s, dir) =>
-      // r17: no persist — the grain's root is the distinct() EXCHANGE and
-      // nothing prunes below a 2-column distinct, so all four consumers
-      // (both join sides + both count lookups) carry the identical subtree
-      // and ReuseExchange computes it once within the one action; the
-      // persist only added cache overhead (the rfm_segments r17 lesson).
-      val g = tbl(s, dir, "events")
+      // persist KEPT after the r17 two-scale audit: dropping it won at
+      // sf0.1 (1.17 → 0.56 s — cache overhead dominates 11 MB inputs) but
+      // lost 3.8× at sf10 (1.62 → 6.18 s, A/B at the r16 commit on the
+      // same data): the pair join's null-filter pushdown makes the
+      // marginal branch's subtree DIFFER from the join branches', so
+      // runtime exchange reuse covers only the join sides and the corpus
+      // distinct re-ran for the marginals. One grain pass is the 100 TB
+      // shape; the persist is it.
+      val g = graft.CacheRegistry.track(tbl(s, dir, "events")
         .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val c = g.groupBy("t").agg(count(lit(1)).as("n"))
       val p = g.as("a").join(g.as("b"),
           col("a.u") === col("b.u") && col("a.t") < col("b.t"))

@@ -726,20 +726,17 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(a.broadcastJoins + a.sortMergeJoins == 0 &&
         a.fallbackExprs.isEmpty, s"$q: $a")
     }
-    // r17: the (type,user) grain persist was dropped — nothing prunes
-    // below the 2-column distinct, so the pair join's two sides carry the
-    // identical exchange subtree and AQE's runtime exchange reuse shares
-    // it (measured 1.17 → 0.56 s at sf0.1; the persist only added cache
-    // overhead). Pin the new contract: the executed plan reuses the grain
-    // exchange instead of reading a cache.
+    // r17 two-scale audit: the (type,user) grain persist STAYS — dropping
+    // it won at sf0.1 (cache overhead on 11 MB inputs) but lost 3.8× at
+    // sf10 (1.62 → 6.18 s, A/B at the r16 commit): the join branches'
+    // null-filter pushdown diverges their subtrees from the marginals',
+    // so runtime exchange reuse re-ran the corpus distinct. All four
+    // consumers must read the cache — assert the cache nodes directly.
     val df = run("audience_overlap")
-    // collect(), not count(): count() builds its own QueryExecution, so
-    // THIS df's adaptive plan would stay unexecuted (isFinalPlan=false, no
-    // reuse markers to inspect)
-    df.collect()
+    df.count()
     val a = PlanAudit.audit(df.queryExecution.executedPlan)
     assert(df.queryExecution.executedPlan.toString
-      .contains("ReusedExchange"), "grain exchange no longer reused")
+      .contains("InMemoryTableScan"), "grain not served from cache")
     assert(a.sortMergeJoins == 0 && a.fallbackExprs.isEmpty, s"$a")
     graft.CacheRegistry.release()
   }
@@ -928,12 +925,11 @@ class PlanAuditSpec extends SparkSpecBase {
   // with bounded 64-row fan-out and its 2080-cell grain partial-aggregates
   // map-side — no fallback in the fact-grain path.
   test("r15 ops: bitmap cells broadcast, bounded exchanges, no fact fallback") {
-    // r17: the cell-frame persist was dropped — the static tree plans the
-    // agg exchange once per pair-join side (3 incl. the sort); AQE's
-    // runtime exchange reuse dedupes them (identical subtrees), so the
-    // fact still aggregates once.
+    // r17 two-scale audit: the cell-frame persist STAYS — dropping it was
+    // flat at sf0.1 but re-aggregated the fact table at sf10 (runtime
+    // exchange reuse does not cover the broadcast pair-join side here).
     val b = auditOf(run("group_bitmap_ops"))
-    assert(b.shuffles <= 3, s"group_bitmap_ops grew a fact-grain exchange: $b")
+    assert(b.shuffles <= 2, s"group_bitmap_ops grew a fact-grain exchange: $b")
     assert(b.sortMergeJoins == 0, s"$b")
     assert(b.fallbackExprs.forall(_.startsWith("bitmap_")), s"$b")
     val z = auditOf(run("mean_ztest"))
@@ -1039,15 +1035,16 @@ class PlanAuditSpec extends SparkSpecBase {
   // (type,user) agg exchange + the rank window on the collapsed grain.
   // relational_division: one (type,user) agg pipeline, zero joins.
   test("r14 ops: sketch cells broadcast, anchors broadcast, no fact self-join") {
-    // r17: the cell-frame persist was dropped — the static tree plans the
-    // identical agg-exchange subtree once per pair-join side (3 shuffles
-    // incl. the sort); AQE's runtime exchange reuse dedupes them, so the
-    // fact still aggregates once. The load-bearing pins stay the bounded
-    // exchange count and the absence of any fact-grain sort-merge pair
-    // join. The lambda fallback exprs (array_sort/filter) run on the
+    // r17 two-scale audit: the persisted cell frame STAYS (dropping it was
+    // flat at sf0.1 but 1.9× slower at sf10 — the broadcast side
+    // re-aggregated the fact). It appears under an InMemoryTableScan on
+    // BOTH pair-join sides, so the static scan count reads 2 even though
+    // the fact parquet materializes once; the load-bearing pins are the
+    // single agg exchange and the absence of any fact-grain sort-merge
+    // pair join. The lambda fallback exprs (array_sort/filter) run on the
     // ≤C(types,2) pair grain — ≤10 rows by design, never fact-grain.
     val t = auditOf(run("uniq_theta_ops"))
-    assert(t.shuffles <= 3, s"uniq_theta_ops grew a fact-grain exchange: $t")
+    assert(t.shuffles <= 2, s"uniq_theta_ops grew a fact-grain exchange: $t")
     assert(t.sortMergeJoins == 0, s"$t")
     val tr = auditOf(run("trending_topk"))
     assert(tr.broadcastJoins >= 1 && tr.sortMergeJoins == 0,
