@@ -553,16 +553,20 @@ object Dedup {
         |FROM seg s JOIN df USING (sig)
         |GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
+      // r17: the oracle's rn-1 (row_number over non-empty words ordered by
+      // position) IS the word's index in the empties-removed array, so
+      // posexplode(array_remove(...)) yields it in-row — no doc_id
+      // exchange, no Sort+Window over the word rows. The (doc_id, seg)
+      // collapse then partial-aggregates MAP-SIDE before its exchange:
+      // the first shuffle moves 8× fewer rows and no word strings.
       val pos = docs(s, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " "))
-          .as(Seq("p", "word")))
-        .filter(col("word") =!= "")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy("p")))
+        .select(col("doc_id"),
+          posexplode(array_remove(split(col("text"), " "), ""))
+            .as(Seq("p", "word")))
       val seg = pos
-        .groupBy(col("doc_id"), expr("(rn - 1) div 8").as("seg"))
+        .groupBy(col("doc_id"), expr("p div 8").as("seg"))
         .agg(sum(conv(substring(md5(col("word")), 1, 12), 16, 10)
-          .cast(LongType) * (expr("(rn - 1) % 8") + 1)).as("sig"))
+          .cast(LongType) * (expr("p % 8") + 1)).as("sig"))
       val df = seg.groupBy("sig")
         .agg(countDistinct("doc_id").as("df"))
       seg.join(df, "sig")

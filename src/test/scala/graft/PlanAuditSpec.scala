@@ -66,6 +66,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // leg below). 13 would mean a consumer branch grew a genuinely new
   // exchange.
   test("ngram prefix filter: bounded exchanges, codegen verify kernel") {
+    // another test's leftover persist of the same shingle subtree would make
+    // CacheManager substitute InMemoryTableScan for the shared exchanges —
+    // the reuse contract below must be judged on the UNCACHED plan
+    spark.catalog.clearCache()
     val a = auditOf(run("dedup_ngram_jaccard"))
     assert(a.shuffles <= 12, s"prefix/verify pipeline grew an exchange: $a")
     assert(a.fallbackExprs.isEmpty, s"interpreted verify kernel: $a")
