@@ -939,7 +939,7 @@ object Dedup {
         |FROM cand
         |WHERE bit_count(xor(sig_a, sig_b)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin
-    ) { (s, dir) => simhashPairs(s, dir) },
+    ) { (s, dir) => simhashPairs(s, dir).orderBy("doc_a", "doc_b") },
 
     // ---- #33 embedding cosine near-dup pairs within label blocks ---------
     // Sequential double dot product (same fold order both engines); block
@@ -1967,6 +1967,10 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+    // NO output sort here (r17): every pair CONSUMER (connected
+    // components, provenance rollups, keptSet) immediately re-shuffles or
+    // collects the edges, so a global orderBy was a pure range-exchange +
+    // sort tax on the whole cluster family; the #32b declared query adds
+    // its ORDER BY itself.
   }
 }

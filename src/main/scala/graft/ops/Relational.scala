@@ -2124,9 +2124,14 @@ object Relational {
         |    AS spearman_rho
         |FROM m""".stripMargin
     ) { (s, dir) =>
-      val f = tbl(s, dir, "events").select(
+      // r17: same persist regime as rank_corr_matrix — f is scan-rooted and
+      // feeds THREE differently-pruned consumers (v grain, k grain, the
+      // rank-attach join), so without it the events scan and the per-row
+      // JSON k-prop extraction (the dominant per-row cost) run three times.
+      val f = graft.CacheRegistry.track(tbl(s, dir, "events").select(
         col("value").cast(DecimalType(18, 2)).as("v"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       def ranks(grain: DataFrame, key: String, out: String): DataFrame = {
         val w = Window.orderBy(key)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
